@@ -1,0 +1,222 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Everything here is built from ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so it runs at full scan speed
+on a 100 TB corpus. Each function documents the exact DuckDB-SQL
+equivalent used by the correctness oracle, so semantics are pinned
+bit-for-bit (the driver hash-compares results).
+
+The reference engine has no text functions (SURVEY.md §2.3: "string /
+date / array / map / json functions — none exist"); this is the
+extension surface mandated by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic per-language marker words for the n-gram/stopword
+# language-ID heuristic. Occurrences are counted with replace()-based
+# arithmetic, which both Spark and DuckDB evaluate identically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " das "),
+    "fr": (" le ", " et ", " les "),
+    "es": (" el ", " que ", " los "),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def char_count(c: Column) -> Column:
+    """DuckDB: ``length(text)``."""
+    return F.length(c)
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace tokenization count.
+
+    DuckDB: ``length(regexp_split_to_array(trim(text), '\\s+'))``.
+    """
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+#: Sub-word-ish tokenizer pattern: letter runs, digit runs, and single
+#: punctuation marks each count as one token — a cheap deterministic
+#: proxy for a BPE tokenizer's token count. No lookarounds, so it is
+#: valid in both Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """DuckDB: ``length(regexp_extract_all(text,
+    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))``."""
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def punct_ratio(c: Column) -> Column:
+    """Share of characters that are not alphanumeric or whitespace.
+
+    DuckDB: ``round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+    'g')) / greatest(length(text), 1), 4)`` — note DuckDB needs the
+    ``'g'`` flag; Spark's regexp_replace is global by default.
+    """
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.round(
+        F.length(stripped) / F.greatest(F.length(c), F.lit(1)), 4
+    )
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords.
+
+    DuckDB: ``round(len(list_filter(regexp_split_to_array(trim(lower(
+    text)), '\\s+'), t -> t IN (...))) / greatest(length(
+    regexp_split_to_array(trim(text), '\\s+')), 1), 4)``.
+    """
+    tokens = F.split(F.trim(F.lower(c)), r"\s+")
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    return F.round(hits / F.greatest(F.size(tokens), F.lit(1)), 4)
+
+
+def avg_token_len(c: Column) -> Column:
+    """DuckDB: ``round(length(regexp_replace(trim(text), '\\s+', '',
+    'g')) / greatest(len(regexp_split_to_array(trim(text), '\\s+')),
+    1), 4)``."""
+    compact = F.regexp_replace(F.trim(c), r"\s+", "")
+    return F.round(
+        F.length(compact) / F.greatest(token_count(c), F.lit(1)), 4
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: longer docs (up to 100
+    tokens) with low punctuation density and mid-length words score
+    high. Weights are arbitrary but fixed; the oracle reproduces the
+    identical arithmetic.
+
+    DuckDB: ``floor((least(<tokens>/100.0, 1.0) * 0.5
+    + (1.0 - <punct_ratio_unrounded>) * 0.3
+    + least(<avg_token_len_unrounded>/10.0, 1.0) * 0.2) * 10000 + 0.5)
+    / 10000.0`` — explicit half-up rounding because the score is a
+    small-rational combination that lands on decimal midpoints (see
+    functions.rounding).
+    """
+    from datafusion_archive_spark.functions.rounding import round_half_up
+
+    tokens = token_count(c).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    awl = F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / F.greatest(
+        token_count(c), F.lit(1)
+    )
+    return round_half_up(
+        F.least(tokens / 100.0, F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct) * 0.3
+        + F.least(awl / 10.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+
+
+def lang_id(c: Column) -> Column:
+    """Marker-word language-ID heuristic: count per-language marker
+    occurrences in the padded lowercase text; argmax wins, ties broken
+    by the fixed language order; zero hits → 'unknown'.
+
+    Occurrence counting is replace-arithmetic —
+    ``(length(p) - length(replace(p, m, ''))) / length(m)`` — which is
+    identical SQL in DuckDB.
+    """
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+    def hits(markers: tuple[str, ...]) -> Column:
+        total = F.lit(0)
+        for m in markers:
+            total = total + (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(m))))
+                / len(m)
+            ).cast("int")
+        return total
+
+    scores = {lang: hits(ms) for lang, ms in LANG_MARKERS.items()}
+    # CASE chain: the first language (in fixed order) holding the
+    # maximal score wins; all-zero scores → 'unknown'.
+    langs = list(LANG_MARKERS)
+    max_score = scores[langs[0]]
+    for lang in langs[1:]:
+        max_score = F.greatest(max_score, scores[lang])
+    expr = F.when(max_score <= 0, F.lit("unknown"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == max_score, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def normalize_text(c: Column) -> Column:
+    """Whitespace-collapse + lowercase + trim normalization.
+
+    DuckDB: ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``.
+    """
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint(c: Column) -> Column:
+    """128-bit content fingerprint: md5 of the normalized text.
+    DuckDB: ``md5(<normalize_text>)``."""
+    return F.md5(normalize_text(c))
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Array of k-word shingles of the normalized text (the unit for
+    MinHash / Jaccard dedup). Documents shorter than k words produce a
+    single shingle of the whole text.
+
+    DuckDB equivalent: split to words ``w``, then
+    ``list_transform(range(1, greatest(len(w)-k+2, 2)),
+    i -> array_to_string(w[i:i+k-1], ' '))`` (1-indexed inclusive
+    slices).
+    """
+    words = F.split(normalize_text(c), " ")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+
+
+def hash64(c: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit integer hash of a string, reproducible in
+    any engine with md5: take the first 15 hex digits of
+    ``md5(s || ':' || seed)`` as a base-16 integer.
+
+    DuckDB: ``('0x' || substr(md5(s || ':<seed>'), 1, 15))::BIGINT``.
+
+    Spark's native ``xxhash64``/``hash`` would be faster but is not
+    reproducible outside Spark; md5 keeps the correctness oracle exact.
+    Both stay JVM-side / codegen'd.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(c, F.lit(f":{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def rolling_hash_fingerprint(c: Column, window: int = 8) -> Column:
+    """Document fingerprint via a rolling-hash-style reduction: hash
+    each ``window``-word shingle to 60 bits and keep the minimum —
+    a one-value winnowing sketch usable for cheap near-dup blocking.
+
+    DuckDB: ``list_min(list_transform(<shingles>, s ->
+    ('0x' || substr(md5(s || ':0'), 1, 15))::BIGINT))``.
+    """
+    shingles = word_shingles(c, window)
+    return F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(s, F.lit(":0"))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )

@@ -1,0 +1,329 @@
+"""Deduplication operators for document corpora.
+
+Five strategies, all expressed as DataFrame compositions that scale to
+100 TB on a real cluster:
+
+- :func:`exact_duplicates` — hash-groupBy on a content fingerprint.
+  One shuffle on a 128-bit key; fingerprints computed scan-side.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via a shingle
+  self-join. Shuffle key = shingle; hot shingles are pre-filtered by
+  document frequency (stop-shingle removal) to bound skew.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash +
+  LSH banding: candidate generation cost is O(docs × bands), never
+  O(docs²); the quadratic verify step runs only inside tiny buckets.
+- :func:`simhash64` / :func:`simhash_near_pairs` — 64-bit SimHash with
+  banded blocking for Hamming-distance search.
+- embedding near-dup lives in
+  :mod:`datafusion_archive_spark.operators.similarity`
+  (:func:`~datafusion_archive_spark.operators.similarity.cosine_pairs`).
+
+Every hash is md5-derived (:func:`~datafusion_archive_spark.functions.
+text.hash64`) so an external SQL oracle can reproduce results exactly.
+The reference engine has no dedup surface; this is north-star work
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.functions.rounding import round_half_up
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by normalized-content fingerprint.
+
+    Returns one row per distinct content: ``fp`` (md5 hex), ``keep_id``
+    (min id — the canonical survivor), ``n_copies``.
+
+    Scale: a single hash-aggregate; the fingerprint is computed in the
+    scan stage and the shuffle moves only (fp, id) pairs, not text.
+    """
+    return (
+        df.select(
+            TX.fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard similarity over k-word shingle sets,
+    returning pairs ``(id_a < id_b, jaccard)`` with
+    ``jaccard >= threshold``.
+
+    Plan shape: explode distinct shingles → self-join on shingle →
+    count co-occurrences → join per-doc set sizes → Jaccard. The only
+    quadratic term is per-shingle (documents sharing a shingle), so
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap — the standard stop-shingle guard that keeps the self-join
+    skew-free at corpus scale (AQE skew-join handles the remainder).
+    """
+    shingles = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(TX.word_shingles(F.col(text_col), k))
+            ).alias("shingle"),
+        )
+        .distinct()
+        # reused by three plan branches (sizes, join-left, join-right);
+        # persisting avoids recomputing the explode+distinct each time
+        .persist()
+    )
+    if max_shingle_df is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle")
+
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            # half-up formula (not F.round): a small-integer ratio can
+            # land exactly on a decimal midpoint, where Spark and
+            # external engines disagree — see functions.rounding
+            round_half_up(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: ``minhash_i = min over shingles
+    of hash64(shingle, seed=i)``.
+
+    Shape: explode distinct shingles once, hash each with every seed,
+    and take per-document mins in a single hash aggregation (map-side
+    partial combine makes the shuffle carry just num_hashes longs per
+    doc). One pass over the text — an earlier array_min-per-column
+    formulation recomputed the shingle pipeline num_hashes times
+    because Catalyst collapses projections without CSE across columns.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(TX.word_shingles(F.col(text_col), k))
+        ).alias("shingle"),
+    )
+    return ex.groupBy("id").agg(
+        *[
+            F.min(TX.hash64(F.col("shingle"), i)).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection.
+
+    Signatures are split into ``bands`` bands of ``num_hashes/bands``
+    rows; documents agreeing on any full band become candidate pairs
+    (shuffle key = (band index, band values) — cardinality ~#docs×bands,
+    never quadratic). Candidates are then verified with the *estimated*
+    Jaccard = fraction of agreeing minhashes, keeping pairs ≥ threshold.
+
+    Returns ``(id_a < id_b, est_jaccard)``.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    # Persist: the banding explode and the self-join below would
+    # otherwise recompute the signature aggregation once per plan
+    # branch. Signatures are tiny relative to the corpus (id +
+    # num_hashes longs/doc ≈ 136 B — ~140 GB even for 10^9 docs,
+    # spillable), so caching them is the intended scale design.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
+
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    band_structs = []
+    for b in range(bands):
+        band_cols = mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c) for c in band_cols]).alias(
+                    "bucket"
+                ),
+            )
+        )
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb"), *mh_cols
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"), *mh_cols)
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0)
+        for c in mh_cols
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard_raw"),
+        )
+        # a pair can match in several bands — dedupe candidates
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.min("est_jaccard_raw"), 4).alias("est_jaccard"))
+    )
+    return cand.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """Per-document SimHash: each whitespace token votes ±1 on each of
+    ``bits`` bit positions of its 60-bit md5-derived hash; the sign of
+    the per-position sum forms the signature.
+
+    Implemented as explode(tokens) → one hash per token → bit-slice
+    votes aggregated per document — a single shuffle on doc id with
+    map-side partial aggregation. ``bits`` ≤ 60 because
+    :func:`~datafusion_archive_spark.functions.text.hash64` yields 60
+    usable bits.
+    """
+    bits = min(bits, 60)
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(TX.normalize_text(F.col(text_col)), " ")
+        ).alias("tok"),
+    )
+    h = TX.hash64(F.col("tok"), seed=0)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = tokens.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"v_{j}") > 0, F.lit(1).cast("long") * (1 << j)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocking_bands: int = 4,
+) -> DataFrame:
+    """Pairs of documents whose SimHash Hamming distance ≤
+    ``max_hamming``.
+
+    Blocking: split the signature into ``blocking_bands`` contiguous
+    bit-bands; by pigeonhole, any pair within distance
+    ``blocking_bands - 1`` agrees exactly on at least one band, so the
+    candidate join keys on (band index, band value) — linear, not
+    quadratic. Verification computes the true popcount of XOR.
+    """
+    bits = min(bits, 60)
+    # persisted: the band explode + self-join would recompute the
+    # 60-column vote aggregation per plan branch otherwise
+    sig = simhash64(df, text_col, id_col, bits).persist()
+    band_width = bits // blocking_bands
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), bidx * band_width)
+            .bitwiseAND(F.lit((1 << band_width) - 1))
+            .alias("band_val"),
+        )
+        for bidx in range(blocking_bands)
+    ]
+    blocked = sig.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "id", "simhash", F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xored = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xored)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

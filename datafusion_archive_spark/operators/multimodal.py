@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Policy (per the build rules): media lives in ``binary`` columns with a
+typed metadata struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over
+``mapInPandas``. The actual codec step is STUBBED — the container has
+no image/audio libraries — behind :func:`_decode_stub`, a clearly
+marked deterministic fake; everything Spark-side (schema, batch shape,
+partitioning, UDF signatures) is real and tested.
+
+At 100 TB the binary payloads dominate I/O: the design keeps metadata
+extraction in a narrow projection (no shuffle), and any
+shuffle-requiring step (e.g. grouping frames by video) moves only
+metadata + content keys, never re-shuffling payload bytes unless the
+operator genuinely needs them co-located.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata carried alongside every media payload.
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("content_md5", T.StringType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("content_md5", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame, payload_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Wrap a binary column with its metadata struct (computed
+    JVM-side: length + md5, no Python)."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(p).cast("long").alias("byte_len"),
+            F.md5(p).alias("content_md5"),
+        ),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB — deterministic fake decoder.
+
+    A real deployment plugs Pillow / torchaudio / pyav in here; this
+    container has none of them, so dimensions are derived from the
+    payload bytes (stable, content-addressed) to keep the pipeline
+    testable end-to-end. Raises on empty payloads like a real decoder
+    would on corrupt input.
+    """
+    if not payload:
+        raise ValueError("corrupt media payload: empty")
+    n = len(payload)
+    return (64 + n % 577, 64 + (n * 31) % 389, 1 + n % 7)
+
+
+def decode_media(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Decode payloads to (width, height, n_frames) via mapInPandas —
+    Arrow-batched, one pass, no shuffle. Input needs ``media_meta``
+    from :func:`attach_media`."""
+
+    cols = [id_col, payload_col, "media_meta"]
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["media_meta"]))
+            dims = pdf[payload_col].map(
+                lambda b: _decode_stub(bytes(b)) if b is not None else (None, None, None)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": meta["media_type"],
+                    "byte_len": meta["byte_len"],
+                    "content_md5": meta["content_md5"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(
+    decoded: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling plan: one row per kept frame index. Pure
+    DataFrame ops (sequence + explode) — the per-frame pixel decode
+    would live in a downstream mapInPandas in a real deployment."""
+    return decoded.select(
+        "doc_id",
+        "content_md5",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+    )

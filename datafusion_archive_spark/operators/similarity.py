@@ -1,0 +1,339 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, same API shape (returns ``(query_id, neighbor_id, cosine)``):
+
+- :func:`cosine_topk` — exact brute force: broadcast the query set,
+  cross-join against the corpus, vectorized dot products via
+  ``zip_with``/``aggregate`` (JVM-side, codegen'd — no Python). O(N·Q);
+  the correctness baseline and fine whenever Q is small.
+- :func:`lsh_cosine_topk` — random-hyperplane LSH: each vector gets a
+  ``planes``-bit signature; candidates share a signature bucket
+  (multi-probe via bit flips). Cost O(N) to sign + bucket-local
+  verification. The 100 TB scale path.
+- :func:`ivf_assign` / :func:`ivf_topk` — inverted-file (IVF) index:
+  deterministic centroid subset, vectors assigned to nearest centroid,
+  queries probe ``nprobe`` nearest lists.
+
+Dot products are computed in float64 after an explicit cast so results
+are bit-reproducible against the DuckDB oracle (both engines then do
+the identical left-to-right summation over 64 dims).
+
+Embedding near-duplicate detection (:func:`cosine_pairs`) reuses the
+same kernels. Reference has no similarity surface — north-star work
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """DuckDB: ``list_dot_product(a::DOUBLE[], b::DOUBLE[])``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in float64. DuckDB:
+    ``list_dot_product(a,b) / (sqrt(list_dot_product(a,a)) *
+    sqrt(list_dot_product(b,b)))``."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for every query vector.
+
+    The query side is broadcast (no shuffle of the corpus); ranking is
+    a window over query id. Self-matches (same id) are excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (id_a < id_b) with cosine ≥
+    threshold. Exact (quadratic) — use :func:`lsh_cosine_topk` blocking
+    at corpus scale; this exact form is the verification kernel."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# -- LSH: random hyperplanes ------------------------------------------------
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes: component
+    (p, d) = standardized value derived from md5(seed:p:d). Box-Muller
+    over two md5-derived uniforms keeps components Gaussian-ish, which
+    preserves the LSH cosine-angle guarantee."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h1 = int(
+                hashlib.md5(f"{seed}:{p}:{d}:a".encode()).hexdigest()[:15], 16
+            )
+            h2 = int(
+                hashlib.md5(f"{seed}:{p}:{d}:b".encode()).hexdigest()[:15], 16
+            )
+            u1 = (h1 + 1) / (16**15 + 1)
+            u2 = (h2 + 1) / (16**15 + 1)
+            row.append(
+                math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2)
+            )
+        out.append(row)
+    return out
+
+
+def signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature of a (double-cast) vector against the hyperplanes:
+    bit p = 1 iff dot(vec, plane_p) >= 0. Returns a long."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 12,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via banded random-hyperplane LSH
+    (OR-amplification): the ``planes``-bit signature is split into
+    ``bands`` bands; a corpus vector is a candidate iff it agrees with
+    the query on *any* full band. Candidates are verified with exact
+    cosine; top-k ranked per query.
+
+    Scale: signatures are one narrow map over the corpus; the candidate
+    join is an equi-join on (band, band-bits) — shuffle cardinality
+    O(N·bands), never O(N·Q). Tune the recall/candidate-volume
+    trade-off with bits-per-band (selectivity halves per extra bit):
+    clustered real-world embeddings want more bits per band; this
+    testdata is near-uniform, where any sublinear ANN is inherently
+    recall-limited.
+    """
+    assert planes % bands == 0
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    hp = _hyperplanes(dim, planes, seed)
+
+    def banded(df, id_alias, vec_alias):
+        sig = signature_col(F.col(vec_alias), hp)
+        out = df.withColumn("sig", sig)
+        rows = [
+            out.select(
+                id_alias,
+                vec_alias,
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), b * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+        res = rows[0]
+        for r in rows[1:]:
+            res = res.unionByName(r)
+        return res
+
+    c = banded(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "neighbor_id",
+        "cv",
+    )
+    q = banded(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ),
+        "query_id",
+        "qv",
+    )
+
+    scored = (
+        c.join(F.broadcast(q), ["band", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        # a pair can match in several bands — dedupe (values identical)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# -- IVF --------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid. Centroids are the
+    deterministic subset ``id % stride == 0`` (a real system would run
+    k-means; the index structure and query path are identical).
+    Returns corpus rows + ``list_id``."""
+    c = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = c.filter(F.col("nid") % centroid_stride == 0).select(
+        F.col("nid").alias("list_id"), F.col("v").alias("cv")
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        "nid", "v", "list_id", cosine(F.col("v"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("nid").orderBy(F.col("cos").desc(), F.col("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nid", "v", "list_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: probe the ``nprobe`` nearest inverted lists, exact
+    cosine within them. At scale the assigned corpus is written
+    partitioned by ``list_id`` so a probe reads only its partitions
+    (partition pruning does the index lookup)."""
+    assigned = ivf_assign(corpus, centroid_stride, id_col, vec_col)
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("list_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("list_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "list_id",
+            cosine(F.col("qv"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

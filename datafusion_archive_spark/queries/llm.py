@@ -1,0 +1,450 @@
+"""LLM-training-data pipeline queries: text analysis, dedup family,
+similarity search, multimodal plumbing — the north-star extension
+surface (BASELINE.json; absent from the reference engine).
+
+MinHash and SimHash oracles are generated programmatically (16 hash
+columns / 60 bit positions of identical SQL on both engines) — all
+hashing is md5-derived (see functions.text.hash64) precisely so DuckDB
+can replicate Spark's results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.operators import dedup, multimodal, similarity
+
+# -- shared SQL fragments (DuckDB) ------------------------------------------
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB twin of functions.text.word_shingles(k)."""
+    return (
+        f"list_transform(range(1, greatest(len(w) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(w[i:i+{k - 1}], ' '))"
+    )
+
+
+def _hash64_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of functions.text.hash64."""
+    return f"('0x' || substr(md5({expr} || ':{seed}'), 1, 15))::BIGINT"
+
+
+_N_MINHASH = 16
+_MINHASH_BANDS = 4
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.char_count(t).alias("char_count"),
+        TX.token_count(t).alias("tokens_ws"),
+        TX.bpe_ish_token_count(t).alias("tokens_bpe"),
+        TX.punct_ratio(t).alias("punct_ratio"),
+        TX.stopword_ratio(t).alias("stopword_ratio"),
+        TX.avg_token_len(t).alias("avg_token_len"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def q_text_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.rolling_hash_fingerprint(F.col("text"), 8).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), k=3, threshold=0.2
+    )
+
+
+def q_dedup_minhash_signatures(spark, sf):
+    return dedup.minhash_signatures(
+        _t(spark, sf, "documents"), num_hashes=_N_MINHASH, k=3
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"),
+        num_hashes=_N_MINHASH,
+        bands=_MINHASH_BANDS,
+        k=3,
+        threshold=0.25,
+    )
+
+
+def q_dedup_simhash_signatures(spark, sf):
+    return dedup.simhash64(_t(spark, sf, "documents"), bits=_SIMHASH_BITS)
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    return dedup.simhash_near_pairs(
+        _t(spark, sf, "documents"),
+        max_hamming=_SIMHASH_BANDS - 1,  # pigeonhole-exact with 4 bands
+        bits=_SIMHASH_BITS,
+        blocking_bands=_SIMHASH_BANDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search / embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_near_dup(spark, sf):
+    return similarity.cosine_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.9
+    )
+
+
+def q_ann_lsh(spark, sf):
+    """Approximate ANN (random-hyperplane LSH, multi-probe). No SQL
+    oracle — approximate recall depends on Python-generated hyperplane
+    constants; correctness of the exact path is pinned by
+    ann_bruteforce, and tests assert LSH recall ≥ 0.6 vs brute force."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.lsh_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, planes=12, dim=64
+    )
+
+
+def q_ann_ivf(spark, sf):
+    """IVF probe ANN — rows-only check (see q_ann_lsh)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, nprobe=2, centroid_stride=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark, sf):
+    """Binary media columns + metadata + stubbed decode via
+    mapInPandas. Payload = utf8 bytes of the text column (the container
+    has no codecs; the decode stub derives dims from payload bytes, so
+    the full pipeline is oracle-checkable)."""
+    d = _t(spark, sf, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    m = multimodal.attach_media(d, "payload", media_type="image")
+    return multimodal.decode_media(m, "payload")
+
+
+def q_multimodal_frame_sample(spark, sf):
+    decoded = q_multimodal_decode(spark, sf)
+    return multimodal.frame_sample(decoded, every_n=2)
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cols_sql() -> str:
+    return ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> {_hash64_sql('s', i)})) AS mh_{i}"
+        for i in range(_N_MINHASH)
+    )
+
+
+_MINHASH_SIG_CTE = f"""
+        WITH wl AS (
+          SELECT doc_id, {_WORDS} AS w FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct({_shingles_sql(3)}) AS shingles FROM wl
+        ),
+        sig AS (
+          SELECT doc_id AS id, {_minhash_cols_sql()} FROM sh
+        )
+"""
+
+
+def _minhash_lsh_oracle() -> str:
+    rows_per_band = _N_MINHASH // _MINHASH_BANDS
+    band_selects = []
+    for b in range(_MINHASH_BANDS):
+        cols = [f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bucket = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT id, {b} AS band, {bucket} AS bucket, "
+            + ", ".join(f"mh_{i}" for i in range(_N_MINHASH))
+            + " FROM sig"
+        )
+    buckets = "\n          UNION ALL\n          ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(_N_MINHASH)
+    )
+    return f"""
+        {_MINHASH_SIG_CTE},
+        buckets AS (
+          {buckets}
+        ),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 ({agree}) / {_N_MINHASH}.0 AS est_raw
+          FROM buckets a
+          JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT id_a, id_b, round(min(est_raw), 4) AS est_jaccard
+        FROM cand GROUP BY id_a, id_b
+        HAVING round(min(est_raw), 4) >= 0.25
+    """
+
+
+def _simhash_sig_cte() -> str:
+    votes = ",\n                 ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+        ),
+        h AS (
+          SELECT doc_id, {_hash64_sql('tok', 0)} AS hv FROM toks
+        ),
+        votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM h GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT doc_id AS id, ({sig}) AS simhash FROM votes
+        )
+"""
+
+
+_QUALITY_SQL = """floor((
+            least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+            + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     / greatest(length(text), 1)) * 0.3
+            + least((length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)) / 10.0, 1.0) * 0.2
+            ) * 10000 + 0.5) / 10000.0"""
+
+
+def _lang_id_oracle() -> str:
+    from datafusion_archive_spark.functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
+            for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    scores = ",\n                 ".join(score_exprs)
+    langs = list(LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN s_{la} = mx THEN '{la}'" for la in langs)
+    return f"""
+        WITH padded AS (
+          SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+                 {scores}
+          FROM padded
+        ),
+        mxd AS (
+          SELECT doc_id, s_en, s_de, s_fr, s_es, {mx} AS mx FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN mx <= 0 THEN 'unknown' {case} ELSE 'unknown' END
+                 AS lang_pred
+        FROM mxd
+    """
+
+
+_COSINE_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash_signatures": q_dedup_simhash_signatures,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_bruteforce": q_ann_bruteforce,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+}
+
+
+ORACLES = {
+    "text_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS char_count,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+                 AS tokens_ws,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS tokens_bpe,
+               round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(CAST(len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it')
+                     )) AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4)
+                 AS stopword_ratio,
+               round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4)
+                 AS avg_token_len,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+    """,
+    "text_lang_id": _lang_id_oracle(),
+    "text_fingerprint": f"""
+        WITH wl AS (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+        SELECT doc_id,
+               md5({_NORM}) AS fp,
+               list_min(list_transform({_shingles_sql(8)},
+                 s -> {_hash64_sql('s', 0)})) AS rolling_fp
+        FROM wl
+    """,
+    "dedup_exact": f"""
+        SELECT md5({_NORM}) AS fp,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH wl AS (
+          SELECT doc_id, {_WORDS} AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, unnest({_shingles_sql(3)}) AS shingle FROM wl
+        ),
+        sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               floor((inter / (na.n + nb.n - inter)) * 10000 + 0.5) / 10000.0
+                 AS jaccard
+        FROM inter
+        JOIN sizes na ON id_a = na.doc_id
+        JOIN sizes nb ON id_b = nb.doc_id
+        WHERE floor((inter / (na.n + nb.n - inter)) * 10000 + 0.5) / 10000.0
+              >= 0.2
+    """,
+    "dedup_minhash_signatures": _MINHASH_SIG_CTE
+    + """
+        SELECT * FROM sig
+    """,
+    "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_simhash_signatures": _simhash_sig_cte()
+    + """
+        SELECT * FROM sig
+    """,
+    "dedup_simhash_pairs": _simhash_sig_cte()
+    + f"""
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_BANDS - 1}
+    """,
+    "ann_bruteforce": f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_COSINE_SQL.format(a='q.v', b='c.v')} AS cosine
+          FROM q, c WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS INTEGER) AS rank
+          FROM scored
+        ) t WHERE rank <= 5
+    """,
+    "embedding_near_dup": f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COSINE_SQL.format(a='a.v', b='b.v')} AS cosine
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.9
+    """,
+    "multimodal_decode": """
+        SELECT doc_id,
+               'image' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS content_md5,
+               CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+               CAST(64 + (octet_length(encode(text)) * 31) % 389 AS INTEGER) AS height,
+               CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+        FROM documents
+    """,
+    "multimodal_frame_sample": """
+        SELECT doc_id, md5(text) AS content_md5,
+               CAST(u AS INTEGER) AS frame_idx
+        FROM documents,
+             unnest(range(0, 1 + octet_length(encode(text)) % 7, 2)) AS t(u)
+    """,
+}

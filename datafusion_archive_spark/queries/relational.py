@@ -1,0 +1,745 @@
+"""Core relational surface: every batch operator from SURVEY.md §2
+(executed, planned, or declared in the reference) expressed as
+idiomatic DataFrame plans, each with an exact DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+
+- Aggregates over floats are ``round(x, n)``-ed in BOTH engines —
+  summation order differs between engines (and between Spark partitions)
+  only in the last bits; per-row IEEE arithmetic is left unrounded
+  (bit-identical by determinism of +,-,*,/).
+- Result sets are unordered multisets unless the query's semantics are
+  an ORDER BY + LIMIT; then the sort key includes a unique tiebreaker
+  (SURVEY.md §7.7: never depend on incidental order).
+- ``CAST(double AS int)`` truncates in Spark and in the reference
+  (``/root/reference/tests/sql.rs:70-77``) but ROUNDS in DuckDB →
+  oracles wrap the cast in ``trunc()``.
+- Integer division: Spark ``div`` == DuckDB ``//`` (both truncate
+  toward zero, matching the reference's Arrow typed kernels,
+  ``src/execution/expression.rs:487-493``; SURVEY.md §7.5).
+- Timestamps in output are rendered to strings on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.functions import geo
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Scan / projection / filter / predicates (reference §2.1, §2.2 — the
+# executing core: datasource.rs, projection.rs, filter.rs, expression.rs)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark, sf):
+    """Projection + selection — the reference's canonical shape
+    (``examples/csv_sql.rs:45``): predicates push to the parquet scan,
+    only 4 columns are read (column pruning)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_predicate_between_in(spark, sf):
+    """BETWEEN + IN predicates (reference comparison kernels,
+    ``expression.rs:410-451``, extended to the full ANSI set)."""
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(100000, 150000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+def q_filter_like(spark, sf):
+    """LIKE / NOT LIKE — in the reference's Operator enum but never
+    compiled (``src/logicalplan.rs:81-83``; SURVEY §2.2)."""
+    p = _t(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").like("%red%") & ~F.col("p_type").like("%PROMO%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def q_null_predicates(spark, sf):
+    """IS NULL / IS NOT NULL — planned, runtime commented out in the
+    reference (``expression.rs:380-399``; goldens is_null_csv.csv)."""
+    d = _t(spark, sf, "documents")
+    ln = F.expr("nullif(lang, 'en')")
+    return d.select(
+        "doc_id",
+        ln.alias("lang_or_null"),
+        ln.isNull().alias("is_en"),
+        ln.isNotNull().alias("is_not_en"),
+    )
+
+
+def q_cast(spark, sf):
+    """CAST semantics (reference truncates float→int,
+    ``tests/sql.rs:70-77``; golden test_cast.csv). Spark truncates too;
+    the DuckDB oracle must trunc() explicitly since it rounds."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("bigint").alias("price_int"),
+        (F.col("l_orderkey") % 128).cast("tinyint").alias("key_i8"),
+        F.col("l_linenumber").cast("string").alias("ln_str"),
+        F.col("l_quantity").cast("float").alias("qty_f32"),
+    )
+
+
+def q_arithmetic(spark, sf):
+    """+ - * / % and integer division (reference math kernels
+    ``expression.rs:466-493``; modulo declared but uncompiled, goldens
+    numerics_modulo*.csv). Per-row IEEE ops — no rounding needed."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 3)
+    return l.select(
+        "l_orderkey",
+        (F.col("l_quantity") + F.col("l_tax")).alias("a_add"),
+        (F.col("l_extendedprice") - F.col("l_quantity")).alias("a_sub"),
+        (F.col("l_quantity") * (1 - F.col("l_discount"))).alias("a_mul"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("a_div"),
+        (F.col("l_partkey") % 97).alias("a_mod"),
+        F.expr("l_orderkey div 7").alias("a_idiv"),
+    )
+
+
+def q_literals_no_from(spark, sf):
+    """SELECT without FROM — EmptyRelation in the reference, planner-only
+    (``sqlplanner.rs:61-64``, exec stub ``context.rs:108-111``)."""
+    return spark.sql(
+        "SELECT 1 AS i, 2.5 AS f, 'hello' AS s, true AS b, 1 + 2 * 3 AS arith"
+    )
+
+
+def q_sqrt(spark, sf):
+    """sqrt scalar function (reference golden test_sqrt.csv,
+    planner test ``sqlplanner.rs:557-563``)."""
+    return _t(spark, sf, "part").select(
+        "p_partkey", F.sqrt("p_retailprice").alias("sqrt_price")
+    )
+
+
+def q_geo_udt(spark, sf):
+    """ST_Point / ST_AsText UDF+UDT surface (reference smoke test,
+    ``test/data/smoketest.sql:2-3``) — native struct + format_string,
+    no Python UDF. Doubles are rounded to 1dp before formatting so the
+    string rendering is engine-portable."""
+    c = _t(spark, sf, "customer")
+    pt = geo.st_point(
+        F.col("c_nationkey").cast("double"), F.round(F.col("c_acctbal"), 1)
+    )
+    return c.select(
+        "c_custkey",
+        geo.st_astext(pt).alias("wkt"),
+        pt.getField("x").alias("pt_x"),
+        pt.getField("y").alias("pt_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (reference §2.4: aggregate.rs — min/max/sum executing,
+# count/avg/count-distinct planned, HAVING rejected)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_global(spark, sf):
+    """Whole-table aggregate, no GROUP BY (``aggregate.rs:703-785``) +
+    the planned-but-unimplemented COUNT / AVG / COUNT DISTINCT
+    (``sqlplanner.rs:309-342``, ``ROADMAP.md:19-20``)."""
+    return _t(spark, sf, "lineitem").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q1_pricing_summary(spark, sf):
+    """Flagship: TPC-H Q1 pricing summary — grouped hash aggregate
+    (reference ``aggregate.rs:787-952``, single-phase row-at-a-time;
+    Spark runs partial+final hash aggregation with codegen)."""
+    l = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_agg_having(spark, sf):
+    """GROUP BY + HAVING — the reference rejects HAVING outright
+    (``sqlplanner.rs:136-140``); roadmap-parity here."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .filter(F.col("n") > 15000)
+    )
+
+
+def q_agg_count_distinct_group(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+def q_agg_rollup(spark, sf):
+    """ROLLUP grouping sets — absent from the reference (SURVEY §2.4
+    'grouping sets / cube / rollup: none'); stock Spark."""
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_pivot(spark, sf):
+    """Pivot on linestatus — conditional aggregation under the hood."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (reference §2.5: Sort and Limit planned, executor
+# unimplemented — ``sqlplanner.rs:142-183``, gap ``context.rs:194``)
+# ---------------------------------------------------------------------------
+
+
+def q_sort_limit_topk(spark, sf):
+    """ORDER BY + LIMIT — the reference's planned Limit(Sort(…)) shape
+    (``sqlplanner.rs:669-675``, golden test_limit.csv). Spark executes
+    this as TakeOrderedAndProject — no global sort materialization."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_distinct(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference §2.5: zero code, 0.7 roadmap "hash join and sort merge
+# join", ROADMAP.md:33 — all stock Spark; Catalyst/AQE pick the strategy)
+# ---------------------------------------------------------------------------
+
+
+def q_join_inner_3way(spark, sf):
+    """customer ⋈ nation ⋈ region — both dims are broadcast (tiny),
+    so the fact side never shuffles."""
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+def q_join_left_outer(spark, sf):
+    o = _t(spark, sf, "orders")
+    rich = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 8000)
+    return (
+        o.join(F.broadcast(rich), o.o_custkey == rich.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("c_name").alias("rich_name"),
+            F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
+        )
+    )
+
+
+def q_join_semi(spark, sf):
+    """LEFT SEMI (EXISTS) — customers with at least one big order."""
+    c = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        big, c.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_anti(spark, sf):
+    """LEFT ANTI (NOT EXISTS) — customers with no orders at all."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_full_outer(spark, sf):
+    """FULL OUTER over per-nation customer/supplier counts."""
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 analog: 3-way join + grouped revenue + top-10.
+    customer is broadcast; orders⋈lineitem shuffles on the join key
+    once and the aggregation reuses that partitioning."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark, sf):
+    """TPC-H Q5 analog: 6-way join, revenue per nation in ASIA."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_cte_scalar_subquery(spark, sf):
+    """CTE + scalar subquery: customers above the mean balance."""
+    return spark.sql(
+        f"""
+        WITH src AS (SELECT * FROM parquet.`{sf}/customer.parquet`),
+        m AS (SELECT avg(c_acctbal) AS mean_bal FROM src)
+        SELECT c_custkey, c_acctbal FROM src, m WHERE c_acctbal > mean_bal
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (absent in the reference — SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def _nation_sides(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c, s
+
+
+def q_setop_union(spark, sf):
+    c, s = _nation_sides(spark, sf)
+    return c.union(s).distinct()
+
+
+def q_setop_intersect(spark, sf):
+    c, s = _nation_sides(spark, sf)
+    return c.intersect(s)
+
+
+def q_setop_except(spark, sf):
+    """EXCEPT has set (distinct) semantics — ``subtract``, not
+    ``exceptAll``. Supplier side is filtered so the difference is
+    non-empty (all 25 nations have at least one supplier)."""
+    c, _ = _nation_sides(spark, sf)
+    s = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (absent in the reference — SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_window_topk_per_group(spark, sf):
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    return (
+        _t(spark, sf, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_returnflag", "l_linestatus", "l_orderkey",
+            "l_extendedprice", "rn",
+        )
+    )
+
+
+def q_window_running(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def q_json_extract(spark, sf):
+    """JSON field extraction from the events props column."""
+    from datafusion_archive_spark.queries.timeseries import load_events
+
+    return (
+        load_events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+
+
+QUERIES = {
+    "scan_filter_project": q_scan_filter_project,
+    "predicate_between_in": q_predicate_between_in,
+    "filter_like": q_filter_like,
+    "null_predicates": q_null_predicates,
+    "cast_semantics": q_cast,
+    "arithmetic_ops": q_arithmetic,
+    "literals_no_from": q_literals_no_from,
+    "sqrt_fn": q_sqrt,
+    "geo_udt": q_geo_udt,
+    "agg_global": q_agg_global,
+    "q1_pricing_summary": q1_pricing_summary,
+    "agg_having": q_agg_having,
+    "agg_count_distinct_group": q_agg_count_distinct_group,
+    "agg_rollup": q_agg_rollup,
+    "pivot_linestatus": q_pivot,
+    "sort_limit_topk": q_sort_limit_topk,
+    "distinct_pairs": q_distinct,
+    "join_inner_3way": q_join_inner_3way,
+    "join_left_outer": q_join_left_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_full_outer": q_join_full_outer,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "cte_scalar_subquery": q_cte_scalar_subquery,
+    "setop_union": q_setop_union,
+    "setop_intersect": q_setop_intersect,
+    "setop_except": q_setop_except,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running": q_window_running,
+    "json_extract": q_json_extract,
+}
+
+
+ORACLES = {
+    "scan_filter_project": """
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+    """,
+    "predicate_between_in": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_totalprice BETWEEN 100000 AND 150000
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    "filter_like": """
+        SELECT p_partkey, p_name, p_type
+        FROM part WHERE p_name LIKE '%red%' AND p_type NOT LIKE '%PROMO%'
+    """,
+    "null_predicates": """
+        SELECT doc_id,
+               nullif(lang, 'en') AS lang_or_null,
+               nullif(lang, 'en') IS NULL AS is_en,
+               nullif(lang, 'en') IS NOT NULL AS is_not_en
+        FROM documents
+    """,
+    "cast_semantics": """
+        SELECT l_orderkey,
+               CAST(trunc(l_extendedprice) AS BIGINT) AS price_int,
+               CAST(l_orderkey % 128 AS TINYINT) AS key_i8,
+               CAST(l_linenumber AS VARCHAR) AS ln_str,
+               CAST(l_quantity AS FLOAT) AS qty_f32
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    "arithmetic_ops": """
+        SELECT l_orderkey,
+               l_quantity + l_tax AS a_add,
+               l_extendedprice - l_quantity AS a_sub,
+               l_quantity * (1 - l_discount) AS a_mul,
+               l_extendedprice / l_quantity AS a_div,
+               l_partkey % 97 AS a_mod,
+               l_orderkey // 7 AS a_idiv
+        FROM lineitem WHERE l_linenumber = 3
+    """,
+    "literals_no_from": """
+        SELECT 1 AS i, 2.5::DOUBLE AS f, 'hello' AS s, true AS b,
+               1 + 2 * 3 AS arith
+    """,
+    "sqrt_fn": """
+        SELECT p_partkey, sqrt(p_retailprice) AS sqrt_price FROM part
+    """,
+    "geo_udt": """
+        SELECT c_custkey,
+               'POINT (' || CAST(CAST(c_nationkey AS DOUBLE) AS VARCHAR)
+                 || ' ' || CAST(round(c_acctbal, 1) AS VARCHAR) || ')' AS wkt,
+               CAST(c_nationkey AS DOUBLE) AS pt_x,
+               round(c_acctbal, 1) AS pt_y
+        FROM customer
+    """,
+    "agg_global": """
+        SELECT min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_having": """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY l_returnflag HAVING count(*) > 15000
+    """,
+    "agg_count_distinct_group": """
+        SELECT c_mktsegment,
+               count(DISTINCT c_nationkey) AS n_nations,
+               count(*) AS n_cust,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pivot_linestatus": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS "F",
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS "O"
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "sort_limit_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "distinct_pairs": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "join_inner_3way": """
+        SELECT c_custkey, c_name, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_acctbal > 9000
+    """,
+    "join_left_outer": """
+        SELECT o_orderkey, o_custkey, c_name AS rich_name,
+               coalesce(c_mktsegment, 'NONE') AS segment
+        FROM orders
+        LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 8000) rich
+          ON o_custkey = c_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_full_outer": """
+        SELECT coalesce(nk_c, nk_s) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers
+              FROM supplier GROUP BY 1) s
+          ON nk_c = nk_s
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "cte_scalar_subquery": """
+        WITH m AS (SELECT avg(c_acctbal) AS mean_bal FROM customer)
+        SELECT c_custkey, c_acctbal FROM customer, m
+        WHERE c_acctbal > mean_bal
+    """,
+    "setop_union": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        UNION
+        SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    """,
+    "setop_intersect": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        INTERSECT
+        SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    """,
+    "setop_except": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        EXCEPT
+        SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+        WHERE s_acctbal > 5000
+    """,
+    "window_topk_per_group": """
+        SELECT l_returnflag, l_linestatus, l_orderkey, l_extendedprice, rn
+        FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+                     l_extendedprice,
+                     CAST(row_number() OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                     ) AS INTEGER) AS rn
+              FROM lineitem) t
+        WHERE rn <= 3
+    """,
+    "window_running": """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total,
+               lag(o_orderkey) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 AS prev_order,
+               CAST(row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 AS INTEGER) AS order_seq
+        FROM orders
+    """,
+    "json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events WHERE event_type = 'purchase'
+    """,
+}

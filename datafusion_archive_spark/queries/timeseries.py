@@ -1,0 +1,152 @@
+"""Event/time-series queries over the ``events`` table: tumbling-window
+aggregation, gap sessionization, and the as-of join — the batch twins
+of the streaming operators in :mod:`datafusion_archive_spark.streaming`
+(a completed stream must equal the batch computation over the same
+rows, which is exactly what the oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators.asof import asof_join
+from datafusion_archive_spark.streaming.events import (
+    sessionize_batch,
+    windowed_event_counts,
+)
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark, sf_dir):
+    """The events table stores TIMESTAMP(NANOS) parquet, which Spark
+    cannot represent natively. Read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong`` — set defensively here in
+    case the session wasn't built by our factory) and truncate to
+    microsecond timestamps, matching engines that truncate ns→µs."""
+    import pyspark.sql.types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def q_time_bucket(spark, sf):
+    """Tumbling 1-hour window aggregation (epoch-aligned, so the
+    DuckDB oracle is date_trunc('hour'))."""
+    return windowed_event_counts(load_events(spark, sf), "1 hour")
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (30-minute gap)."""
+    return sessionize_batch(load_events(spark, sf), gap_minutes=30)
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each purchase event picks up the most recent
+    preceding click's value for the same user. Clicks are pre-reduced
+    to one row per (user, ts) so ordering is unique and the result
+    deterministic."""
+    ev = load_events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_value"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "click_value",
+    )
+
+
+QUERIES = {
+    "events_time_bucket": q_time_bucket,
+    "events_sessionize": q_sessionize,
+    "events_asof_join": q_asof_join,
+}
+
+ORACLES = {
+    "events_time_bucket": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session,
+                 ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM g
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(max(session_id) AS BIGINT) AS n_sessions,
+               max(n_events) AS max_session_events
+        FROM per_session GROUP BY user_id
+    """,
+    "events_asof_join": """
+        WITH clicks AS (
+          SELECT user_id, ts, max(value) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        ),
+        purchases AS (
+          SELECT user_id, ts, event_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        merged AS (
+          SELECT user_id, ts, 1 AS is_left, event_id,
+                 NULL::DOUBLE AS click_value FROM purchases
+          UNION ALL
+          SELECT user_id, ts, 0 AS is_left, NULL AS event_id,
+                 click_value FROM clicks
+        ),
+        carried AS (
+          SELECT user_id, ts, is_left, event_id,
+                 last_value(click_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_left
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS click_value
+          FROM merged
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+               click_value
+        FROM carried WHERE is_left = 1
+    """,
+}

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+The reference engine is single-threaded and single-process
+(``/root/reference/README.md:20``); we target Spark's distributed model
+instead. Local-mode defaults here are sized for the test container
+(local[N] threads, one JVM) but every setting is chosen to also hold on
+a real cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), shuffle partitions ~ cores for local mode, UTC session
+timezone so results compare bit-stable against external oracles, and
+Arrow-batched Python interop for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "datafusion_archive_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` (local parallelism),
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                cpus if cpus else "32",
+            )
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime re-planning — coalesces tiny shuffle partitions,
+        # splits skewed ones, converts sort-merge joins to broadcast when
+        # runtime stats allow. Essential at 100 TB, harmless at sf0.001.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamp semantics vs external oracles (DuckDB
+        # parquet timestamps are UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow transfer for pandas UDFs / toPandas — the sanctioned
+        # Python slow path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The events table carries TIMESTAMP(NANOS) parquet, which Spark
+        # has no native type for; read as long and convert (see
+        # queries.timeseries.load_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,122 @@
+"""Event-stream operators: windowed aggregation + sessionization.
+
+Each operator has a batch form (used by the correctness oracle — the
+semantics of a completed stream equal the batch computation over the
+same data) and a streaming form (``readStream`` → watermark → window →
+``writeStream``), exercised in tests with a file source and memory
+sink driven to completion via ``processAllAvailable()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type (batch form).
+
+    Window start is rendered as a string so external oracles compare
+    exactly (DuckDB: ``strftime(date_trunc('hour', ts), ...)`` for the
+    1-hour case — tumbling windows align to the epoch).
+    """
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming form: file source → watermark → tumbling window agg.
+    Returns the streaming DataFrame (caller attaches a sink). Late
+    rows beyond the watermark are dropped; 'append' output emits each
+    window once it is final — the 100 TB pattern for continuous
+    ingestion."""
+    stream = (
+        spark.readStream.schema(schema).parquet(path)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when
+    the same user's inter-event gap exceeds ``gap_minutes``. Returns
+    per-user session counts and the longest session length in events.
+
+    Classic lag + cumulative-sum-over-window; one shuffle on user_id.
+    The streaming twin is ``groupBy(session_window(ts, gap))`` —
+    exercised separately in tests.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    # integer microseconds (not float seconds) so the gap comparison is
+    # exact and oracle-reproducible (DuckDB epoch_us)
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    with_gap = events.select(
+        user_col,
+        ts_col,
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("gap").isNull() | (F.col("gap") > gap_us), 1
+        ).otherwise(0),
+    )
+    sessioned = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sessioned.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy(user_col).agg(
+        F.max("session_id").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )

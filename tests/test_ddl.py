@@ -1,0 +1,61 @@
+"""CREATE EXTERNAL TABLE dialect parser (reference grammar
+``src/dfparser.rs:101-208``)."""
+
+import pytest
+
+from datafusion_archive_spark import ddl
+
+
+def test_parse_csv_with_columns():
+    stmt = ddl.parse_create_external_table(
+        "CREATE EXTERNAL TABLE cities (city VARCHAR(100), lat DOUBLE, "
+        "lng DOUBLE) STORED AS CSV WITHOUT HEADER ROW "
+        "LOCATION '/tmp/uk_cities.csv'"
+    )
+    assert stmt.name == "cities"
+    assert stmt.columns == [
+        ("city", "VARCHAR(100)"),
+        ("lat", "DOUBLE"),
+        ("lng", "DOUBLE"),
+    ]
+    assert stmt.file_format == "CSV"
+    assert stmt.header_row is False
+    assert stmt.location == "/tmp/uk_cities.csv"
+
+
+def test_parse_header_default_true():
+    # reference hard-codes has_header=true (datasource.rs:41)
+    stmt = ddl.parse_create_external_table(
+        "CREATE EXTERNAL TABLE t (a INT) STORED AS CSV LOCATION '/x.csv'"
+    )
+    assert stmt.header_row is True
+
+
+def test_parse_parquet_no_columns():
+    stmt = ddl.parse_create_external_table(
+        "CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION '/data/t.parquet';"
+    )
+    assert stmt.file_format == "PARQUET"
+    assert stmt.columns == []
+
+
+def test_parse_ndjson():
+    stmt = ddl.parse_create_external_table(
+        "create external table j (a BIGINT, b VARCHAR) stored as NDJSON "
+        "location '/x.ndjson'"
+    )
+    assert stmt.file_format == "NDJSON"
+    assert stmt.columns[0] == ("a", "BIGINT")
+
+
+def test_is_create_external_table():
+    assert ddl.is_create_external_table("  CREATE  EXTERNAL TABLE x ...")
+    assert not ddl.is_create_external_table("SELECT 1")
+    assert not ddl.is_create_external_table("CREATE TABLE x (a INT)")
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        ddl.parse_create_external_table(
+            "CREATE EXTERNAL TABLE t STORED AS EXCEL LOCATION '/x'"
+        )

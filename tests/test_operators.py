@@ -1,0 +1,175 @@
+"""Operator-level tests: dedup family, similarity search, as-of join —
+small hand-checkable inputs with planted duplicates/neighbors."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators import asof, dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the creek bank"),  # near dup of 1
+    (4, "completely different content about database query engines and spark"),
+    (5, "another unrelated document discussing machine learning pipelines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    by_copies = sorted((r.n_copies, r.keep_id) for r in out)
+    assert len(out) == 4  # 1&2 collapse
+    assert by_copies[-1] == (2, 1)  # the dup group keeps min id
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.25).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs agree on all hashes
+    assert (1, 3) in pairs  # near dup caught by banding
+    assert (4, 5) not in pairs
+
+
+def test_minhash_more_hashes_tightens_estimate(docs):
+    sig = dedup.minhash_signatures(docs, num_hashes=8).collect()
+    rows = {r.id: [r[f"mh_{i}"] for i in range(8)] for r in sig}
+    assert rows[1] == rows[2]  # identical text → identical signature
+    agree_13 = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert agree_13 >= 4  # near-dup shares most minhashes
+
+
+def test_simhash_identical_and_near(docs):
+    sig = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert sig[1] == sig[2]
+    ham_13 = bin(sig[1] ^ sig[3]).count("1")
+    ham_14 = bin(sig[1] ^ sig[4]).count("1")
+    assert ham_13 < ham_14  # near dup closer than unrelated
+
+
+def test_simhash_near_pairs_blocking(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+# -- similarity --------------------------------------------------------------
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [0.7, 0.7, 0.0, 0.0]),   # diagonal
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(VECS, schema)
+
+
+def test_cosine_topk_exact(vecs):
+    out = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 3]
+    assert rows[0].cosine == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_cosine_pairs_threshold(vecs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(vecs, threshold=0.999).collect()
+    }
+    assert pairs == set()  # nothing that close (cos(v0,v1) ≈ 0.9939)
+    pairs2 = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(vecs, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs2
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """On real embeddings, multi-probe LSH must recover most of the
+    exact top-5 neighbor set."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_cosine_topk(e, q, k=5, planes=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_ivf_returns_k_per_query(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(e, q, k=5, nprobe=2, centroid_stride=20)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+# -- as-of join ---------------------------------------------------------------
+
+
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [
+            ("u1", t(2024, 1, 1, 10, 0), 100),
+            ("u1", t(2024, 1, 1, 12, 0), 101),
+            ("u2", t(2024, 1, 1, 9, 0), 200),
+        ],
+        ["key", "ts", "order_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t(2024, 1, 1, 9, 30), 1.0),
+            ("u1", t(2024, 1, 1, 11, 0), 2.0),
+            ("u1", t(2024, 1, 1, 13, 0), 3.0),
+            ("u2", t(2024, 1, 1, 9, 0), 9.0),  # same instant → visible
+        ],
+        ["key", "ts", "price"],
+    )
+    out = {
+        r.order_id: r.price_asof
+        for r in asof.asof_join(
+            left, right, "key", "ts", "ts", ["price"]
+        ).collect()
+    }
+    assert out == {100: 1.0, 101: 2.0, 200: 9.0}

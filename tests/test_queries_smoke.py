@@ -1,0 +1,63 @@
+"""Every queries() entry runs at sf0.001 and yields a stable schema;
+a representative subset is value-checked against its DuckDB oracle
+(the full set runs in tools/check_oracle.py and in the driver's t2)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from datafusion_archive_spark.context import TESTDATA_TABLES
+
+# value-checked here in CI; the rest are covered by tools/check_oracle.py
+ORACLE_SUBSET = [
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "cast_semantics",
+    "arithmetic_ops",
+    "join_semi",
+    "q3_shipping_priority",
+    "window_topk_per_group",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "ann_bruteforce",
+    "text_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert "sum_qty" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_runs(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert df.columns  # stable, non-empty schema
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_oracle import normalize, value_repr
+
+    sdf = entrymod.queries()[name](spark, sf_dir).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_repr(normalize(sdf)) == value_repr(normalize(odf))

@@ -1,0 +1,126 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at a scale factor and compares against
+``oracle_sql()`` via DuckDB: row count, sorted column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+floats as-is — the query layer is responsible for rounding anything
+engine-order-dependent).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_archive_spark.context import TESTDATA_TABLES
+from datafusion_archive_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: None
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else v
+            )
+    return (
+        df.sort_values(by=list(df.columns), na_position="first")
+        .reset_index(drop=True)
+    )
+
+
+def value_repr(df: pd.DataFrame) -> list[tuple]:
+    out = []
+    for row in df.itertuples(index=False):
+        out.append(
+            tuple(
+                None
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else v
+                for v in row
+            )
+        )
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(
+                f"ROWS-ONLY {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}"
+                f" ({time.time()-t0:.1f}s)"
+            )
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(
+                f"cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            )
+        if not problems:
+            s_n, o_n = normalize(sdf), normalize(odf)
+            sv, ov = value_repr(s_n), value_repr(o_n)
+            if sv != ov:
+                diffs = [
+                    (i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if a != b
+                ]
+                problems.append(
+                    f"values differ in {len(diffs)}/{len(sv)} rows; first: "
+                    f"{diffs[0] if diffs else '(length mismatch)'}"
+                )
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(only) if only else len(qs)}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
