@@ -487,6 +487,131 @@ def q_json_extract(spark, sf):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Scalar function surface, wave 2: strings, dates, conditionals, safe math
+# (the reference has none of these — SURVEY §2.3 "string / date / array /
+# map / json functions: none exist"; roadmap-parity plus Spark built-ins)
+# ---------------------------------------------------------------------------
+
+
+def q_string_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "e").alias("epos"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("tr"),
+        F.length(F.trim(F.col("p_name"))).alias("trimlen"),
+    )
+
+
+def q_date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        # Spark weekday: Monday=0 — oracle uses isodow(x)-1
+        F.weekday(d).alias("wd"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+def q_case_when(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+        .alias("open_price"),
+    )
+
+
+def q_try_divide(spark, sf):
+    """Safe division: Spark 4 runs ANSI mode where /0 raises (as the
+    reference's Arrow kernels do — SURVEY §7.5); try_divide gives the
+    tolerant NULL form, which is DuckDB's native `/` behavior."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 2)
+    return l.select(
+        "l_orderkey",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 26).alias(
+            "div_maybe_null"
+        ),
+    )
+
+
+def q_union_all(spark, sf):
+    c, s = _nation_sides(spark, sf)
+    return c.union(s)  # bag semantics (UNION ALL)
+
+
+def q_cube(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_grouping_sets(spark, sf):
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM parquet.`{sf}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def q_in_subquery(spark, sf):
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice
+        FROM parquet.`{sf}/orders.parquet`
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM parquet.`{sf}/customer.parquet`
+          WHERE c_acctbal > 9500
+        )
+        """
+    )
+
+
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont, both linear interpolation). approx_percentile /
+    approx_count_distinct are the scale path; exact is the oracle."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
+                "p95_price"
+            ),
+            F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias(
+                "p25_disc"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "scan_filter_project": q_scan_filter_project,
     "predicate_between_in": q_predicate_between_in,
@@ -519,6 +644,15 @@ QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_running": q_window_running,
     "json_extract": q_json_extract,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "case_when": q_case_when,
+    "try_divide_nulls": q_try_divide,
+    "setop_union_all": q_union_all,
+    "agg_cube": q_cube,
+    "agg_grouping_sets": q_grouping_sets,
+    "in_subquery": q_in_subquery,
+    "percentiles": q_percentiles,
 }
 
 
@@ -741,5 +875,70 @@ ORACLES = {
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events WHERE event_type = 'purchase'
+    """,
+    "string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS up,
+               substr(p_name, 1, 5) AS prefix,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+               reverse(p_name) AS rev,
+               p_brand || '-' || p_type AS brand_type,
+               CAST(instr(p_name, 'e') AS INTEGER) AS epos,
+               translate(p_name, 'aeiou', 'AEIOU') AS tr,
+               CAST(length(trim(p_name)) AS INTEGER) AS trimlen
+        FROM part
+    """,
+    "date_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+               strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')
+                 AS plus30,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                             DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+    """,
+    "case_when": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 300000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS size_class,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice END
+                 AS open_price
+        FROM orders
+    """,
+    "try_divide_nulls": """
+        SELECT l_orderkey,
+               l_extendedprice / (l_quantity - 26) AS div_maybe_null
+        FROM lineitem WHERE l_linenumber = 2
+    """,
+    "setop_union_all": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        UNION ALL
+        SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "in_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 9500)
+    """,
+    "percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

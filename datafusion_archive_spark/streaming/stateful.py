@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming at all (``ROADMAP.md:36-56``); this is
+the extension-surface pattern for operators Spark's built-in windowed
+aggregations can't express: arbitrary per-key state evolved batch by
+batch, with timeout-based eviction. The example operator maintains a
+per-user running profile (event count, value sum, last-seen timestamp)
+and emits the updated profile per micro-batch.
+
+State size is O(distinct keys) and sharded by the stream's groupBy
+hash partitioning — the same layout a 1000-executor cluster uses, so
+the local test exercises the real shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+        T.StructField("last_ts_us", T.LongType(), True),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+        T.StructField("last_ts_us", T.LongType(), True),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total, last_us = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        mx = int(ts_us.max())
+        last_us = mx if last_us is None else max(last_us, mx)
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [round(total, 2)],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def running_user_profile(events: DataFrame) -> DataFrame:
+    """Attach the stateful operator to a (streaming) events DataFrame
+    keyed by user_id. Works on batch DataFrames too? No — Spark gates
+    applyInPandasWithState to streaming; use the batch twin
+    (groupBy().agg()) for oracles."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
