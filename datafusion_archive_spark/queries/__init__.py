@@ -15,12 +15,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datafusion_archive_spark.queries import llm, relational, timeseries
+from datafusion_archive_spark.queries import llm, nested, relational, timeseries
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, timeseries, llm):
+for mod in (relational, timeseries, llm, nested):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -139,18 +139,17 @@ def q_embedding_near_dup(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
-    """Approximate ANN (random-hyperplane LSH, multi-probe). No SQL
-    oracle — approximate recall depends on Python-generated hyperplane
-    constants; correctness of the exact path is pinned by
-    ann_bruteforce, and tests assert LSH recall ≥ 0.6 vs brute force."""
+    """Approximate ANN (banded random-hyperplane LSH). The oracle
+    replicates the exact construction in SQL — hyperplane constants are
+    inlined (repr round-trips doubles exactly in both engines)."""
     e = _t(spark, sf, "embeddings")
     return similarity.lsh_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, planes=12, dim=64
+        e, e.filter(F.col("vec_id") < 10), k=5, planes=12, bands=4, dim=64
     )
 
 
 def q_ann_ivf(spark, sf):
-    """IVF probe ANN — rows-only check (see q_ann_lsh)."""
+    """IVF probe ANN — deterministic centroid subset, oracle-checked."""
     e = _t(spark, sf, "embeddings")
     return similarity.ivf_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, nprobe=2, centroid_stride=50
@@ -313,6 +312,94 @@ _COSINE_SQL = (
 )
 
 
+def _ann_lsh_oracle(planes: int = 12, bands: int = 4, k: int = 5) -> str:
+    """SQL twin of similarity.lsh_cosine_topk: same hyperplanes (repr
+    round-trips IEEE doubles exactly), same banding, same tiebreaks."""
+    hp = similarity._hyperplanes(64, planes, seed=42)
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) >= 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END"
+        for p, plane in enumerate(hp)
+    )
+    bands_vals = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ({sig_terms}) AS sig FROM c),
+        banded AS (
+          SELECT vec_id, v, band,
+                 (sig >> (band * {bits_per_band})) & {mask} AS band_val
+          FROM sig, (VALUES {bands_vals}) AS b(band)
+        ),
+        qb AS (SELECT * FROM banded WHERE vec_id < 10),
+        cand AS (
+          SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                 min({_COSINE_SQL.format(a='qb.v', b='cb.v')}) AS cosine
+          FROM qb JOIN banded cb
+            ON qb.band = cb.band AND qb.band_val = cb.band_val
+               AND qb.vec_id <> cb.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS INTEGER) AS rank
+          FROM cand
+        ) t WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_oracle(k: int = 5, nprobe: int = 2, stride: int = 50) -> str:
+    """SQL twin of similarity.ivf_topk (same centroid subset,
+    assignment argmax, probe ranking and tiebreaks)."""
+    cos_qc = _COSINE_SQL.format(a="q.v", b="ct.cv")
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS list_id, v AS cv FROM c
+                  WHERE vec_id % {stride} = 0),
+        assign AS (
+          SELECT nid, v, list_id FROM (
+            SELECT c.vec_id AS nid, c.v, cents.list_id,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, cents.cv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                       cents.list_id
+                   ) AS rn
+            FROM c, cents
+          ) t WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, v, list_id FROM (
+            SELECT q.query_id, q.v, ct.list_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_dot_product(q.v, ct.cv)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+                       ct.list_id
+                   ) AS rn
+            FROM q, cents ct
+          ) t WHERE rn <= {nprobe}
+        ),
+        scored AS (
+          SELECT p.query_id, a.nid AS neighbor_id,
+                 {_COSINE_SQL.format(a='p.v', b='a.v')} AS cosine
+          FROM probes p JOIN assign a ON p.list_id = a.list_id
+          WHERE p.query_id <> a.nid
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS INTEGER) AS rank
+          FROM scored
+        ) t WHERE rank <= {k}
+    """
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
@@ -431,6 +518,8 @@ ORACLES = {
         FROM c a JOIN c b ON a.vec_id < b.vec_id
         WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.9
     """,
+    "ann_lsh": _ann_lsh_oracle(),
+    "ann_ivf": _ann_ivf_oracle(),
     "multimodal_decode": """
         SELECT doc_id,
                'image' AS media_type,

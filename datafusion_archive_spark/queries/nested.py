@@ -1,0 +1,124 @@
+"""Nested/array operators and approximate aggregates.
+
+The reference's nested-object support is a roadmap item
+(``/root/reference/ROADMAP.md:32``, ``ScalarValue::Struct``
+unimplemented at runtime ``src/logicalplan.rs:128-129``); Spark's
+array/struct surface covers it natively. Array outputs are scalarized
+(joined/rounded) so cross-engine value hashing is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_array_ops(spark, sf):
+    """Array kernels over the embedding column: size, sum, min/max,
+    filter-count, scalarized slice."""
+    e = _t(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("v_sum"),
+        F.round(F.array_max(v), 6).alias("v_max"),
+        F.round(F.array_min(v), 6).alias("v_min"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        # scalarized slice: fixed-point ints, not double→string casts —
+        # Spark renders small doubles in scientific notation ("5.0E-4")
+        # while DuckDB prints plain decimal, so strings would diverge
+        F.array_join(
+            F.transform(
+                F.slice(v, 1, 3),
+                lambda x: F.floor(x * 10000 + 0.5).cast("string"),
+            ),
+            ",",
+        ).alias("head3"),
+    )
+
+
+def q_posexplode(spark, sf):
+    """Array → rows with ordinality (UDTF-style explode — the
+    reference's 'Array UDFs' roadmap item, ROADMAP.md:31)."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").cast("double").alias("val"),
+    )
+
+
+def q_struct_access(spark, sf):
+    """Struct construction + field access (ScalarValue::Struct is
+    unimplemented in the reference — logicalplan.rs:128-129)."""
+    c = _t(spark, sf, "customer")
+    s = F.struct(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("name").alias("sname"),
+        (s.getField("bal") * 2).alias("dbl_bal"),
+    )
+
+
+def q_approx_aggs(spark, sf):
+    """Approximate sketches — the 100 TB scale path for distincts and
+    quantiles. No SQL oracle: HLL/KLL sketch internals are
+    engine-specific; tests bound them against exact values instead."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+                "approx_median_price"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "array_ops": q_array_ops,
+    "posexplode_ordinality": q_posexplode,
+    "struct_access": q_struct_access,
+    "approx_aggs": q_approx_aggs,
+}
+
+ORACLES = {
+    "array_ops": """
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               CAST(len(v) AS INTEGER) AS n_dims,
+               round(list_aggregate(v, 'sum'), 4) AS v_sum,
+               round(list_max(v), 6) AS v_max,
+               round(list_min(v), 6) AS v_min,
+               CAST(len(list_filter(v, x -> x > 0)) AS INTEGER)
+                 AS n_positive,
+               array_to_string(
+                 list_transform(v[1:3],
+                   x -> CAST(CAST(floor(x * 10000 + 0.5) AS BIGINT)
+                             AS VARCHAR)), ',') AS head3
+        FROM c
+    """,
+    "posexplode_ordinality": """
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT vec_id,
+               CAST(i - 1 AS INTEGER) AS pos,
+               v[i] AS val
+        FROM c, unnest(generate_series(1, len(v))) AS t(i)
+    """,
+    "struct_access": """
+        SELECT c_custkey, c_name AS sname, c_acctbal * 2 AS dbl_bal
+        FROM customer
+    """,
+}

@@ -1,0 +1,76 @@
+"""At-rest data layout: partitioning, bucketing, compaction.
+
+The reference has no write path at all (``PhysicalPlan::Write`` is
+declared with no executor — ``src/execution/physicalplan.rs:25-29``,
+``ROADMAP.md:46``). At 100 TB the write-side layout IS the read-side
+query plan:
+
+- **Partitioned** parquet (`partitionBy` on a low-cardinality column,
+  e.g. date or IVF list id): Catalyst prunes non-matching directories,
+  so a filtered scan touches only its partitions.
+- **Bucketed** tables (`bucketBy` on a join/agg key): co-locates both
+  sides of a key so later joins/aggregations skip the shuffle entirely.
+- **Compaction**: many small files → few target-size files; small-file
+  explosion is the classic ingestion failure mode at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write with directory partitioning; scans filtered on
+    ``partition_cols`` read only matching directories (verify with
+    `.explain` → `PartitionFilters`)."""
+    (
+        df.write.mode(mode)
+        .partitionBy(*partition_cols)
+        .format(file_format)
+        .save(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table. Joins
+    between tables bucketed on the same key with the same bucket count
+    need no shuffle; with ``sort_col`` a sort-merge join also skips the
+    sort."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    file_format: str = "parquet",
+) -> None:
+    """Rewrite a directory into ``target_files`` files (small-file
+    compaction). Uses coalesce — no shuffle — because compaction only
+    reduces file count; use repartition instead if re-clustering."""
+    df = spark.read.format(file_format).load(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").format(
+        file_format
+    ).save(tmp)
+    # atomic-ish swap via filesystem rename
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

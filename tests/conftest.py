@@ -9,8 +9,19 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", master="local[*]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    s = get_spark(
+        "tests",
+        master="local[*]",
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf — must be set at session creation (bucketed
+            # tables in tests write here)
+            "spark.sql.warehouse.dir": str(
+                tmp_path_factory.mktemp("warehouse")
+            ),
+        },
+    )
     yield s
 
 
