@@ -23,6 +23,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
     "agg_global",
     "agg_rollup",
     "window_topk_per_group",

@@ -15,12 +15,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datafusion_archive_spark.queries import llm, nested, relational, timeseries
+from datafusion_archive_spark.queries import llm, nested, relational, timeseries, tpch_more
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, timeseries, llm, nested):
+for mod in (relational, timeseries, llm, nested, tpch_more):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
