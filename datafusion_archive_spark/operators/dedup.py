@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.functions.rounding import round_half_up
+from datafusion_archive_spark.operators.util import spread
 
 
 def exact_duplicates(
@@ -75,7 +76,7 @@ def ngram_jaccard_pairs(
     skew-free at corpus scale (AQE skew-join handles the remainder).
     """
     shingles = (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(TX.word_shingles(F.col(text_col), k))
@@ -129,6 +130,26 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^31-1 — modulus of the universal hash family below.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash function i of the universal
+    family ``h_i(x) = ((base(x) mod p) * a + b) mod p`` — derived from
+    md5 so any engine can reproduce them. a ∈ [1, p-1], b ∈ [0, p-1];
+    the product stays < 2^62, so no int64 overflow (ANSI-safe)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"minhash-a:{i}".encode()).hexdigest()[:8], 16) % (
+        MINHASH_PRIME - 1
+    ) + 1
+    b = int(hashlib.md5(f"minhash-b:{i}".encode()).hexdigest()[:8], 16) % (
+        MINHASH_PRIME
+    )
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -136,28 +157,34 @@ def minhash_signatures(
     num_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: ``minhash_i = min over shingles
-    of hash64(shingle, seed=i)``.
+    """Per-document MinHash signature via a universal hash family:
+    ONE md5 per shingle (``base = hash64(shingle, 0)``), then
+    ``h_i = ((base mod p) * a_i + b_i) mod p`` per hash function —
+    16× fewer md5 evaluations than hashing per-seed, with the same
+    collision statistics (standard affine MinHash construction).
 
-    Shape: explode distinct shingles once, hash each with every seed,
-    and take per-document mins in a single hash aggregation (map-side
-    partial combine makes the shuffle carry just num_hashes longs per
-    doc). One pass over the text — an earlier array_min-per-column
-    formulation recomputed the shingle pipeline num_hashes times
-    because Catalyst collapses projections without CSE across columns.
+    Shape: explode distinct shingles once, take per-document mins in a
+    single hash aggregation (map-side partial combine ships just
+    num_hashes longs per doc). One pass over the text — an
+    array_min-per-column formulation would recompute the shingle
+    pipeline num_hashes times (Catalyst collapses projections without
+    cross-column CSE).
     """
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(TX.word_shingles(F.col(text_col), k))
         ).alias("shingle"),
+    ).select(
+        "id", (TX.hash64(F.col("shingle"), 0) % MINHASH_PRIME).alias("base")
     )
-    return ex.groupBy("id").agg(
-        *[
-            F.min(TX.hash64(F.col("shingle"), i)).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_affine_params(i)
+        aggs.append(
+            F.min((F.col("base") * a + b) % MINHASH_PRIME).alias(f"mh_{i}")
+        )
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -247,7 +274,7 @@ def simhash64(
     usable bits.
     """
     bits = min(bits, 60)
-    tokens = df.select(
+    tokens = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(TX.normalize_text(F.col(text_col)), " ")

@@ -83,6 +83,10 @@ def decode_media(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> Dat
     Arrow-batched, one pass, no shuffle. Input needs ``media_meta``
     from :func:`attach_media`."""
 
+    # NB: deliberately no repartition here — spreading would shuffle
+    # the payload bytes, which dominates the decode win (design rule:
+    # media payloads never shuffle; parallelism comes from the scan's
+    # own partitioning at real scale)
     cols = [id_col, payload_col, "media_meta"]
 
     def decode_batches(

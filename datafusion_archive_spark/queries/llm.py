@@ -184,10 +184,16 @@ def q_multimodal_frame_sample(spark, sf):
 
 
 def _minhash_cols_sql() -> str:
-    return ",\n               ".join(
-        f"list_min(list_transform(shingles, s -> {_hash64_sql('s', i)})) AS mh_{i}"
-        for i in range(_N_MINHASH)
+    from datafusion_archive_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_affine_params,
     )
+
+    cols = []
+    for i in range(_N_MINHASH):
+        a, b = minhash_affine_params(i)
+        cols.append(f"min((base * {a} + {b}) % {MINHASH_PRIME}) AS mh_{i}")
+    return ",\n               ".join(cols)
 
 
 _MINHASH_SIG_CTE = f"""
@@ -195,10 +201,16 @@ _MINHASH_SIG_CTE = f"""
           SELECT doc_id, {_WORDS} AS w FROM documents
         ),
         sh AS (
-          SELECT doc_id, list_distinct({_shingles_sql(3)}) AS shingles FROM wl
+          SELECT doc_id,
+                 unnest(list_distinct({_shingles_sql(3)})) AS shingle
+          FROM wl
+        ),
+        based AS (
+          SELECT doc_id, {_hash64_sql('shingle', 0)} % 2147483647 AS base
+          FROM sh
         ),
         sig AS (
-          SELECT doc_id AS id, {_minhash_cols_sql()} FROM sh
+          SELECT doc_id AS id, {_minhash_cols_sql()} FROM based GROUP BY doc_id
         )
 """
 
