@@ -8,10 +8,17 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.operators import asof, dedup, similarity
 
+_BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while the morning sun rises slowly over the quiet green valley "
+    "and birds sing softly in the tall old trees by the water"
+)
+
 DOCS = [
-    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
-    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
-    (3, "the quick brown fox jumps over the lazy dog near the creek bank"),  # near dup of 1
+    (1, _BASE),
+    (2, _BASE),  # exact dup of 1
+    # near dup of 1: single-word edit in a long doc → Jaccard ≈ 0.92
+    (3, _BASE.replace("river", "creek")),
     (4, "completely different content about database query engines and spark"),
     (5, "another unrelated document discussing machine learning pipelines"),
 ]
@@ -40,9 +47,14 @@ def test_ngram_jaccard_pairs(docs):
 
 
 def test_minhash_lsh_finds_planted_dups(docs):
+    # bands=8 (2 rows/band) targets J ≳ 0.5 recall; the default 4×4
+    # banding targets J ≳ 0.8 and can deterministically miss a 0.6-0.7
+    # pair — banding choice is the recall/candidate-volume dial
     pairs = {
         (r.id_a, r.id_b): r.est_jaccard
-        for r in dedup.minhash_lsh_pairs(docs, threshold=0.25).collect()
+        for r in dedup.minhash_lsh_pairs(
+            docs, bands=8, threshold=0.25
+        ).collect()
     }
     assert pairs[(1, 2)] == 1.0  # identical docs agree on all hashes
     assert (1, 3) in pairs  # near dup caught by banding
