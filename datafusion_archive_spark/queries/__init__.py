@@ -15,12 +15,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datafusion_archive_spark.queries import llm, nested, relational, timeseries, tpch_more
+from datafusion_archive_spark.queries import (
+    aggregates2,
+    llm,
+    nested,
+    relational,
+    timeseries,
+    tpch_more,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, timeseries, llm, nested, tpch_more):
+for mod in (relational, timeseries, llm, nested, tpch_more, aggregates2):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -1,0 +1,176 @@
+"""Aggregate surface wave 2: statistical moments, argmin/argmax,
+boolean aggregates, collect-style aggregation, unpivot, and the
+Q2-style correlated scalar subquery.
+
+skewness/kurtosis are deliberately absent from the oracle set: Spark
+and DuckDB use different estimators (population vs sample-adjusted),
+so there is no portable exact oracle; stddev/variance/corr/covar use
+identical definitions and match to the last bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_stats_aggs(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+    )
+
+
+def q_argminmax(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.expr("bool_and(l_quantity > 0)").alias("all_positive"),
+        F.expr("bool_or(l_quantity > 49)").alias("any_near_max"),
+    )
+
+
+def q_collect_agg(spark, sf):
+    """Set-collecting aggregation, scalarized deterministically
+    (sorted + joined) — raw collect_list order is partition-dependent
+    and must never be exposed (SURVEY §7.7 discipline)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def q2_min_per_group_subquery(spark, sf):
+    """TPC-H Q2 shape: rows matching their group's minimum via a
+    correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — no per-row execution)."""
+    return spark.sql(
+        f"""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM parquet.`{sf}/supplier.parquet` s
+        WHERE s_acctbal = (
+          SELECT min(s2.s_acctbal)
+          FROM parquet.`{sf}/supplier.parquet` s2
+          WHERE s2.s_nationkey = s.s_nationkey
+        )
+        """
+    )
+
+
+def q_unpivot(spark, sf):
+    """Wide → long (stack/unpivot). Oracle is the portable UNION ALL
+    form."""
+    wide = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+        )
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty', sum_qty, 'tax', sum_tax) AS (metric, value)",
+    )
+
+
+def q_expr_misc(spark, sf):
+    """coalesce/nullif/greatest/least + bitwise ops."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 4)
+    k = F.col("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        F.greatest("l_quantity", "l_tax", "l_discount").alias("g3"),
+        F.least("l_quantity", "l_tax", "l_discount").alias("l3"),
+        F.coalesce(F.expr("nullif(l_returnflag, 'N')"), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(85)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+    )
+
+
+QUERIES = {
+    "stats_aggs": q_stats_aggs,
+    "argminmax_aggs": q_argminmax,
+    "collect_agg": q_collect_agg,
+    "q2_min_per_group_subquery": q2_min_per_group_subquery,
+    "unpivot_stack": q_unpivot,
+    "expr_misc": q_expr_misc,
+}
+
+ORACLES = {
+    "stats_aggs": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6)
+                 AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 6)
+                 AS covar_qty_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "argminmax_aggs": """
+        SELECT l_returnflag,
+               arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+               arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_quantity > 49) AS any_near_max
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "collect_agg": """
+        SELECT o_orderpriority,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                 AS statuses,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q2_min_per_group_subquery": """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (
+          SELECT min(s2.s_acctbal) FROM supplier s2
+          WHERE s2.s_nationkey = s.s_nationkey
+        )
+    """,
+    "unpivot_stack": """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_tax), 2) AS sum_tax
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'tax' AS metric, sum_tax AS value FROM wide
+    """,
+    "expr_misc": """
+        SELECT l_orderkey,
+               greatest(l_quantity, l_tax, l_discount) AS g3,
+               least(l_quantity, l_tax, l_discount) AS l3,
+               coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+               l_orderkey & 255 AS b_and,
+               l_orderkey | 4096 AS b_or,
+               xor(l_orderkey, 85) AS b_xor,
+               l_orderkey << 2 AS b_shl,
+               l_orderkey >> 3 AS b_shr
+        FROM lineitem WHERE l_linenumber = 4
+    """,
+}
