@@ -26,6 +26,9 @@ def round_half_up(c: Column, digits: int = 4) -> Column:
 
 
 def round_half_up_sql(expr: str, digits: int = 4) -> str:
-    """DuckDB twin of :func:`round_half_up`."""
+    """DuckDB twin of :func:`round_half_up`. The input is cast to
+    DOUBLE first — a no-op for double columns, and it keeps DuckDB
+    from binding decimal literals as DECIMAL(18,…) whose scaled
+    multiplication overflows."""
     scale = 10**digits
-    return f"floor(({expr}) * {scale} + 0.5) / {scale}.0"
+    return f"floor(CAST({expr} AS DOUBLE) * {scale} + 0.5) / {scale}.0"

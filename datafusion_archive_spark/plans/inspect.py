@@ -1,0 +1,64 @@
+"""Physical-plan summary extraction (see package docstring)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_JOIN_KINDS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+@dataclass
+class PlanSummary:
+    """What matters about a physical plan at scale."""
+
+    joins: list[str] = field(default_factory=list)
+    n_hash_exchanges: int = 0
+    n_scans: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    has_codegen: bool = False
+    raw: str = ""
+
+    def scans_pruned_to(self, *columns: str) -> bool:
+        """True if every scan reads only (a subset of) ``columns``."""
+        want = set(columns)
+        for rs in self.read_schemas:
+            got = set(re.findall(r"(\w+):", rs))
+            if not got <= want:
+                return False
+        return True
+
+
+def plan_string(df: DataFrame, mode: str = "simple") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def summarize(df: DataFrame) -> PlanSummary:
+    # simple mode for tree shape (joins/exchanges); formatted mode for
+    # scan details — simple truncates long attribute lists with "..."
+    plan = plan_string(df, "simple")
+    detail = plan_string(df, "formatted")
+    return PlanSummary(
+        joins=[j for j in re.findall("|".join(_JOIN_KINDS), plan)],
+        n_hash_exchanges=len(re.findall(r"Exchange hashpartitioning", plan)),
+        n_scans=len(re.findall(r"Scan parquet|Scan csv|Scan json", detail)),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", detail),
+        partition_filters=re.findall(
+            r"PartitionFilters: \[([^\]]*)\]", detail
+        ),
+        read_schemas=re.findall(r"ReadSchema: struct<([^>\n]*)>", detail),
+        has_codegen="codegen id" in detail,
+        raw=plan,
+    )

@@ -1,0 +1,81 @@
+"""Empty/degenerate-input behavior: operators must return empty (not
+crash) on empty frames, and k>n / no-match cases degrade gracefully."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_archive_spark.operators import asof, dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+
+
+def test_dedup_on_empty(empty_docs):
+    assert dedup.exact_duplicates(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash_near_pairs(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+
+
+def test_single_doc_no_pairs(spark):
+    one = spark.createDataFrame([(1, "only one document here")],
+                                ["doc_id", "text"])
+    assert dedup.minhash_lsh_pairs(one).count() == 0
+    assert dedup.exact_duplicates(one).count() == 1
+
+
+def test_topk_k_larger_than_corpus(spark):
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 1.0])], schema
+    )
+    out = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=99)
+    assert out.count() == 2  # corpus minus self, not k
+
+
+def test_asof_join_no_right_rows(spark):
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), 1)], ["key", "ts", "oid"]
+    )
+    right = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("price", T.DoubleType()),
+        ])
+    )
+    rows = asof.asof_join(left, right, "key", "ts", "ts", ["price"]).collect()
+    assert len(rows) == 1 and rows[0].price_asof is None
+
+
+def test_empty_text_document_survives_pipeline(spark):
+    """Whitespace-only and empty strings flow through shingling,
+    hashing and stats without errors."""
+    from datafusion_archive_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")], ["doc_id", "text"]
+    )
+    out = df.select(
+        TX.token_count(F.col("text")).alias("tc"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.word_shingles(F.col("text"), 3).alias("sh"),
+    ).collect()
+    assert all(r.fp is not None for r in out)
+    assert out[0].sh == [""] and out[2].sh == ["word"]
+    sig = dedup.minhash_signatures(df).collect()
+    assert len(sig) == 3

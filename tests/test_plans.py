@@ -1,0 +1,54 @@
+"""Plan-property tests: the scale guarantees PERF.md claims, asserted
+mechanically via plans.inspect — pushdown reaches the scan, dims
+broadcast, narrow operators don't shuffle."""
+
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.plans import summarize
+from datafusion_archive_spark.queries import QUERIES
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    s = summarize(QUERIES["scan_filter_project"](spark, sf_dir))
+    pushed = ";".join(s.pushed_filters)
+    assert "GreaterThan(l_quantity" in pushed
+    assert "LessThan(l_discount" in pushed
+    assert s.scans_pruned_to(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ), s.read_schemas
+
+
+def test_q1_single_shuffle_aggregation(spark, sf_dir):
+    s = summarize(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # one hash exchange (partial→final agg); the sort adds a range
+    # exchange, not a hash one
+    assert s.n_hash_exchanges == 1, s.raw
+    assert not s.joins
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir):
+    s = summarize(QUERIES["q5_local_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in s.joins
+    assert "CartesianProduct" not in s.joins
+
+
+def test_text_stats_is_scan_side(spark, sf_dir):
+    s = summarize(QUERIES["text_stats"](spark, sf_dir))
+    assert s.n_hash_exchanges == 0, "text metrics must not shuffle"
+    assert not s.joins
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    s = summarize(QUERIES["events_sessionize"](spark, sf_dir))
+    assert s.n_hash_exchanges == 1, (
+        "lag + running sum + aggs should reuse one user_id partitioning:\n"
+        + s.raw
+    )
+
+
+def test_ann_bruteforce_corpus_never_shuffles(spark, sf_dir):
+    s = summarize(QUERIES["ann_bruteforce"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in s.joins  # query side broadcast
+    # ranking shuffles the scored pairs once; corpus scan itself no
+    assert s.n_hash_exchanges <= 1

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the engine-portable layers:
+the supertype lattice, half-up rounding parity vs DuckDB, and the
+md5 hash64 construction. These are the pieces whose correctness the
+oracle comparisons lean on — fuzz them directly."""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_archive_spark import types as ty
+from datafusion_archive_spark.functions.rounding import round_half_up_sql
+
+NUMERIC_TAGS = [
+    "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64",
+    "float32", "float64",
+]
+
+
+@given(st.sampled_from(NUMERIC_TAGS), st.sampled_from(NUMERIC_TAGS))
+def test_supertype_commutative(a, b):
+    assert ty.supertype(a, b) == ty.supertype(b, a)
+
+
+@given(st.sampled_from(NUMERIC_TAGS))
+def test_supertype_idempotent(a):
+    assert ty.supertype(a, a) == a
+
+
+@given(st.sampled_from(NUMERIC_TAGS), st.sampled_from(NUMERIC_TAGS))
+def test_supertype_contains_both_ranges(a, b):
+    """The supertype's Spark physical type must hold both operands'
+    full value ranges (the point of the §7.3 widening policy)."""
+    ranges = {
+        "int8": (-(2**7), 2**7 - 1),
+        "int16": (-(2**15), 2**15 - 1),
+        "int32": (-(2**31), 2**31 - 1),
+        "int64": (-(2**63), 2**63 - 1),
+        "uint8": (0, 2**8 - 1),
+        "uint16": (0, 2**16 - 1),
+        "uint32": (0, 2**32 - 1),
+        "uint64": (0, 2**64 - 1),
+    }
+    s = ty.supertype(a, b)
+    assert s is not None
+    if s in ("float32", "float64") or a not in ranges or b not in ranges:
+        return
+    lo, hi = ranges[s]
+    # int64 is the lattice cap: any mix involving uint64 resolves to
+    # int64 in the reference's lattice even though uint64's range
+    # exceeds it (logicalplan.rs:471 — (UInt64, Int64) → Int64); the
+    # physical layer stores standalone uint64 as Decimal(20,0) instead
+    if "uint64" in (a, b):
+        return
+    for t in (a, b):
+        assert ranges[t][0] >= lo and ranges[t][1] <= hi, (a, b, s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_round_half_up_sql_parity(x, digits):
+    """The Python-side formula and the DuckDB SQL fragment agree on
+    arbitrary doubles — this is what keeps ratio columns hash-equal."""
+    scale = 10**digits
+    py = math.floor(x * scale + 0.5) / float(scale)
+    sql = round_half_up_sql(repr(x), digits)
+    duck = duckdb.sql(f"SELECT {sql}").fetchone()[0]
+    assert duck == pytest.approx(py, abs=0) or duck == py
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=0, max_size=50), st.integers(0, 63))
+def test_hash64_duckdb_parity(s, seed):
+    """md5-derived 60-bit hash: python == duckdb for arbitrary text
+    (the Spark side is pinned in tests/test_functions.py)."""
+    py = int(hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16)
+    duck = duckdb.execute(
+        "SELECT ('0x' || substr(md5(? || ?), 1, 15))::BIGINT",
+        [s, f":{seed}"],
+    ).fetchone()[0]
+    assert py == duck
