@@ -504,7 +504,8 @@ ORACLES = {
     "dedup_simhash_pairs": _simhash_sig_cte()
     + f"""
         SELECT a.id AS id_a, b.id AS id_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                 AS hamming
         FROM sig a JOIN sig b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_BANDS - 1}
     """,

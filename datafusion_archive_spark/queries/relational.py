@@ -612,6 +612,20 @@ def q_percentiles(spark, sf):
     )
 
 
+def q_try_cast(spark, sf):
+    """try_cast: NULL-tolerant casts (ANSI-mode Spark raises on
+    invalid/overflowing CAST; DuckDB TRY_CAST matches try_cast)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").try_cast("int").alias("name_as_int"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1)
+        .try_cast("int")
+        .alias("brand_num"),
+        (F.col("p_size") * 1000).try_cast("tinyint").alias("overflow_null"),
+    )
+
+
 QUERIES = {
     "scan_filter_project": q_scan_filter_project,
     "predicate_between_in": q_predicate_between_in,
@@ -644,6 +658,7 @@ QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_running": q_window_running,
     "json_extract": q_json_extract,
+    "try_cast_nulls": q_try_cast,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "case_when": q_case_when,
@@ -875,6 +890,14 @@ ORACLES = {
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events WHERE event_type = 'purchase'
+    """,
+    "try_cast_nulls": """
+        SELECT p_partkey,
+               TRY_CAST(p_name AS INTEGER) AS name_as_int,
+               TRY_CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INTEGER)
+                 AS brand_num,
+               TRY_CAST(p_size * 1000 AS TINYINT) AS overflow_null
+        FROM part
     """,
     "string_funcs": """
         SELECT p_partkey,
