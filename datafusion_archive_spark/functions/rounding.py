@@ -25,6 +25,25 @@ def round_half_up(c: Column, digits: int = 4) -> Column:
     return F.floor(c * scale + F.lit(0.5)) / F.lit(float(scale))
 
 
+def decimal_sum(expr: Column) -> Column:
+    """Order-independent money sum: cast each term to DECIMAL(27,6)
+    (exact — revenue terms are ≤6-decimal products of 2dp inputs, and
+    1 ulp of a double is far below the 5e-7 rounding half-spacing, so
+    both engines recover the same decimal), sum exactly, then return
+    as double. Without this, a floating sum's last bits depend on
+    partition/merge order, and ~1% of revenue-style group sums sit
+    exactly on a .005 rounding midpoint where that instability (and
+    Spark-vs-external round() semantics) flips the rounded cent.
+
+    DuckDB twin: :func:`decimal_sum_sql`.
+    """
+    return F.sum(expr.cast("decimal(27,6)")).cast("double")
+
+
+def decimal_sum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
 def round_half_up_sql(expr: str, digits: int = 4) -> str:
     """DuckDB twin of :func:`round_half_up`. The input is cast to
     DOUBLE first — a no-op for double columns, and it keeps DuckDB

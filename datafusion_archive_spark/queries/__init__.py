@@ -19,6 +19,7 @@ from datafusion_archive_spark.queries import (
     aggregates2,
     llm,
     nested,
+    pipeline,
     relational,
     timeseries,
     tpch_more,
@@ -27,7 +28,7 @@ from datafusion_archive_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, timeseries, llm, nested, tpch_more, aggregates2):
+for mod in (relational, timeseries, llm, nested, tpch_more, aggregates2, pipeline):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

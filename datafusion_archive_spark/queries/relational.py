@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import geo
+from datafusion_archive_spark.functions.rounding import decimal_sum, round_half_up
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -176,10 +177,16 @@ def q1_pricing_summary(spark, sf):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
-                "sum_charge"
+            # decimal_sum + half-up: revenue products are exact 4-6dp
+            # decimals whose float sums land on .005 midpoints ~1% of
+            # the time, where round() is engine/partition-order
+            # dependent (see functions.rounding)
+            round_half_up(decimal_sum(disc_price), 2).alias(
+                "sum_disc_price"
             ),
+            round_half_up(
+                decimal_sum(disc_price * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -348,8 +355,11 @@ def q3_shipping_priority(spark, sf):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            round_half_up(
+                decimal_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue")
         )
         .select(
@@ -379,8 +389,11 @@ def q5_local_supplier(spark, sf):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            round_half_up(
+                decimal_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue")
         )
     )
@@ -739,8 +752,8 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_disc_price,
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
@@ -818,7 +831,7 @@ ORACLES = {
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
                o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -830,7 +843,7 @@ ORACLES = {
     """,
     "q5_local_supplier": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from datafusion_archive_spark.functions.rounding import round_half_up
+from datafusion_archive_spark.functions.rounding import decimal_sum, round_half_up
 
 
 def _t(spark, sf_dir, name):
@@ -52,8 +52,8 @@ def q6_forecast_revenue(spark, sf):
         & (F.col("l_discount").between(0.02, 0.06))
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        round_half_up(
+            decimal_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
         ).alias("revenue")
     )
 
@@ -70,8 +70,11 @@ def q10_returned_items(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            round_half_up(
+                decimal_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -158,8 +161,11 @@ def q19_disjunctive_predicates(spark, sf):
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            round_half_up(
+                decimal_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -252,7 +258,7 @@ ORACLES = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -261,7 +267,7 @@ ORACLES = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -299,7 +305,7 @@ ORACLES = {
         ORDER BY total_qty DESC, l_orderkey LIMIT 50
     """,
     "q19_disjunctive_predicates": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS revenue,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
