@@ -159,7 +159,12 @@ def q_agg_global(spark, sf):
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        # decimal numerator + half-up: avg of exact-decimal values can
+        # land on a rounding midpoint where float-sum order flips the
+        # result (see functions.rounding)
+        round_half_up(
+            decimal_sum(F.col("l_discount")) / F.count(F.lit(1)), 6
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
@@ -187,9 +192,15 @@ def q1_pricing_summary(spark, sf):
             round_half_up(
                 decimal_sum(disc_price * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_half_up(
+                decimal_sum(F.col("l_quantity")) / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            round_half_up(
+                decimal_sum(F.col("l_extendedprice")) / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            round_half_up(
+                decimal_sum(F.col("l_discount")) / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -217,7 +228,9 @@ def q_agg_count_distinct_group(spark, sf):
         .agg(
             F.countDistinct("c_nationkey").alias("n_nations"),
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            round_half_up(
+                decimal_sum(F.col("c_acctbal")) / F.count(F.lit(1)), 4
+            ).alias("avg_bal"),
         )
     )
 
@@ -743,7 +756,8 @@ ORACLES = {
         SELECT min(l_quantity) AS min_qty,
                max(l_quantity) AS max_qty,
                round(sum(l_extendedprice), 2) AS sum_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               floor((CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*)) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
                count(*) AS n_rows,
                count(DISTINCT l_orderkey) AS n_orders
         FROM lineitem
@@ -754,9 +768,12 @@ ORACLES = {
                round(sum(l_extendedprice), 2) AS sum_base_price,
                floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_disc_price,
                floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) / 100.0 AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               floor((CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*)) * 10000 + 0.5) / 10000.0 AS avg_qty,
+               floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*)) * 10000 + 0.5) / 10000.0 AS avg_price,
+               floor((CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*)) * 10000 + 0.5) / 10000.0 AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -772,7 +789,8 @@ ORACLES = {
         SELECT c_mktsegment,
                count(DISTINCT c_nationkey) AS n_nations,
                count(*) AS n_cust,
-               round(avg(c_acctbal), 4) AS avg_bal
+               floor((CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*)) * 10000 + 0.5) / 10000.0 AS avg_bal
         FROM customer GROUP BY c_mktsegment
     """,
     "agg_rollup": """

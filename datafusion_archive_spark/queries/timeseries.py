@@ -89,7 +89,8 @@ ORACLES = {
                  AS window_start,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                     * 100 + 0.5) / 100.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "events_sessionize": """

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.functions.rounding import decimal_sum, round_half_up
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -31,7 +33,9 @@ def windowed_event_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal partials: order-independent sum (see
+            # functions.rounding.decimal_sum)
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -64,7 +68,9 @@ def windowed_event_counts_stream(
         stream.groupBy(F.window("ts", window_duration), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # identical decimal formulation to the batch twin so the
+            # stream-equals-batch invariant holds bit-for-bit
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
