@@ -107,8 +107,22 @@ def q8_market_share(spark, sf):
     )
 
 
+def q_quality_zscore(spark, sf):
+    """applyInPandas grouped-map operator: per-language z-score of the
+    quality signal (pandas mean/std(ddof=1) == SQL avg/stddev_samp, so
+    the oracle is exact)."""
+    from datafusion_archive_spark.operators.grouped import zscore_by_group
+
+    d = _t(spark, sf, "documents")
+    enriched = d.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return zscore_by_group(enriched, "lang", "quality")
+
+
 QUERIES = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "text_quality_zscore": q_quality_zscore,
     "q7_volume_between_nations": q7_volume_between_nations,
     "q8_market_share": q8_market_share,
 }
@@ -122,6 +136,20 @@ _QUALITY = """floor((
     ) * 10000 + 0.5) / 10000.0"""
 
 ORACLES = {
+    "text_quality_zscore": f"""
+        WITH q AS (
+          SELECT doc_id, lang, {_QUALITY} AS quality FROM documents
+        ),
+        s AS (
+          SELECT lang, avg(quality) AS m, stddev_samp(quality) AS sd
+          FROM q GROUP BY lang
+        )
+        SELECT doc_id, q.lang, quality,
+               CASE WHEN sd > 0
+                    THEN floor((quality - m) / sd * 10000 + 0.5) / 10000.0
+               END AS zscore
+        FROM q JOIN s ON q.lang = s.lang
+    """,
     "pipeline_clean_corpus": f"""
         WITH enriched AS (
           SELECT doc_id, lang,
