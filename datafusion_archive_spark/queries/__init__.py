@@ -23,12 +23,22 @@ from datafusion_archive_spark.queries import (
     relational,
     timeseries,
     tpch_more,
+    tpch_more2,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, timeseries, llm, nested, tpch_more, aggregates2, pipeline):
+for mod in (
+    relational,
+    timeseries,
+    llm,
+    nested,
+    tpch_more,
+    tpch_more2,
+    aggregates2,
+    pipeline,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
