@@ -318,10 +318,15 @@ def _lang_id_oracle() -> str:
     """
 
 
-_COSINE_SQL = (
-    "round(list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+#: normalized-vector CTE body — all embedding oracles dot pre-normalized
+#: vectors, mirroring operators.similarity._normalized exactly
+_NORM_VECS_SQL = (
+    "SELECT vec_id, list_transform(embedding::DOUBLE[], "
+    "x -> x / sqrt(list_dot_product(embedding::DOUBLE[], "
+    "embedding::DOUBLE[]))) AS v FROM embeddings"
 )
+
+_COSINE_SQL = "round(list_dot_product({a}, {b}), 6)"
 
 
 def _ann_lsh_oracle(planes: int = 12, bands: int = 4, k: int = 5) -> str:
@@ -337,7 +342,7 @@ def _ann_lsh_oracle(planes: int = 12, bands: int = 4, k: int = 5) -> str:
     )
     bands_vals = ", ".join(f"({b})" for b in range(bands))
     return f"""
-        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH c AS ({_NORM_VECS_SQL}),
         sig AS (SELECT vec_id, v, ({sig_terms}) AS sig FROM c),
         banded AS (
           SELECT vec_id, v, band,
@@ -367,7 +372,7 @@ def _ann_ivf_oracle(k: int = 5, nprobe: int = 2, stride: int = 50) -> str:
     assignment argmax, probe ranking and tiebreaks)."""
     cos_qc = _COSINE_SQL.format(a="q.v", b="ct.cv")
     return f"""
-        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH c AS ({_NORM_VECS_SQL}),
         cents AS (SELECT vec_id AS list_id, v AS cv FROM c
                   WHERE vec_id % {stride} = 0),
         assign AS (
@@ -375,9 +380,7 @@ def _ann_ivf_oracle(k: int = 5, nprobe: int = 2, stride: int = 50) -> str:
             SELECT c.vec_id AS nid, c.v, cents.list_id,
                    row_number() OVER (
                      PARTITION BY c.vec_id
-                     ORDER BY list_dot_product(c.v, cents.cv)
-                       / (sqrt(list_dot_product(c.v, c.v))
-                          * sqrt(list_dot_product(cents.cv, cents.cv))) DESC,
+                     ORDER BY list_dot_product(c.v, cents.cv) DESC,
                        cents.list_id
                    ) AS rn
             FROM c, cents
@@ -389,9 +392,7 @@ def _ann_ivf_oracle(k: int = 5, nprobe: int = 2, stride: int = 50) -> str:
             SELECT q.query_id, q.v, ct.list_id,
                    row_number() OVER (
                      PARTITION BY q.query_id
-                     ORDER BY list_dot_product(q.v, ct.cv)
-                       / (sqrt(list_dot_product(q.v, q.v))
-                          * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+                     ORDER BY list_dot_product(q.v, ct.cv) DESC,
                        ct.list_id
                    ) AS rn
             FROM q, cents ct
@@ -510,7 +511,7 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_BANDS - 1}
     """,
     "ann_bruteforce": f"""
-        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH c AS ({_NORM_VECS_SQL}),
         q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -525,7 +526,7 @@ ORACLES = {
         ) t WHERE rank <= 5
     """,
     "embedding_near_dup": f"""
-        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WITH c AS ({_NORM_VECS_SQL})
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_COSINE_SQL.format(a='a.v', b='b.v')} AS cosine
         FROM c a JOIN c b ON a.vec_id < b.vec_id
