@@ -24,6 +24,7 @@ from datafusion_archive_spark.queries import (
     timeseries,
     tpch_more,
     tpch_more2,
+    tpch_more3,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -36,6 +37,7 @@ for mod in (
     nested,
     tpch_more,
     tpch_more2,
+    tpch_more3,
     aggregates2,
     pipeline,
 ):

@@ -1,9 +1,6 @@
 """TPC-H analog wave 3 (q13/q15/q17/q22 shapes) + map functions +
-deterministic sampling — completing the distinct query shapes of the
-TPC-H family that the driver's schema supports (q2/q9/q11/q16/q20/q21
-need partsupp or comment columns the testdata doesn't carry; their
-shapes — correlated scalar subqueries, EXISTS/NOT EXISTS, HAVING over
-joins — are covered by q2_min_per_group_subquery/q4/join_anti/q18).
+deterministic sampling. (q9/q11/q16/q20/q21 analogs, adapted around
+the missing partsupp/comment columns, live in tpch_more3.py.)
 """
 
 from __future__ import annotations
