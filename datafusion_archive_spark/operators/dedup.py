@@ -274,13 +274,18 @@ def simhash64(
     usable bits.
     """
     bits = min(bits, 60)
+    # md5-hash each token ONCE in its own projection; the 60 vote
+    # aggregates then bit-slice the materialized long. Inlining the
+    # hash into each aggregate would evaluate the md5 60× per token —
+    # CollapseProject keeps non-cheap multi-referenced aliases as a
+    # separate projection, same pattern as minhash_signatures.
     tokens = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(TX.normalize_text(F.col(text_col)), " ")
         ).alias("tok"),
-    )
-    h = TX.hash64(F.col("tok"), seed=0)
+    ).select("id", TX.hash64(F.col("tok"), seed=0).alias("th"))
+    h = F.col("th")
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(

@@ -43,8 +43,10 @@ def _normalized(
     id_alias: str,
     vec_alias: str,
     spread_input: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
-    """Project (id, unit-normalized float64 vector) and persist.
+    """Project (id, unit-normalized float64 vector) and (by default)
+    persist.
 
     Normalizing once turns every pairwise cosine into a single dot
     product (3× fewer vector passes in the quadratic kernels). The
@@ -52,7 +54,9 @@ def _normalized(
     the normalized arrays instead of recomputing them per plan branch,
     and — because Catalyst inlines projected expressions into HOF
     lambdas — an unpersisted norm column would be re-evaluated per
-    ELEMENT inside the division lambda."""
+    ELEMENT inside the division lambda. Pass ``persist=False`` when the
+    caller persists a derived frame that already carries the vector
+    (stacked cache layers cost a full extra materialization pass)."""
     from datafusion_archive_spark.operators.util import spread
 
     v = _as_double(F.col(vec_col))
@@ -65,7 +69,7 @@ def _normalized(
     )
     if spread_input:  # small single-row-group scans otherwise serialize
         df = spread(df)
-    return (
+    out = (
         df
         .select(F.col(id_col).alias(id_alias), v.alias("_v"), nrm.alias("_n"))
         .select(
@@ -74,8 +78,8 @@ def _normalized(
                 vec_alias
             ),
         )
-        .persist()
     )
+    return out.persist() if persist else out
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -181,7 +185,13 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
 
 def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-signature of a (double-cast) vector against the hyperplanes:
-    bit p = 1 iff dot(vec, plane_p) >= 0. Returns a long."""
+    bit p = 1 iff dot(vec, plane_p) >= 0. Returns a long.
+
+    Stays zip_with+aggregate on purpose: an unrolled
+    ``v[0]·p0 + v[1]·p1 + …`` formulation (tried) computes the same
+    IEEE result but builds a 768-node Add tree that Catalyst re-walks
+    on every optimizer/AQE pass — measured 1.6× slower end-to-end than
+    the compact HOF tree despite avoiding lambda interpretation."""
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         d = F.aggregate(
@@ -255,6 +265,9 @@ def lsh_cosine_topk(
             F.col("bb.band_val").alias("band_val"),
         )
 
+    # the persist under banded() is load-bearing: signature_col indexes
+    # the vector 64×/plane, and an unpersisted normalized array would
+    # inline its whole transform lineage into every getItem
     c = banded(
         _normalized(corpus, id_col, vec_col, "neighbor_id", "cv"),
         "neighbor_id",
