@@ -220,3 +220,65 @@ def rolling_hash_fingerprint(c: Column, window: int = 8) -> Column:
             ).cast("long"),
         )
     )
+
+
+# -- cleaning / PII scrubbing ------------------------------------------------
+# RE2-compatible patterns only (no lookarounds) so the DuckDB oracle
+# can run the identical regex; Spark regexp_replace is global by
+# default, DuckDB needs the 'g' flag.
+
+#: HTML/XML tags (non-greedy, single-line).
+HTML_TAG_RE = r"<[^>]+>"
+#: email addresses (pragmatic corpus-scrubbing pattern, not RFC 5322)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: http(s) URLs up to the next whitespace
+URL_RE = r"https?://[^\s]+"
+
+
+def strip_html(c: Column) -> Column:
+    """Remove HTML/XML tags. DuckDB:
+    ``regexp_replace(text, '<[^>]+>', ' ', 'g')``."""
+    return F.regexp_replace(c, HTML_TAG_RE, " ")
+
+
+def mask_emails(c: Column, token: str = "<EMAIL>") -> Column:
+    """Replace email addresses with a redaction token (PII scrub).
+    DuckDB: ``regexp_replace(text, <EMAIL_RE>, token, 'g')``."""
+    return F.regexp_replace(c, EMAIL_RE, token)
+
+
+def mask_urls(c: Column, token: str = "<URL>") -> Column:
+    """Replace http(s) URLs with a redaction token.
+    DuckDB: ``regexp_replace(text, <URL_RE>, token, 'g')``."""
+    return F.regexp_replace(c, URL_RE, token)
+
+
+def clean_text(c: Column) -> Column:
+    """Full cleaning chain for corpus ingestion: strip tags, mask
+    emails and URLs, collapse whitespace (order matters — tags first
+    so attribute URLs vanish with their tag, then PII masks, then
+    whitespace)."""
+    return F.trim(
+        F.regexp_replace(mask_urls(mask_emails(strip_html(c))), r"\s+", " ")
+    )
+
+
+def repetition_ratio(c: Column) -> Column:
+    """Share of the most frequent token in the document — the standard
+    boilerplate/spam signal (≈1.0 for 'buy buy buy …'). Empty text → 0.
+
+    Per-row array ops only (no shuffle): distinct tokens × count each
+    via ``filter``; O(distinct·n) per document, bounded by document
+    size. DuckDB twin: ``list_max(list_transform(list_distinct(toks),
+    t -> len(list_filter(toks, x -> x = t)))) / len(toks)``.
+    """
+    toks = F.split(normalize_text(c), " ")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return F.when(
+        F.size(toks) > 0, top / F.size(toks)
+    ).otherwise(F.lit(0.0))

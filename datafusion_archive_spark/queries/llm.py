@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.functions.rounding import round_half_up
 from datafusion_archive_spark.operators import dedup, multimodal, similarity
 
 # -- shared SQL fragments (DuckDB) ------------------------------------------
@@ -75,6 +76,28 @@ def q_text_fingerprint(spark, sf):
         "doc_id",
         TX.fingerprint(F.col("text")).alias("fp"),
         TX.rolling_hash_fingerprint(F.col("text"), 8).alias("rolling_fp"),
+    )
+
+
+def q_text_clean(spark, sf):
+    """PII-scrub / boilerplate-strip chain. The corpus text is
+    synthetic word-soup, so each doc is first decorated with a
+    deterministic HTML wrapper, an email, and a URL built from its own
+    id — giving the strip/mask chain real matches that the oracle
+    reproduces exactly."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    decorated = F.concat(
+        F.lit("<b>u"), sid, F.lit("@example.com</b> "),
+        F.col("text"),
+        F.lit(" https://ex.com/"), sid,
+    )
+    cleaned = TX.clean_text(decorated)
+    return d.select(
+        "doc_id",
+        TX.fingerprint(cleaned).alias("fp_clean"),
+        round_half_up(TX.repetition_ratio(cleaned), 4).alias("repetition"),
+        TX.token_count(cleaned).alias("tokens_clean"),
     )
 
 
@@ -417,6 +440,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_clean": q_text_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -462,6 +486,43 @@ ORACLES = {
                list_min(list_transform({_shingles_sql(8)},
                  s -> {_hash64_sql('s', 0)})) AS rolling_fp
         FROM wl
+    """,
+    "text_clean": r"""
+        WITH decorated AS (
+          SELECT doc_id,
+                 '<b>u' || CAST(doc_id AS VARCHAR) || '@example.com</b> '
+                 || text || ' https://ex.com/' || CAST(doc_id AS VARCHAR)
+                   AS t
+          FROM documents
+        ),
+        cleaned AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t, '<[^>]+>', ' ', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     'https?://[^\s]+', '<URL>', 'g'),
+                   '\s+', ' ', 'g')) AS ct
+          FROM decorated
+        ),
+        toks AS (
+          SELECT doc_id, ct,
+                 string_split(lower(trim(
+                   regexp_replace(ct, '\s+', ' ', 'g'))), ' ') AS tk
+          FROM cleaned
+        )
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(ct, '\s+', ' ', 'g'))))
+                 AS fp_clean,
+               floor(CAST(list_max(list_transform(list_distinct(tk),
+                       t -> len(list_filter(tk, x -> x = t))))
+                     AS DOUBLE) / len(tk) * 10000 + 0.5) / 10000.0
+                 AS repetition,
+               CAST(len(regexp_split_to_array(trim(ct), '\s+'))
+                    AS INTEGER) AS tokens_clean
+        FROM toks
     """,
     "dedup_exact": f"""
         SELECT md5({_NORM}) AS fp,

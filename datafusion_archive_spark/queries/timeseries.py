@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.functions.rounding import (
+    decimal_sum,
+    round_half_up,
+)
 from datafusion_archive_spark.operators.asof import asof_join
+from datafusion_archive_spark.operators.range_join import range_join_recent
 from datafusion_archive_spark.streaming.events import (
     sessionize_batch,
     windowed_event_counts,
@@ -77,10 +82,40 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Bounded range join: for each purchase, the count and value-sum
+    of the same user's clicks in the preceding hour. The band-join
+    decomposition keeps the shuffle linear (see operators.range_join);
+    left-outer restore keeps click-less purchases at zero."""
+    ev = load_events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = range_join_recent(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_us=3_600_000_000,
+        left_id="event_id",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("ts_r").alias("n_clicks"),
+        F.coalesce(
+            round_half_up(decimal_sum(F.col("value")), 2), F.lit(0.0)
+        ).alias("sum_click_value"),
+    )
+
+
 QUERIES = {
     "events_time_bucket": q_time_bucket,
     "events_sessionize": q_sessionize,
     "events_asof_join": q_asof_join,
+    "events_range_join": q_range_join,
 }
 
 ORACLES = {
@@ -149,5 +184,26 @@ ORACLES = {
                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
                click_value
         FROM carried WHERE is_left = 1
+    """,
+    "events_range_join": """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               count(c.ts) AS n_clicks,
+               coalesce(
+                 floor(CAST(sum(CAST(c.value AS DECIMAL(27,6))) AS DOUBLE)
+                       * 100 + 0.5) / 100.0,
+                 0.0) AS sum_click_value
+        FROM purchases p
+        LEFT JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.ts > p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        GROUP BY 1, 2
     """,
 }

@@ -120,3 +120,45 @@ def test_hash64_matches_python_md5(spark):
     df = spark.createDataFrame([("hello",)], ["s"])
     h = df.select(TX.hash64(F.col("s"), 7).alias("h")).collect()[0].h
     assert h == int(hashlib.md5(b"hello:7").hexdigest()[:15], 16)
+
+
+def test_clean_text_chain(spark):
+    raw = (
+        '<div class="post">Hello <b>world</b></div> '
+        "mail me at john.doe+spam@corp.example.org or visit "
+        "https://example.com/a?b=c#frag then stop"
+    )
+    df = spark.createDataFrame([(raw,)], ["text"])
+    out = df.select(TX.clean_text(F.col("text")).alias("c")).collect()[0].c
+    assert out == (
+        "Hello world mail me at <EMAIL> or visit <URL> then stop"
+    )
+
+
+def test_mask_functions_individually(spark):
+    df = spark.createDataFrame(
+        [("a@b.io and http://x.y/z plus <i>tag</i>",)], ["text"]
+    )
+    r = df.select(
+        TX.mask_emails(F.col("text")).alias("e"),
+        TX.mask_urls(F.col("text")).alias("u"),
+        TX.strip_html(F.col("text")).alias("h"),
+    ).collect()[0]
+    assert "<EMAIL>" in r.e and "a@b.io" not in r.e
+    assert "<URL>" in r.u and "http://x.y/z" not in r.u
+    assert "<i>" not in r.h and "tag" in r.h
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [("buy buy buy buy now",), ("all words here differ fully",)],
+        ["text"],
+    )
+    vals = [
+        r.r
+        for r in df.select(
+            TX.repetition_ratio(F.col("text")).alias("r")
+        ).collect()
+    ]
+    assert vals[0] == 0.8   # 4/5
+    assert vals[1] == 0.2   # 1/5

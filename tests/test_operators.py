@@ -185,3 +185,68 @@ def test_asof_join_backward(spark):
         ).collect()
     }
     assert out == {100: 1.0, 101: 2.0, 200: 9.0}
+
+
+# -- range join -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def range_frames(spark):
+    from datetime import datetime as DT
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, DT(2024, 1, 1, 10, 0, 0)),
+            (2, 7, DT(2024, 1, 1, 12, 0, 0)),   # no clicks in window
+            (3, 8, DT(2024, 1, 1, 10, 0, 0)),   # other key
+            (4, 7, DT(2024, 1, 1, 11, 0, 0)),   # boundary cases
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (7, DT(2024, 1, 1, 9, 30, 0), 1.0),    # in window of e1
+            (7, DT(2024, 1, 1, 10, 0, 0), 2.0),    # == l.ts → inclusive
+            (7, DT(2024, 1, 1, 9, 0, 0), 4.0),     # == l.ts - 1h → EXCLUDED
+            (7, DT(2024, 1, 1, 10, 0, 1), 8.0),    # 1s into e4's window edge
+            (9, DT(2024, 1, 1, 9, 45, 0), 16.0),   # wrong key
+        ],
+        ["user_id", "ts", "value"],
+    )
+    return left, right
+
+
+def test_range_join_inner(spark, range_frames):
+    from datafusion_archive_spark.operators.range_join import (
+        range_join_recent,
+    )
+
+    left, right = range_frames
+    out = range_join_recent(
+        left, right, "user_id", "ts", "ts", 3_600_000_000
+    ).collect()
+    got = sorted((r.event_id, r.value) for r in out)
+    # e1: 9:30 (cross-bucket: 9:30 is in bucket 9, e1 in bucket 10)
+    #     and 10:00 (inclusive right edge); 9:00 excluded (open left edge)
+    # e4 (11:00): only 10:00:01 — 10:00 sits ON the open left edge
+    # (11:00 - 1h) and is excluded; e2, e3: nothing
+    assert got == [(1, 1.0), (1, 2.0), (4, 8.0)]
+
+
+def test_range_join_outer_restore(spark, range_frames):
+    from datafusion_archive_spark.operators.range_join import (
+        range_join_recent,
+    )
+
+    left, right = range_frames
+    out = range_join_recent(
+        left, right, "user_id", "ts", "ts", 3_600_000_000,
+        left_id="event_id",
+    ).collect()
+    by_event = {}
+    for r in out:
+        by_event.setdefault(r.event_id, []).append(r.value)
+    assert sorted(by_event[1]) == [1.0, 2.0]
+    assert by_event[2] == [None]          # restored, null right columns
+    assert by_event[3] == [None]
+    assert by_event[4] == [8.0]
