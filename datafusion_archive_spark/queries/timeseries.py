@@ -15,7 +15,9 @@ from datafusion_archive_spark.functions.rounding import (
 )
 from datafusion_archive_spark.operators.asof import asof_join
 from datafusion_archive_spark.operators.range_join import range_join_recent
+from datafusion_archive_spark.operators.sketch import kmv_distinct, kmv_sql
 from datafusion_archive_spark.streaming.events import (
+    multi_resolution_rollup,
     sessionize_batch,
     windowed_event_counts,
 )
@@ -111,11 +113,26 @@ def q_range_join(spark, sf):
     )
 
 
+def q_multi_rollup(spark, sf):
+    """Hypertable-style hour+day rollup in one pass; the day level
+    re-aggregates the hourly partials, not the raw table."""
+    return multi_resolution_rollup(load_events(spark, sf), ("hour", "day"))
+
+
+def q_distinct_kmv(spark, sf):
+    """KMV distinct-user sketch per event type — approximate, yet
+    exactly reproduced by the DuckDB oracle (md5-derived hashes make
+    every intermediate engine-portable; see operators.sketch)."""
+    return kmv_distinct(load_events(spark, sf), "event_type", "user_id")
+
+
 QUERIES = {
     "events_time_bucket": q_time_bucket,
     "events_sessionize": q_sessionize,
     "events_asof_join": q_asof_join,
     "events_range_join": q_range_join,
+    "events_multi_rollup": q_multi_rollup,
+    "events_distinct_kmv": q_distinct_kmv,
 }
 
 ORACLES = {
@@ -206,4 +223,32 @@ ORACLES = {
          AND c.ts <= p.ts
         GROUP BY 1, 2
     """,
+    "events_multi_rollup": """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS bucket,
+                 event_type AS key,
+                 count(*) AS n_events,
+                 sum(CAST(value AS DECIMAL(27,6))) AS sum_dec
+          FROM events GROUP BY 1, 2
+        ),
+        daily AS (
+          SELECT date_trunc('day', bucket) AS bucket, key,
+                 CAST(sum(n_events) AS BIGINT) AS n_events,
+                 sum(sum_dec) AS sum_dec
+          FROM hourly GROUP BY 1, 2
+        )
+        SELECT 'hour' AS resolution,
+               strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               key, n_events,
+               floor(CAST(sum_dec AS DOUBLE) * 100 + 0.5) / 100.0
+                 AS sum_value
+        FROM hourly
+        UNION ALL
+        SELECT 'day',
+               strftime(bucket, '%Y-%m-%d %H:%M:%S'),
+               key, n_events,
+               floor(CAST(sum_dec AS DOUBLE) * 100 + 0.5) / 100.0
+        FROM daily
+    """,
+    "events_distinct_kmv": kmv_sql("events", "event_type", "user_id"),
 }

@@ -126,3 +126,64 @@ def sessionize_batch(
         F.max("session_id").alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+def multi_resolution_rollup(
+    events: DataFrame,
+    resolutions: tuple[str, ...] = ("hour", "day"),
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one stacked frame
+    of (resolution, bucket, key) aggregates for every requested
+    resolution.
+
+    Scale design: raw rows are aggregated ONCE at the finest
+    resolution; every coarser resolution re-aggregates the finer
+    partials, never the raw table. At 100 TB that's one big shuffle
+    (finest buckets) followed by shuffles over already-tiny aggregate
+    frames — the same dataflow a TimescaleDB continuous aggregate or a
+    Druid rollup maintains incrementally. Counts add; sums add (kept
+    as exact decimals until the final render); that is what makes the
+    partial re-aggregation valid.
+
+    ``resolutions`` must be ordered finest→coarsest and each must be a
+    ``date_trunc`` unit (minute/hour/day/week/month).
+    """
+    finest = resolutions[0]
+    cur = (
+        events.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_dec"),
+        )
+    )
+    out = None
+    for res in resolutions:
+        if res != finest:
+            cur = (
+                cur.groupBy(
+                    F.date_trunc(res, F.col("bucket")).alias("bucket"),
+                    "key",
+                )
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_dec").alias("sum_dec"),
+                )
+            )
+        level = cur.select(
+            F.lit(res).alias("resolution"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "key",
+            "n_events",
+            round_half_up(F.col("sum_dec").cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        out = level if out is None else out.unionByName(level)
+    return out

@@ -250,3 +250,60 @@ def test_range_join_outer_restore(spark, range_frames):
     assert by_event[2] == [None]          # restored, null right columns
     assert by_event[3] == [None]
     assert by_event[4] == [8.0]
+
+
+# -- KMV sketch -------------------------------------------------------------
+
+
+def test_kmv_accuracy(spark):
+    from datafusion_archive_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.expr("id div 2") % 700).alias("v"),
+    )
+    # per group, id div 2 covers 0..999, so v hits all of 0..699 →
+    # exact distinct = 700 per group
+    out = {r.grp: r for r in kmv_distinct(df, "grp", "v", k=64).collect()}
+    for g in ("0", "1"):
+        assert out[g].n_kept == 64
+        # KMV relative std error ≈ 1/sqrt(k-2) ≈ 12.7%; allow 4σ
+        assert abs(out[g].kmv_estimate - 700) / 700 < 0.51
+
+
+def test_kmv_exact_below_k(spark):
+    from datafusion_archive_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"), (F.col("id") % 7).alias("v")
+    )
+    r = kmv_distinct(df, "grp", "v", k=32).collect()[0]
+    assert r.n_kept == 7 and r.kmv_estimate == 7.0
+
+
+def test_kmv_mergeability(spark):
+    """min-k(A ∪ B) == min-k(min-k(A) ∪ min-k(B)) — the property that
+    lets sketch partials merge across partitions/time windows."""
+    from datafusion_archive_spark.functions import text as TX
+    from datafusion_archive_spark.operators.sketch import kmv_distinct
+
+    k = 16
+    whole = spark.range(500).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    est_whole = kmv_distinct(whole, "grp", "v", k=k).collect()[0].kmv_estimate
+
+    # simulate partial sketches: bottom-k hashes of each half, merged
+    halves = []
+    for lo, hi in ((0, 250), (250, 500)):
+        h = (
+            spark.range(lo, hi)
+            .select(TX.hash64(F.col("id").cast("string"), seed=11).alias("hv"))
+            .orderBy("hv")
+            .limit(k)
+        )
+        halves.append(h)
+    merged = halves[0].union(halves[1]).orderBy("hv").limit(k).collect()
+    u_k = merged[-1].hv / float(1 << 60)
+    est_merged = (k - 1) / u_k
+    assert abs(est_merged - est_whole) < 1e-9
