@@ -359,3 +359,92 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate candidate pairs into clusters: connected
+    components by iterative min-label propagation, the standard way
+    corpus dedup turns pairwise LSH matches into keep-one groups at
+    scale (no graph library needed — each iteration is a join + a
+    min-aggregate, all shuffles on the node id).
+
+    Each node starts labeled with itself; every iteration each node
+    takes the min label among itself and its neighbors' labels. The
+    label space only shrinks, and the iteration count needed is the
+    graph diameter (≤ log n after path-doubling effects of min
+    propagation through shared neighbors) — dedup clusters are tiny
+    and dense, so this converges in a handful of rounds; iteration
+    stops early the first round nothing changes.
+
+    Returns ``(node, component)`` where component = min node id in the
+    cluster. Only nodes that appear in ``pairs`` are returned —
+    singletons never enter the pair list by construction.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    connected components → one row per cluster with the kept (min-id)
+    doc and the cluster size."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=threshold)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("keep_id"),
+        )
+        .select("keep_id", "cluster_size")
+    )

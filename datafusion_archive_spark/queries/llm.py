@@ -122,6 +122,14 @@ def q_dedup_minhash_signatures(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clusters: LSH pairs → iterative min-label connected
+    components → (keep_id, cluster_size). The DuckDB oracle resolves
+    the same components with WITH RECURSIVE transitive closure —
+    exact agreement pins the iterative Spark loop's fixpoint."""
+    return dedup.dedup_clusters(_t(spark, sf, "documents"), threshold=0.25)
+
+
 def q_dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"),
