@@ -34,11 +34,40 @@ def execute_statement(ctx: ExecutionContext, stmt: str, max_rows: int) -> None:
     print(f"{min(len(rows), max_rows)} rows{suffix} ({time.time() - t0:.3f}s)")
 
 
+def split_statements(text: str) -> list[str]:
+    """Split a script on ';' statement terminators, quote-aware: a
+    semicolon inside a single-quoted SQL string (``LOCATION 'a;b'``,
+    ``WHERE s = ';'``) does not terminate the statement. Quotes escape
+    by doubling (``''``), which this scanner handles for free — the
+    second quote just re-enters the string state. ``--`` comment lines
+    are stripped per-line, so a statement whose first line is a comment
+    still runs."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    for ch in text:
+        if ch == "'":
+            in_quote = not in_quote
+            buf.append(ch)
+        elif ch == ";" and not in_quote:
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    stmts.append("".join(buf))
+    out = []
+    for stmt in stmts:
+        kept = "\n".join(
+            ln for ln in stmt.splitlines() if not ln.lstrip().startswith("--")
+        ).strip()
+        if kept:
+            out.append(kept)
+    return out
+
+
 def run_statements(ctx: ExecutionContext, text: str, max_rows: int) -> int:
     failures = 0
-    for stmt in (s.strip() for s in text.split(";")):
-        if not stmt or stmt.startswith("--"):
-            continue
+    for stmt in split_statements(text):
         try:
             execute_statement(ctx, stmt, max_rows)
         except Exception as e:  # report and continue, like a console should

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.functions.rounding import round_half_up
-from datafusion_archive_spark.operators.util import spread
+from datafusion_archive_spark.operators.util import cached, spread
 
 
 def exact_duplicates(
@@ -83,10 +83,10 @@ def ngram_jaccard_pairs(
             ).alias("shingle"),
         )
         .distinct()
-        # reused by three plan branches (sizes, join-left, join-right);
-        # persisting avoids recomputing the explode+distinct each time
-        .persist()
     )
+    # reused by three plan branches (sizes, join-left, join-right);
+    # persisting avoids recomputing the explode+distinct each time
+    shingles = cached(shingles)
     if max_shingle_df is not None:
         rare = (
             shingles.groupBy("shingle")
@@ -213,7 +213,7 @@ def minhash_lsh_pairs(
     # branch. Signatures are tiny relative to the corpus (id +
     # num_hashes longs/doc ≈ 136 B — ~140 GB even for 10^9 docs,
     # spillable), so caching them is the intended scale design.
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
+    sig = cached(minhash_signatures(df, text_col, id_col, num_hashes, k))
 
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
     band_structs = []
@@ -274,9 +274,9 @@ def simhash64(
     usable bits.
     """
     bits = min(bits, 60)
-    # md5-hash each token ONCE in its own projection; the 60 vote
+    # md5-hash each token ONCE in its own projection; the packed vote
     # aggregates then bit-slice the materialized long. Inlining the
-    # hash into each aggregate would evaluate the md5 60× per token —
+    # hash into each aggregate would evaluate the md5 per slice —
     # CollapseProject keeps non-cheap multi-referenced aliases as a
     # separate projection, same pattern as minhash_signatures.
     tokens = spread(df).select(
@@ -286,19 +286,42 @@ def simhash64(
         ).alias("tok"),
     ).select("id", TX.hash64(F.col("tok"), seed=0).alias("th"))
     h = F.col("th")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
+    # Bit-packed voting: instead of `bits` separate ±1-sum columns
+    # (a 60-long-wide aggregation buffer shuffled per doc), deposit
+    # each hash bit into a 16-bit lane of ceil(bits/4) packed longs
+    # and sum those. Lane g*4+f of s_g counts tokens whose bit j was
+    # set (cnt_j ≤ token count, so lanes never carry for docs up to
+    # 65 535 tokens — far above any sane document; pre-chunk longer
+    # ones). The ±1 vote sign is recovered after the aggregate:
+    # sum(±1) > 0  ⟺  2·cnt_j > n. Shuffle width drops 4× (15 longs
+    # + count vs 60 longs) and the per-token CASE WHENs disappear.
+    lane_bits = 16
+    lanes_per_long = 64 // lane_bits
+    n_packed = -(-bits // lanes_per_long)
+    packed = []
+    for g in range(n_packed):
+        expr = None
+        for f in range(lanes_per_long):
+            j = g * lanes_per_long + f
+            if j >= bits:
+                break
+            term = F.shiftleft(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)), lane_bits * f
             )
-        ).alias(f"v_{j}")
-        for j in range(bits)
-    ]
-    agg = tokens.groupBy("id").agg(*votes)
+            expr = term if expr is None else expr + term
+        packed.append(F.sum(expr).alias(f"s_{g}"))
+    agg = tokens.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"), *packed
+    )
+    lane_mask = (1 << lane_bits) - 1
     sig = F.lit(0).cast("long")
     for j in range(bits):
+        g, f = divmod(j, lanes_per_long)
+        cnt = F.shiftrightunsigned(
+            F.col(f"s_{g}"), lane_bits * f
+        ).bitwiseAND(F.lit(lane_mask))
         sig = sig + F.when(
-            F.col(f"v_{j}") > 0, F.lit(1).cast("long") * (1 << j)
+            cnt * 2 > F.col("n"), F.lit(1).cast("long") * (1 << j)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("id", sig.alias("simhash"))
 
@@ -322,8 +345,8 @@ def simhash_near_pairs(
     """
     bits = min(bits, 60)
     # persisted: the band explode + self-join would recompute the
-    # 60-column vote aggregation per plan branch otherwise
-    sig = simhash64(df, text_col, id_col, bits).persist()
+    # packed vote aggregation per plan branch otherwise
+    sig = cached(simhash64(df, text_col, id_col, bits))
     band_width = bits // blocking_bands
     band_structs = [
         F.struct(
@@ -384,6 +407,12 @@ def connected_components(
     Returns ``(node, component)`` where component = min node id in the
     cluster. Only nodes that appear in ``pairs`` are returned —
     singletons never enter the pair list by construction.
+
+    Raises ``RuntimeError`` if labels were still changing after
+    ``max_iterations`` — returning silently-split clusters would be a
+    wrong answer, and a pathological long-chain graph (diameter >
+    max_iterations) is a caller decision: raise the cap or switch to a
+    path-doubling variant.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -396,6 +425,7 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     ).persist()
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -412,7 +442,12 @@ def connected_components(
                     F.col("component"), F.coalesce("nmin", "component")
                 ).alias("component"),
             )
-            .persist()
+            # localCheckpoint, not persist: persist caches *data* but
+            # the logical plan still accrues one join per iteration —
+            # planning cost (and plan-string size) grows without bound
+            # on high-diameter graphs. Checkpointing truncates lineage
+            # so every iteration plans against a materialized leaf.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -426,7 +461,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (labels still changing); "
+            f"increase max_iterations for high-diameter graphs"
+        )
+    return cached(labels)
 
 
 def dedup_clusters(

@@ -42,7 +42,21 @@ def scd2_apply(
     ``dim`` columns: key, attributes…, valid_from, valid_to (NULL for
     current), is_current. ``updates`` columns: key, attributes…,
     valid_from (the change timestamp).
+
+    One-update-per-key contract: like SQL MERGE (which errors on a
+    multi-match), each key may contribute only one new version per
+    apply. Rather than fanning the dimension out through a duplicated
+    broadcast join, ``updates`` is first reduced to the LATEST row per
+    key (max ``ts_col``, standard micro-batch compaction); apply the
+    operator once per version if full intermediate history must be
+    recorded.
     """
+    latest_w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(latest_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     upd_keys = updates.select(key, F.col(ts_col).alias("_new_from"))
     closed = (
         dim.join(F.broadcast(upd_keys), key, "left")

@@ -31,6 +31,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.util import cached, spread
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -57,8 +59,6 @@ def _normalized(
     ELEMENT inside the division lambda. Pass ``persist=False`` when the
     caller persists a derived frame that already carries the vector
     (stacked cache layers cost a full extra materialization pass)."""
-    from datafusion_archive_spark.operators.util import spread
-
     v = _as_double(F.col(vec_col))
     nrm = F.sqrt(
         F.aggregate(
@@ -79,7 +79,7 @@ def _normalized(
             ),
         )
     )
-    return out.persist() if persist else out
+    return cached(out) if persist else out
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -242,9 +242,9 @@ def lsh_cosine_topk(
     def banded(df, id_alias, vec_alias):
         # persist the signed frame: the 12 interpreted plane-dots per
         # row must compute once, not once per band row / join branch
-        signed = df.withColumn(
-            "sig", signature_col(F.col(vec_alias), hp)
-        ).persist()
+        signed = cached(
+            df.withColumn("sig", signature_col(F.col(vec_alias), hp))
+        )
         band_structs = [
             F.struct(
                 F.lit(b).alias("band"),
@@ -300,6 +300,70 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 12,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: banded hyperplane-LSH
+    candidate generation → exact-cosine verification, returning
+    ``(id_a < id_b, cosine ≥ threshold)``.
+
+    This is the scale path :func:`cosine_pairs` documents: the
+    self-join keys on (band, band-bits) so shuffle cardinality is
+    O(N·bands) and the quadratic term is confined to same-bucket
+    collisions, while every emitted pair is exact (verified with the
+    true dot product) — only recall is approximate, as for any LSH
+    blocking scheme.
+    """
+    assert planes % bands == 0
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    hp = _hyperplanes(dim, planes, seed)
+
+    normed = _normalized(df, id_col, vec_col, "id", "v")
+    signed = cached(normed.withColumn("sig", signature_col(F.col("v"), hp)))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), b * bits_per_band)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    blocked = signed.select(
+        "id", "v", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "id", "v",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        # a pair can collide in several bands — dedupe (values identical)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -4,6 +4,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: DataFrames persisted by operator internals, awaiting release. The
+#: operators in this package persist small intermediates (signatures,
+#: normalized vectors) that outlive the returned lazy DataFrame, so
+#: they cannot unpersist them themselves. ``cached()`` registers each
+#: one here; harnesses (bench.py, tools/check_oracle.py) and each new
+#: query invocation call :func:`release_caches` once the previous
+#: result has been consumed, keeping a long session's cache footprint
+#: bounded to one query's working set.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def cached(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for scoped release.
+
+    Operator-internal persists must go through this instead of bare
+    ``.persist()`` so sessions that run many queries (the driver, the
+    bench loop) don't accumulate dead cached RDDs for their lifetime.
+    """
+    if not df.is_cached:
+        df = df.persist()
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every operator-internal cache registered since the
+    last release. Safe to call at any point where no previously
+    returned (still-lazy) DataFrame will be re-executed."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure compute-heavy per-row operators get cluster-wide

@@ -111,8 +111,12 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
+    """max_shingle_df engages the stop-shingle skew guard — the
+    per-shingle self-join term is quadratic in a shingle's document
+    frequency, so hot shingles must be dropped for the join to stay
+    linear at corpus scale. The oracle applies the identical df-cap."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), k=3, threshold=0.2
+        _t(spark, sf, "documents"), k=3, threshold=0.2, max_shingle_df=50
     )
 
 
@@ -163,9 +167,34 @@ def q_ann_bruteforce(spark, sf):
     return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+def _planted_embeddings(spark, sf):
+    """Corpus with planted near-duplicates: each vec_id < 25 gets a
+    perturbed twin (0.9·v + 0.1·reverse(v), cosine ≈ 0.99 to the
+    original) at id+100000. The raw testdata vectors are uniform-random
+    — no natural pair clears a 0.9 cosine threshold, so without
+    planting a near-dup query is vacuously empty at every sf."""
+    e = _t(spark, sf, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", vd.alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding"),
+            F.reverse(F.col("embedding")),
+            lambda a, b: a * F.lit(0.9) + b * F.lit(0.1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
 def q_embedding_near_dup(spark, sf):
-    return similarity.cosine_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.9
+    """Banded-LSH candidate generation → exact-cosine verification over
+    a corpus with planted near-duplicates. The registered scale path:
+    candidate join is O(N·bands); the exact quadratic kernel
+    (similarity.cosine_pairs) remains the verification baseline."""
+    return similarity.lsh_cosine_pairs(
+        _planted_embeddings(spark, sf),
+        threshold=0.9, planes=12, bands=4, dim=64,
     )
 
 
@@ -246,7 +275,11 @@ _MINHASH_SIG_CTE = f"""
 """
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_pair_ctes(threshold: float) -> str:
+    """CTE chain (starting with the signature CTEs) ending in
+    ``pairs(id_a, id_b, est_jaccard)`` — the SQL twin of
+    dedup.minhash_lsh_pairs, shared by the lsh-pairs and clusters
+    oracles."""
     rows_per_band = _N_MINHASH // _MINHASH_BANDS
     band_selects = []
     for b in range(_MINHASH_BANDS):
@@ -273,11 +306,47 @@ def _minhash_lsh_oracle() -> str:
           FROM buckets a
           JOIN buckets b
             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ),
+        pairs AS (
+          SELECT id_a, id_b, round(min(est_raw), 4) AS est_jaccard
+          FROM cand GROUP BY id_a, id_b
+          HAVING round(min(est_raw), 4) >= {threshold}
         )
-        SELECT id_a, id_b, round(min(est_raw), 4) AS est_jaccard
-        FROM cand GROUP BY id_a, id_b
-        HAVING round(min(est_raw), 4) >= 0.25
+"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return _minhash_pair_ctes(0.25) + """
+        SELECT id_a, id_b, est_jaccard FROM pairs
     """
+
+
+def _dedup_clusters_oracle() -> str:
+    """SQL twin of dedup.dedup_clusters: the same LSH pairs resolved
+    into connected components by a WITH RECURSIVE transitive closure
+    (exact agreement pins the Spark min-label loop's fixpoint)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pair_ctes(0.25).strip().removeprefix("WITH")
+        + """,
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT u AS node, least(u, min(v)) AS component
+          FROM reach GROUP BY u
+        )
+        SELECT component AS keep_id, count(*) AS cluster_size
+        FROM comp GROUP BY component
+    """
+    )
 
 
 def _simhash_sig_cte() -> str:
@@ -398,6 +467,60 @@ def _ann_lsh_oracle(planes: int = 12, bands: int = 4, k: int = 5) -> str:
     """
 
 
+#: planted-corpus twin of _planted_embeddings: base vectors plus a
+#: 0.9·v + 0.1·reverse(v) twin of every vec_id < 25 at id+100000
+_PLANTED_VECS_SQL = """
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(list_zip(embedding::DOUBLE[],
+                                         list_reverse(embedding::DOUBLE[])),
+                   s -> s[1] * 0.9::DOUBLE + s[2] * 0.1::DOUBLE) AS e
+          FROM embeddings WHERE vec_id < 25
+"""
+
+
+def _near_dup_lsh_oracle(
+    threshold: float = 0.9, planes: int = 12, bands: int = 4
+) -> str:
+    """SQL twin of q_embedding_near_dup: the same planted corpus,
+    hyperplane signatures (constants inlined — repr round-trips IEEE
+    doubles exactly), banded self-join candidates, exact-cosine
+    verification."""
+    hp = similarity._hyperplanes(64, planes, seed=42)
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) >= 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END"
+        for p, plane in enumerate(hp)
+    )
+    bands_vals = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+        WITH allv AS ({_PLANTED_VECS_SQL}),
+        c AS (
+          SELECT vec_id, list_transform(e,
+                   x -> x / sqrt(list_dot_product(e, e))) AS v
+          FROM allv
+        ),
+        sig AS (SELECT vec_id, v, ({sig_terms}) AS sig FROM c),
+        banded AS (
+          SELECT vec_id, v, band,
+                 (sig >> (band * {bits_per_band})) & {mask} AS band_val
+          FROM sig, (VALUES {bands_vals}) AS b(band)
+        ),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 min({_COSINE_SQL.format(a='a.v', b='b.v')}) AS cosine
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}
+    """
+
+
 def _ann_ivf_oracle(k: int = 5, nprobe: int = 2, stride: int = 50) -> str:
     """SQL twin of similarity.ivf_topk (same centroid subset,
     assignment argmax, probe ranking and tiebreaks)."""
@@ -453,6 +576,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash_signatures": q_dedup_simhash_signatures,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_bruteforce": q_ann_bruteforce,
@@ -542,8 +666,14 @@ ORACLES = {
         WITH wl AS (
           SELECT doc_id, {_WORDS} AS w FROM documents
         ),
-        sh AS (
+        sh_all AS (
           SELECT DISTINCT doc_id, unnest({_shingles_sql(3)}) AS shingle FROM wl
+        ),
+        rare AS (
+          SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50
+        ),
+        sh AS (
+          SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)
         ),
         sizes AS (
           SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -567,6 +697,7 @@ ORACLES = {
         SELECT * FROM sig
     """,
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_clusters": _dedup_clusters_oracle(),
     "dedup_simhash_signatures": _simhash_sig_cte()
     + """
         SELECT * FROM sig
@@ -594,13 +725,7 @@ ORACLES = {
           FROM scored
         ) t WHERE rank <= 5
     """,
-    "embedding_near_dup": f"""
-        WITH c AS ({_NORM_VECS_SQL})
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_COSINE_SQL.format(a='a.v', b='b.v')} AS cosine
-        FROM c a JOIN c b ON a.vec_id < b.vec_id
-        WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.9
-    """,
+    "embedding_near_dup": _near_dup_lsh_oracle(),
     "ann_lsh": _ann_lsh_oracle(),
     "ann_ivf": _ann_ivf_oracle(),
     "multimodal_decode": """

@@ -325,10 +325,13 @@ def q_join_semi(spark, sf):
 
 
 def q_join_anti(spark, sf):
-    """LEFT ANTI (NOT EXISTS) — customers with no orders at all."""
+    """LEFT ANTI (NOT EXISTS) — customers with no big order. The right
+    side is filtered so the result is non-empty at every sf (every
+    testdata customer has *some* order — an unfiltered anti-join
+    matches vacuously on 0 rows)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -832,7 +835,9 @@ ORACLES = {
     """,
     "join_anti": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000)
     """,
     "join_full_outer": """
         SELECT coalesce(nk_c, nk_s) AS nationkey,

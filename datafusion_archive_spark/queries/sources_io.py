@@ -1,0 +1,168 @@
+"""Source/sink round-trip and skew-handling queries.
+
+``sources_roundtrip`` drives the reference's *executing* core — the
+CSV datasource (``/root/reference/src/execution/datasource.rs:33-58``,
+``examples/csv_sql.rs:29-57``) plus its declared-only NDJSON format and
+write sink — through an oracle-checkable query: a parquet table slice
+is written to CSV and NDJSON under the repo, re-registered via the
+``CREATE EXTERNAL TABLE`` dialect (:mod:`datafusion_archive_spark.ddl`),
+joined back, and aggregated; the DuckDB oracle computes the same
+aggregate from the original parquet, so any fidelity loss in the
+write→DDL→scan path breaks the hash match.
+
+``salted_join_agg`` proves :func:`datafusion_archive_spark.operators.
+skew.salted_join` preserves join semantics exactly: the salted fact ⋈
+dim aggregate must hash-match a plain SQL join — salting only spreads
+hot keys over ``factor`` shuffle sub-partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.context import ExecutionContext
+from datafusion_archive_spark.operators.skew import salted_join
+
+#: scratch area for the round-trip files — must live under the repo
+#: (the build sandbox owns nothing else); overwritten per run.
+_IO_BASE = "/root/repo/.tmp_io"
+
+
+def q_sources_roundtrip(spark, sf):
+    base = f"{_IO_BASE}/{os.path.basename(sf.rstrip('/'))}"
+    ctx = ExecutionContext(spark)
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf}/supplier.parquet")
+    ctx.write(nation, f"{base}/nation_csv", "csv", header="true")
+    ctx.write(supplier, f"{base}/supplier_ndjson", "json")
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE nation_csv_rt ("
+        f"n_nationkey INT, n_name VARCHAR, n_regionkey INT) "
+        f"STORED AS CSV WITH HEADER ROW LOCATION '{base}/nation_csv'"
+    )
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE supplier_nd_rt ("
+        f"s_suppkey BIGINT, s_name VARCHAR, s_nationkey INT, "
+        f"s_acctbal DOUBLE) "
+        f"STORED AS NDJSON LOCATION '{base}/supplier_ndjson'"
+    )
+    # decimal-cast sum: exact 2dp money survives CSV/JSON text round-
+    # trip and partition-order variation; final DOUBLE for dtype parity
+    return ctx.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_suppliers,
+               CAST(sum(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM supplier_nd_rt s
+        JOIN nation_csv_rt n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+def q_salted_join_agg(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    s = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(l, s, on="suppkey", factor=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+
+
+def q_planir_roundtrip(spark, sf):
+    """Authors a logical plan in the serde IR (scan → projection-rename
+    → join → aggregate → sort → limit), serializes it to JSON,
+    deserializes, builds and runs it — the reference's plan-serde
+    round-trip (``/root/reference/src/logicalplan.rs:612-651``) driven
+    end-to-end through an oracle-checked query. Catalyst still owns
+    optimization: the IR builds lazy DataFrame ops."""
+    from datafusion_archive_spark.plans import serde as P
+
+    nation_renamed = P.projection(
+        [
+            P.alias(P.col("n_nationkey"), "c_nationkey"),
+            P.alias(P.col("n_name"), "nation"),
+        ],
+        P.parquet_scan(f"{sf}/nation.parquet"),
+    )
+    plan = P.limit(
+        10,
+        P.sort(
+            [{"expr": P.col("total_bal"), "asc": False},
+             {"expr": P.col("nation"), "asc": True}],
+            P.aggregate(
+                [P.col("nation")],
+                [
+                    P.alias(P.agg("count", P.lit(1)), "n_customers"),
+                    P.alias(
+                        P.cast(
+                            P.agg(
+                                "sum",
+                                P.cast(P.col("c_acctbal"), "decimal(12,2)"),
+                            ),
+                            "double",
+                        ),
+                        "total_bal",
+                    ),
+                ],
+                P.join(
+                    P.selection(
+                        P.binop("gt", P.col("c_acctbal"), P.lit(0.0)),
+                        P.parquet_scan(f"{sf}/customer.parquet"),
+                    ),
+                    nation_renamed,
+                    on=["c_nationkey"],
+                ),
+            ),
+        ),
+    )
+    wire = P.to_json(plan)
+    assert P.to_json(P.from_json(wire)) == wire  # serde fixpoint
+    return P.build(spark, P.from_json(wire))
+
+
+QUERIES = {
+    "sources_roundtrip": q_sources_roundtrip,
+    "salted_join_agg": q_salted_join_agg,
+    "planir_roundtrip": q_planir_roundtrip,
+}
+
+ORACLES = {
+    "sources_roundtrip": """
+        SELECT n.n_name AS nation,
+               count(*) AS n_suppliers,
+               CAST(sum(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "salted_join_agg": """
+        SELECT s_name,
+               count(*) AS n_items,
+               sum(l_quantity) AS total_qty
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s_name
+    """,
+    "planir_roundtrip": """
+        SELECT n.n_name AS nation,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0.0
+        GROUP BY n.n_name
+        ORDER BY total_bal DESC, nation
+        LIMIT 10
+    """,
+}

@@ -63,14 +63,42 @@ def compact(
 ) -> None:
     """Rewrite a directory into ``target_files`` files (small-file
     compaction). Uses coalesce — no shuffle — because compaction only
-    reduces file count; use repartition instead if re-clustering."""
+    reduces file count; use repartition instead if re-clustering.
+
+    Local-filesystem paths only: the swap below uses OS renames, which
+    don't exist on object stores (s3://, hdfs:// — those need a
+    table-format commit protocol like Delta/Iceberg, out of scope
+    here). The swap is crash-safe in the never-lose-data sense: the
+    old directory is renamed aside *before* the new one moves into
+    place, so at every instant the data exists at a deterministic
+    location (``path``, ``path__compact_old``, or the tmp dir) —
+    never deleted before its replacement is in place.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact() only supports local filesystem paths, got {path!r}"
+        )
+    local = urlparse(path).path if scheme == "file" else path
+
     df = spark.read.format(file_format).load(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    tmp = local.rstrip("/") + "__compact_tmp"
+    old = local.rstrip("/") + "__compact_old"
     df.coalesce(target_files).write.mode("overwrite").format(
         file_format
     ).save(tmp)
-    # atomic-ish swap via filesystem rename
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    # move old aside → move new into place → drop old (each step an
+    # OS rename except the final cleanup, which is safe to re-run)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(local, old)
+    try:
+        os.rename(tmp, local)
+    except OSError:
+        os.rename(old, local)  # roll back; tmp still holds the rewrite
+        raise
+    shutil.rmtree(old)

@@ -111,11 +111,22 @@ def schema(*fields: T.StructField) -> T.StructType:
 
 def supertype(a: str, b: str) -> str | None:
     """Common supertype of two logical type tags for binary-operand
-    coercion, matching the reference lattice
-    (``/root/reference/src/logicalplan.rs:446-554``): equal types map to
-    themselves; any float wins at float64 unless both are float32;
-    mixed signed/unsigned integers promote to the signed type wide enough
-    to hold both; utf8 pairs with nothing numeric.
+    coercion, following the reference lattice
+    (``/root/reference/src/logicalplan.rs:446-554``) with one
+    DELIBERATE deviation: mixed-signedness pairs widen losslessly.
+    The reference maps UInt8+Int8→Int8 and UInt32+Int32→Int32, which
+    silently truncates unsigned values above the signed max; here they
+    promote to the signed type wide enough for both ranges (uint8+int8
+    → int16, uint32+int32 → int64). Everything else matches: equal
+    types map to themselves; any float involvement wins at float64
+    unless both are float32; utf8 pairs with nothing numeric.
+
+    Known hazard, kept for reference parity (``logicalplan.rs:471``):
+    uint64 mixed with any signed int yields int64, which cannot
+    represent uint64 values above 2**63-1 — there is no wider signed
+    int to widen into (the storage type DECIMAL(20,0) exists, but the
+    reference coerces to Int64 and we match it). Callers mixing uint64
+    with signed ints must range-check upstream.
     """
     a, b = a.lower(), b.lower()
     if a == b:

@@ -52,3 +52,25 @@ def test_ann_bruteforce_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in s.joins  # query side broadcast
     # ranking shuffles the scored pairs once; corpus scan itself no
     assert s.n_hash_exchanges <= 1
+
+
+def test_q7_shipdate_filter_pushed_to_scan(spark, sf_dir):
+    """The q7 year restriction must reach the lineitem parquet scan as
+    a pushed shipdate range, not run post-aggregate."""
+    s = summarize(QUERIES["q7_volume_between_nations"](spark, sf_dir))
+    pushed = ";".join(s.pushed_filters)
+    assert "l_shipdate" in pushed, s.pushed_filters
+
+
+def test_ngram_jaccard_skew_guard_in_plan(spark, sf_dir):
+    """The registered ngram-Jaccard query must run with the
+    stop-shingle df-cap engaged — the plan contains the document-
+    frequency filter feeding the shingle self-join."""
+    s = summarize(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "(df#" in s.raw and "<= 50" in s.raw, s.raw
+
+
+def test_salted_join_no_cartesian(spark, sf_dir):
+    s = summarize(QUERIES["salted_join_agg"](spark, sf_dir))
+    assert "CartesianProduct" not in s.joins
+    assert "BroadcastNestedLoopJoin" not in s.joins

@@ -1,0 +1,115 @@
+"""Round-2 hardening tests: approximate-aggregate error bounds, the
+quote-aware console splitter, SCD2 multi-update compaction, connected-
+components convergence guard, and operator cache release."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.console import split_statements
+from datafusion_archive_spark.operators import util as op_util
+from datafusion_archive_spark.operators.dedup import connected_components
+from datafusion_archive_spark.operators.merge import scd2_apply
+from datafusion_archive_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_aggs_within_error_bounds(spark):
+    """approx_count_distinct is an HLL++ sketch with default rsd 5%;
+    assert every group lands within a conservative 15% of the exact
+    DuckDB count, and the approximate median within the min/max of the
+    exact P40–P60 band — the bounded-error contract the rows-only
+    driver check can't express."""
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["approx_aggs"](spark, SF).collect()
+    }
+    exact = duckdb.sql(
+        f"""
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n,
+               quantile_cont(l_extendedprice, 0.40) AS p40,
+               quantile_cont(l_extendedprice, 0.60) AS p60
+        FROM read_parquet('{SF}/lineitem.parquet')
+        GROUP BY 1
+        """
+    ).fetchall()
+    assert len(exact) == len(got) > 0
+    for flag, n, p40, p60 in exact:
+        row = got[flag]
+        assert abs(row["approx_orders"] - n) / n <= 0.15, (flag, row, n)
+        assert p40 <= row["approx_median_price"] <= p60, (flag, row)
+
+
+def test_split_statements_quote_aware():
+    stmts = split_statements(
+        "CREATE EXTERNAL TABLE t (a INT) STORED AS CSV "
+        "LOCATION '/data/a;b';\n"
+        "SELECT * FROM t WHERE s = ';';\n"
+        "-- a leading comment\nSELECT 1;"
+    )
+    assert len(stmts) == 3
+    assert stmts[0].endswith("LOCATION '/data/a;b'")
+    assert stmts[1].endswith("WHERE s = ';'")
+    assert stmts[2] == "SELECT 1"
+
+
+def test_split_statements_strips_comment_lines_keeps_sql():
+    stmts = split_statements("-- only a comment\n")
+    assert stmts == []
+    stmts = split_statements("-- header\nSELECT\n-- inner\n42;")
+    assert stmts == ["SELECT\n42"]
+
+
+def test_scd2_multi_update_keeps_latest_per_key(spark):
+    dim = spark.createDataFrame(
+        [("2020-01-01", 1, "orig", None, True)],
+        "valid_from string, k int, attr string, valid_to string, "
+        "is_current boolean",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp")) \
+     .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, attr="mid", valid_from="2021-01-01"),
+            Row(k=1, attr="new", valid_from="2022-01-01"),
+        ]
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+    out = scd2_apply(dim, updates, "k").collect()
+    # one closed-out original + exactly ONE new current version (the
+    # latest update), never a fanned-out duplicate of the dimension row
+    assert len(out) == 2
+    current = [r for r in out if r.is_current]
+    assert len(current) == 1 and current[0].attr == "new"
+    closed = [r for r in out if not r.is_current]
+    assert len(closed) == 1 and closed[0].valid_to is not None
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 12-node chain has diameter 11; 2 min-label iterations cannot
+    # finish, and a silent partial answer would be wrong
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(12)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    labels = connected_components(chain, max_iterations=20)
+    assert labels.select("component").distinct().count() == 1
+    op_util.release_caches()
+
+
+def test_operator_caches_are_scoped(spark):
+    op_util.release_caches()  # clean slate
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    c = op_util.cached(df)
+    assert c.is_cached
+    assert len(op_util._ACTIVE_CACHES) == 1
+    # re-registering an already-cached frame must not double-persist
+    c2 = op_util.cached(c)
+    assert c2 is c
+    op_util.release_caches()
+    assert not c.is_cached
+    assert op_util._ACTIVE_CACHES == []
