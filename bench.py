@@ -62,6 +62,11 @@ def main() -> None:
             "q1_pricing_summary",   # decimal-sum aggregation codegen
             "window_topk_per_group",  # window exec
             "join_full_outer",      # SMJ/outer-join codegen
+            "dedup_simhash_pairs",  # packed-vote agg + banded self-join
+            "dedup_minhash_lsh",    # minhash agg + band join codegen
+            "ann_lsh",              # HOF plane-dot interpretation paths
+            "multimodal_decode",    # Arrow/mapInPandas worker spin-up
+            "text_stats",           # regex/codegen-heavy scan metrics
         ):
             QUERIES[warm_q](spark, warm_dir).write.mode(
                 "overwrite"

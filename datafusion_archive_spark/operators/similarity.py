@@ -183,30 +183,34 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
-def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-signature of a (double-cast) vector against the hyperplanes:
-    bit p = 1 iff dot(vec, plane_p) >= 0. Returns a long.
+def signature_col(vec: str, planes: list[list[float]]) -> Column:
+    """Bit-signature of a (double-cast) vector column named ``vec``
+    against the hyperplanes: bit p = 1 iff dot(vec, plane_p) >= 0.
+    Returns a long.
 
-    Stays zip_with+aggregate on purpose: an unrolled
-    ``v[0]·p0 + v[1]·p1 + …`` formulation (tried) computes the same
-    IEEE result but builds a 768-node Add tree that Catalyst re-walks
-    on every optimizer/AQE pass — measured 1.6× slower end-to-end than
-    the compact HOF tree despite avoiding lambda interpretation."""
-    sig = F.lit(0).cast("long")
+    Two deliberate shape choices, both measured:
+
+    - Stays zip_with+aggregate (not an unrolled ``v[0]·p0 + …`` Add
+      tree): same IEEE result, but the 768-node tree makes Catalyst
+      re-walk it on every optimizer/AQE pass — 1.6× slower end-to-end.
+    - Built as ONE ``F.expr`` SQL string, not chained Column ops:
+      12 planes × 64 ``F.lit`` components is ~800 py4j round-trips,
+      ~3 s of driver-side plan construction per query build.
+
+    Plane components are embedded as ``CAST('<repr>' AS DOUBLE)`` —
+    repr round-trips IEEE doubles exactly, so results are bit-identical
+    to the lit() formulation (and to the SQL oracle, which inlines the
+    same reprs).
+    """
+    terms = []
     for p, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane)
+        d = (
+            f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        sig = sig + F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+        terms.append(f"IF({d} >= 0, {1 << p}L, 0L)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_cosine_topk(
@@ -243,7 +247,7 @@ def lsh_cosine_topk(
         # persist the signed frame: the 12 interpreted plane-dots per
         # row must compute once, not once per band row / join branch
         signed = cached(
-            df.withColumn("sig", signature_col(F.col(vec_alias), hp))
+            df.withColumn("sig", signature_col(vec_alias, hp))
         )
         band_structs = [
             F.struct(
@@ -330,7 +334,7 @@ def lsh_cosine_pairs(
     hp = _hyperplanes(dim, planes, seed)
 
     normed = _normalized(df, id_col, vec_col, "id", "v")
-    signed = cached(normed.withColumn("sig", signature_col(F.col("v"), hp)))
+    signed = cached(normed.withColumn("sig", signature_col("v", hp)))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
