@@ -26,18 +26,39 @@ def round_half_up(c: Column, digits: int = 4) -> Column:
 
 
 def decimal_sum(expr: Column) -> Column:
-    """Order-independent money sum: cast each term to DECIMAL(27,6)
-    (exact — revenue terms are ≤6-decimal products of 2dp inputs, and
-    1 ulp of a double is far below the 5e-7 rounding half-spacing, so
-    both engines recover the same decimal), sum exactly, then return
-    as double. Without this, a floating sum's last bits depend on
-    partition/merge order, and ~1% of revenue-style group sums sit
-    exactly on a .005 rounding midpoint where that instability (and
-    Spark-vs-external round() semantics) flips the rounded cent.
+    """Order-independent money sum, evaluated on the fast integer path.
 
-    DuckDB twin: :func:`decimal_sum_sql`.
+    Semantics: sum over rows of the 6-decimal rounding of ``expr``,
+    exactly (the per-term 6dp decimal is exact for revenue-style
+    values — ≤6-decimal products of 2dp inputs, and 1 ulp of a double
+    is far below the 5e-7 rounding half-spacing). Without this, a
+    floating sum's last bits depend on partition/merge order, and ~1%
+    of revenue-style group sums sit exactly on a .005 rounding
+    midpoint where that instability (and Spark-vs-external round()
+    semantics) flips the rounded cent.
+
+    Implementation: each term becomes exact integer micros in a LONG
+    (``round(x·10⁶)`` — exact for \\|x\\| < 2⁵³/10⁶ ≈ 9·10⁹, far above
+    any per-row money value), split into whole-unit and sub-unit
+    parts that are summed separately. Long sums stay in whole-stage
+    codegen (a DECIMAL(27,6) buffer exceeds 18 digits → per-row
+    BigDecimal, measured 6× slower), and neither part can overflow at
+    warehouse scale: whole-unit sums fit ~9·10¹⁸ units and the
+    sub-unit part adds < 10⁶ per row (overflow at ~9·10¹² rows per
+    group — and Spark's ANSI mode would raise, not corrupt, beyond
+    it). The two partial sums combine in decimal once per GROUP.
+
+    DuckDB twin: :func:`decimal_sum_sql` (a plain decimal sum —
+    value-identical because both sides compute the exact same
+    per-term 6dp decimal).
     """
-    return F.sum(expr.cast("decimal(27,6)")).cast("double")
+    micros = F.round(expr * 1_000_000).cast("long")
+    lo = micros % 1_000_000
+    hi = ((micros - lo) / 1_000_000).cast("long")
+    return (
+        (F.sum(hi).cast("decimal(32,0)") * 1_000_000 + F.sum(lo))
+        / 1_000_000
+    ).cast("double")
 
 
 def decimal_sum_sql(expr: str) -> str:

@@ -216,6 +216,82 @@ def q_ann_ivf(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination — the training-pipeline step that
+    flags documents sharing any 8-word shingle with a held-out eval
+    set (here: doc_id < 20 stands in for the benchmark corpus).
+
+    Scale shape: the benchmark's distinct gram-hash set is tiny and
+    broadcast, so the corpus is scanned once and never shuffled for
+    the membership probe; only (doc_id, hit) pairs reach the count
+    aggregate."""
+    d = _t(spark, sf, "documents")
+
+    def grams(df):
+        return df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.array_distinct(TX.word_shingles(F.col("text"), 8))
+            ).alias("g"),
+        ).select("id", TX.hash64(F.col("g"), 0).alias("gh"))
+
+    bench_grams = (
+        grams(d.filter(F.col("doc_id") < 20)).select("gh").distinct()
+    )
+    hits = (
+        grams(d)
+        .join(F.broadcast(bench_grams), "gh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, d.doc_id == hits.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary statistics: token frequencies, top 100 by
+    count (ties broken by token — deterministic). One explode + one
+    map-side-combined aggregate + TakeOrdered; the classic BPE-corpus
+    prep pass."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.split(TX.normalize_text(F.col("text")), " ")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+def q_udaf_median(spark, sf):
+    """Custom UDAF surface (reference ``FunctionType::Aggregate``,
+    ``src/logicalplan.rs:25-28`` — declared, never implemented): a
+    Pandas GROUPED_AGG UDAF (Arrow-batched, one call per group) for
+    the per-language median token count. np.percentile's linear
+    interpolation == DuckDB quantile_cont, so the oracle is exact."""
+    from datafusion_archive_spark.functions.udaf import median_udaf
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", TX.token_count(F.col("text")).alias("tokens"))
+        .groupBy("lang")
+        .agg(median_udaf("tokens").alias("median_tokens"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -585,6 +661,9 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "decontaminate_ngram_overlap": q_decontaminate,
+    "vocab_topk": q_vocab_topk,
+    "udaf_median_tokens": q_udaf_median,
 }
 
 
@@ -743,5 +822,38 @@ ORACLES = {
                CAST(u AS INTEGER) AS frame_idx
         FROM documents,
              unnest(range(0, 1 + octet_length(encode(text)) % 7, 2)) AS t(u)
+    """,
+    "decontaminate_ngram_overlap": f"""
+        WITH wl AS (
+          SELECT doc_id, {_WORDS} AS w FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT id, {_hash64_sql('s', 0)} AS gh FROM (
+            SELECT doc_id AS id, unnest({_shingles_sql(8)}) AS s FROM wl
+          )
+        ),
+        bench AS (SELECT DISTINCT gh FROM grams WHERE id < 20),
+        hits AS (
+          SELECT id, count(*) AS n FROM grams JOIN bench USING (gh)
+          GROUP BY id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n, 0) AS n_shared_grams,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+    """,
+    "vocab_topk": f"""
+        SELECT token, count(*) AS freq FROM (
+          SELECT unnest({_WORDS}) AS token FROM documents
+        ) GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT 100
+    """,
+    "udaf_median_tokens": """
+        SELECT lang,
+               quantile_cont(
+                 len(regexp_split_to_array(trim(text), '\\s+')), 0.5)
+                 AS median_tokens
+        FROM documents GROUP BY lang
     """,
 }
