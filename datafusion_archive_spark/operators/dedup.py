@@ -178,11 +178,15 @@ def minhash_signatures(
     ).select(
         "id", (TX.hash64(F.col("shingle"), 0) % MINHASH_PRIME).alias("base")
     )
+    # expr strings, not chained Column ops — see simhash64 note on
+    # py4j plan-construction cost
     aggs = []
     for i in range(num_hashes):
         a, b = minhash_affine_params(i)
         aggs.append(
-            F.min((F.col("base") * a + b) % MINHASH_PRIME).alias(f"mh_{i}")
+            F.expr(f"min((base * {a}L + {b}L) % {MINHASH_PRIME}L)").alias(
+                f"mh_{i}"
+            )
         )
     return ex.groupBy("id").agg(*aggs)
 
@@ -234,9 +238,8 @@ def minhash_lsh_pairs(
 
     a = buckets.alias("a")
     b = buckets.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0)
-        for c in mh_cols
+    agree = F.expr(
+        " + ".join(f"IF(a.{c} = b.{c}, 1, 0)" for c in mh_cols)
     )
     cand = (
         a.join(

@@ -74,3 +74,18 @@ def test_salted_join_no_cartesian(spark, sf_dir):
     s = summarize(QUERIES["salted_join_agg"](spark, sf_dir))
     assert "CartesianProduct" not in s.joins
     assert "BroadcastNestedLoopJoin" not in s.joins
+
+
+def test_decontaminate_benchmark_set_broadcast(spark, sf_dir):
+    """The benchmark gram set must broadcast — the corpus side of the
+    membership probe never shuffles."""
+    s = summarize(QUERIES["decontaminate_ngram_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in s.joins, s.joins
+    assert "CartesianProduct" not in s.joins
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    """Top-k must not globally sort: TakeOrdered keeps per-partition
+    heaps + a driver merge."""
+    s = summarize(QUERIES["vocab_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in s.raw, s.raw

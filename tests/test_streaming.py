@@ -57,3 +57,67 @@ def test_sessionize_batch_sanity(spark, events_path):
     total_sessions = sum(r.n_sessions for r in rows)
     assert total_sessions >= len(rows)  # at least one session per user
     assert all(r.max_session_events >= 1 for r in rows)
+
+
+def test_stream_exact_dedup_equals_batch_distinct(
+    spark, sf_dir, tmp_path_factory
+):
+    """First-wins streaming dedup: a completed stream over a corpus
+    written TWICE (every doc a duplicate) must surface exactly the
+    batch-distinct fingerprint set, once each."""
+    from datafusion_archive_spark.functions import text as TX
+    from datafusion_archive_spark.streaming import exact_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path_factory.mktemp("sdedup") / "docs")
+    docs.coalesce(1).write.parquet(path)
+    docs.coalesce(1).write.mode("append").parquet(path)
+
+    stream = exact_dedup_stream(spark, path, docs.schema)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT fp FROM dedup_out").collect()
+    finally:
+        q.stop()
+    batch_fps = {
+        r.fp
+        for r in docs.select(TX.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert len(got) == len(batch_fps)  # each fingerprint exactly once
+    assert {r.fp for r in got} == batch_fps
+
+
+def test_stream_event_dedup_within_watermark(spark, events_path):
+    """Watermarked dedup drops duplicate (user_id, ts) arrivals while
+    keeping state bounded by the watermark horizon."""
+    from datafusion_archive_spark.streaming import event_dedup_stream
+
+    batch_df = spark.read.parquet(events_path)
+    doubled_path = events_path + "_doubled"
+    batch_df.coalesce(1).write.mode("overwrite").parquet(doubled_path)
+    batch_df.coalesce(1).write.mode("append").parquet(doubled_path)
+
+    stream = event_dedup_stream(
+        spark, doubled_path, batch_df.schema,
+        keys=["user_id", "ts"], watermark="10 years",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ededup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) AS n FROM ededup_out").collect()[0].n
+    finally:
+        q.stop()
+    assert n == batch_df.select("user_id", "ts").distinct().count()
