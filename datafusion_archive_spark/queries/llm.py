@@ -198,6 +198,15 @@ def q_embedding_near_dup(spark, sf):
     )
 
 
+def q_embedding_near_dup_exact(spark, sf):
+    """The exact quadratic kernel on the same planted corpus — the
+    ground-truth baseline the LSH path approximates (on this corpus
+    both find all 25 planted pairs; at scale only the LSH form runs)."""
+    return similarity.cosine_pairs(
+        _planted_embeddings(spark, sf), threshold=0.9
+    )
+
+
 def q_ann_lsh(spark, sf):
     """Approximate ANN (banded random-hyperplane LSH). The oracle
     replicates the exact construction in SQL — hyperplane constants are
@@ -657,6 +666,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
@@ -805,6 +815,18 @@ ORACLES = {
         ) t WHERE rank <= 5
     """,
     "embedding_near_dup": _near_dup_lsh_oracle(),
+    "embedding_near_dup_exact": f"""
+        WITH allv AS ({_PLANTED_VECS_SQL}),
+        c AS (
+          SELECT vec_id, list_transform(e,
+                   x -> x / sqrt(list_dot_product(e, e))) AS v
+          FROM allv
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COSINE_SQL.format(a='a.v', b='b.v')} AS cosine
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.9
+    """,
     "ann_lsh": _ann_lsh_oracle(),
     "ann_ivf": _ann_ivf_oracle(),
     "multimodal_decode": """

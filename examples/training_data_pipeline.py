@@ -1,12 +1,14 @@
 """End-to-end training-data pipeline over the testdata corpus:
 
 read documents → text features (quality/tokens/lang) → quality gate →
-exact dedup → MinHash-LSH near-dup pruning → embedding near-dup check
-→ write the clean corpus partitioned by language.
+benchmark decontamination → exact dedup → MinHash-LSH near-dup
+clustering (keep one survivor per cluster) → embedding near-dup check
+(banded LSH) → write the clean corpus partitioned by language.
 
-Every stage is a scan-side projection or a single keyed shuffle; at
-100 TB the same code runs unchanged — partitioned output + AQE do the
-rest. Run: python examples/training_data_pipeline.py [sf_dir] [out_dir]
+Every stage is a scan-side projection, a broadcast probe, or a single
+keyed shuffle; at 100 TB the same code runs unchanged — partitioned
+output + AQE do the rest.
+Run: python examples/training_data_pipeline.py [sf_dir] [out_dir]
 """
 
 from __future__ import annotations
@@ -44,24 +46,57 @@ def main() -> None:
         TX.token_count(t).alias("tokens"),
     ).filter((F.col("quality") >= 0.4) & (F.col("tokens") >= 10))
 
-    # 2. exact dedup: keep the lowest doc_id per fingerprint
-    survivors = dedup.exact_duplicates(enriched).select(
+    # 2. benchmark decontamination: drop docs sharing any 8-gram with
+    #    the (stand-in) eval set — the gram set broadcasts, the corpus
+    #    never shuffles for the probe
+    bench = docs.filter(F.col("doc_id") < 20)
+
+    def grams(df):
+        return df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.array_distinct(TX.word_shingles(F.col("text"), 8))
+            ).alias("g"),
+        ).select("id", TX.hash64(F.col("g"), 0).alias("gh"))
+
+    bench_grams = grams(bench).select("gh").distinct()
+    contaminated = (
+        grams(enriched.select(F.col("doc_id"), F.col("text")))
+        .join(F.broadcast(bench_grams), "gh")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    clean = enriched.join(contaminated, "doc_id", "left_anti")
+
+    # 3. exact dedup: keep the lowest doc_id per fingerprint
+    survivors = dedup.exact_duplicates(clean).select(
         F.col("keep_id").alias("doc_id")
     )
-    clean = enriched.join(survivors, "doc_id")
+    clean = clean.join(survivors, "doc_id")
 
-    # 3. near-dup pruning: drop the higher id of each MinHash-LSH pair
-    near = dedup.minhash_lsh_pairs(clean, bands=8, threshold=0.5)
-    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
-    clean = clean.join(drop, "doc_id", "left_anti")
+    # 4. near-dup clustering: LSH pairs → connected components → keep
+    #    one survivor (min id) per cluster
+    keep = dedup.dedup_clusters(clean, threshold=0.5).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    paired = dedup.minhash_lsh_pairs(clean, threshold=0.5)
+    in_any_pair = (
+        paired.select(F.col("id_a").alias("doc_id"))
+        .unionByName(paired.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    clean = clean.join(in_any_pair, "doc_id", "left_anti").unionByName(
+        clean.join(keep, "doc_id")
+    )
 
-    # 4. embedding near-dups (cosine ≥ 0.95) → drop higher vec_id
+    # 5. embedding near-dups via banded LSH (cosine ≥ 0.95) → drop
+    #    higher vec_id of each pair
     emb = ctx.table("embeddings")
-    epairs = similarity.cosine_pairs(emb, threshold=0.95)
+    epairs = similarity.lsh_cosine_pairs(emb, threshold=0.95)
     edrop = epairs.select(F.col("id_b").alias("doc_id")).distinct()
     clean = clean.join(edrop, "doc_id", "left_anti")
 
-    # 5. write partitioned by language (partition-pruned reads later)
+    # 6. write partitioned by language (partition-pruned reads later)
     write_partitioned(
         clean.select("doc_id", "lang", "quality", "tokens", "text"),
         out_dir,
