@@ -266,6 +266,40 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_chunk_documents(spark, sf):
+    """Token-bounded document chunking — split every document into
+    ≤32-token chunks (the standard context-window prep pass before
+    tokenization). Pure scan-side: words split once, chunks sliced via
+    posexplode over the chunk count; no shuffle at all — at 100 TB
+    this is a map-only stage whose output feeds the tokenizer."""
+    max_tok = 32
+    d = _t(spark, sf, "documents")
+    words = F.split(TX.normalize_text(F.col("text")), " ")
+    n_chunks = F.ceil(F.size("w") / F.lit(max_tok)).cast("int")
+    return (
+        d.select("doc_id", words.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.posexplode(F.sequence(F.lit(1), n_chunks)).alias(
+                "chunk_idx", "_one_based"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("w"), F.col("chunk_idx") * max_tok + 1, max_tok),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(max_tok),
+                F.size("w") - F.col("chunk_idx") * max_tok,
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def q_vocab_topk(spark, sf):
     """Corpus vocabulary statistics: token frequencies, top 100 by
     count (ties broken by token — deterministic). One explode + one
@@ -674,6 +708,7 @@ QUERIES = {
     "decontaminate_ngram_overlap": q_decontaminate,
     "vocab_topk": q_vocab_topk,
     "udaf_median_tokens": q_udaf_median,
+    "chunk_documents": q_chunk_documents,
 }
 
 
@@ -877,5 +912,14 @@ ORACLES = {
                  len(regexp_split_to_array(trim(text), '\\s+')), 0.5)
                  AS median_tokens
         FROM documents GROUP BY lang
+    """,
+    "chunk_documents": f"""
+        WITH wl AS (SELECT doc_id, {_WORDS} AS w FROM documents)
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(w[i*32+1 : i*32+32], ' ') AS chunk_text,
+               CAST(least(32, len(w) - i*32) AS INTEGER) AS n_tokens
+        FROM wl,
+             unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS t(i)
     """,
 }

@@ -89,3 +89,9 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     heaps + a driver merge."""
     s = summarize(QUERIES["vocab_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in s.raw, s.raw
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    s = summarize(QUERIES["chunk_documents"](spark, sf_dir))
+    assert s.n_hash_exchanges == 0, "chunking must not shuffle:\n" + s.raw
+    assert not s.joins
