@@ -399,12 +399,14 @@ def connected_components(
     min-aggregate, all shuffles on the node id).
 
     Each node starts labeled with itself; every iteration each node
-    takes the min label among itself and its neighbors' labels. The
-    label space only shrinks, and the iteration count needed is the
-    graph diameter (≤ log n after path-doubling effects of min
-    propagation through shared neighbors) — dedup clusters are tiny
-    and dense, so this converges in a handful of rounds; iteration
-    stops early the first round nothing changes.
+    takes the min label among itself and its neighbors' labels, then
+    applies one POINTER JUMP (``L(u) ← L(L(u))`` — a self-join on the
+    label table): every label is the id of some node in the same
+    component, so jumping stays within the component while halving
+    chain depth. Convergence is O(log diameter) instead of
+    O(diameter) — a million-node chain needs ~20 rounds, not a
+    million (the classic path-doubling trick of parallel CC).
+    Iteration stops early the first round nothing changes.
 
     Returns ``(node, component)`` where component = min node id in the
     cluster. Only nodes that appear in ``pairs`` are returned —
@@ -436,13 +438,22 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nmin", "component")
+            ).alias("component"),
+        )
+        # pointer jump: L(u) ← L(L(u)). Labels always point at a node
+        # of the same component, so this halves chain depth per round.
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(jump, stepped.component == jump.jnode, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", "component")
-                ).alias("component"),
+                F.coalesce("jcomp", "component").alias("component"),
             )
             # localCheckpoint, not persist: persist caches *data* but
             # the logical plan still accrues one join per iteration —

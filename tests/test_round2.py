@@ -95,9 +95,12 @@ def test_connected_components_raises_on_non_convergence(spark):
         [Row(id_a=i, id_b=i + 1) for i in range(12)]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2)
-    labels = connected_components(chain, max_iterations=20)
+        connected_components(chain, max_iterations=1)
+    # pointer jumping: O(log diameter) rounds — a diameter-12 chain
+    # resolves in ~4 iterations, far below the naive 12
+    labels = connected_components(chain, max_iterations=6)
     assert labels.select("component").distinct().count() == 1
+    assert labels.count() == 13
     op_util.release_caches()
 
 
