@@ -300,6 +300,37 @@ def q_chunk_documents(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing: fill 512-token training sequences from the
+    chunk stream by contiguous cumulative fill — ``seq = floor(tokens
+    before me / budget)`` over a deterministic order. Packing is
+    sharded (doc_id mod 32) so each shard's running sum is an
+    independent window — one shuffle on the shard key, no global
+    ordering bottleneck; shards map to writer tasks at scale."""
+    from pyspark.sql import Window
+
+    budget = 512
+    chunks = q_chunk_documents(spark, sf).withColumn(
+        "shard", (F.col("doc_id") % 32).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.select(
+        "shard",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("int").alias("seq_id"),
+        "n_tokens",
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
 def q_vocab_topk(spark, sf):
     """Corpus vocabulary statistics: token frequencies, top 100 by
     count (ties broken by token — deterministic). One explode + one
@@ -709,6 +740,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "udaf_median_tokens": q_udaf_median,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -921,5 +953,29 @@ ORACLES = {
                CAST(least(32, len(w) - i*32) AS INTEGER) AS n_tokens
         FROM wl,
              unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS t(i)
+    """,
+    "pack_sequences": f"""
+        WITH wl AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(i AS INTEGER) AS chunk_idx,
+                 CAST(least(32, len(w) - i*32) AS INTEGER) AS n_tokens,
+                 CAST(doc_id % 32 AS INTEGER) AS shard
+          FROM wl,
+               unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS t(i)
+        ),
+        packed AS (
+          SELECT shard,
+                 CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id, chunk_idx
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                      AS INTEGER) AS seq_id,
+                 n_tokens
+          FROM chunks
+        )
+        SELECT shard, seq_id,
+               count(*) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        FROM packed GROUP BY shard, seq_id
     """,
 }
