@@ -116,3 +116,22 @@ def test_operator_caches_are_scoped(spark):
     op_util.release_caches()
     assert not c.is_cached
     assert op_util._ACTIVE_CACHES == []
+
+
+def test_lsh_near_dup_recall_vs_exact(spark):
+    """Every LSH-emitted pair is exact-verified (precision 1.0 by
+    construction); recall on the planted corpus must be ≥ 0.95 —
+    planted twins differ in few hyperplane bits, so banding recovers
+    essentially all of them."""
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["embedding_near_dup"](spark, SF).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["embedding_near_dup_exact"](spark, SF).collect()
+    }
+    assert lsh <= exact  # precision 1.0: no false positives survive
+    assert len(exact) >= 25  # the planted pairs are really there
+    assert len(lsh) / len(exact) >= 0.95, (len(lsh), len(exact))
+    op_util.release_caches()
