@@ -1,0 +1,140 @@
+"""Direct parity with the reference's LIVE test suite: the queries of
+``/root/reference/tests/sql.rs`` and the console smoke test
+(``test/data/smoketest.sql``) run against THIS engine, on the
+reference's own input files, with expectations computed independently
+in Python (and, for the smoke test, the reference's expected-output
+file read from the read-only checkout at runtime — nothing copied).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+
+import pytest
+
+from datafusion_archive_spark import ExecutionContext
+from datafusion_archive_spark.console import split_statements
+from datafusion_archive_spark.functions import geo
+
+REF = "/root/reference"
+CITIES = f"{REF}/test/data/uk_cities.csv"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    c = ExecutionContext(spark)
+    c.register_csv(
+        "cities",
+        CITIES,
+        schema=[("city", "utf8"), ("lat", "float64"), ("lng", "float64")],
+        header=False,
+    )
+    return c
+
+
+def _cities_rows():
+    with open(CITIES, newline="") as f:
+        return [
+            (city, float(lat), float(lng))
+            for city, lat, lng in csv.reader(f)
+        ]
+
+
+def test_csv_query_with_predicate(ctx):
+    """tests/sql.rs:29-37 — SELECT city, lat, lng, lat + lng FROM
+    cities WHERE lat > 51.0 AND lat < 53 (exact doubles: Python and
+    the JVM parse the same decimal text to the same IEEE double, and
+    lat + lng is a single rounding in both)."""
+    got = {
+        tuple(r)
+        for r in ctx.sql(
+            "SELECT city, lat, lng, lat + lng FROM cities "
+            "WHERE lat > 51.0 AND lat < 53"
+        ).collect()
+    }
+    want = {
+        (city, lat, lng, lat + lng)
+        for city, lat, lng in _cities_rows()
+        if 51.0 < lat < 53
+    }
+    assert got == want
+    assert len(got) == 18  # row count pinned in the reference test
+
+
+@pytest.mark.parametrize(
+    "path,caster",
+    [
+        (f"{REF}/test/data/aggregate_test_1.csv", int),
+        (f"{REF}/test/data/aggregate_test_2.csv", str),
+    ],
+)
+def test_csv_group_by_min_max(ctx, path, caster):
+    """tests/sql.rs:39-67 — SELECT a, MIN(b), MAX(b) … GROUP BY a over
+    both the int-keyed and string-keyed aggregate fixtures."""
+    name = "t_int" if caster is int else "t_str"
+    ctx.register_csv(
+        name,
+        path,
+        schema=[("a", "int32" if caster is int else "utf8"),
+                ("b", "float64")],
+        header=True,
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in ctx.sql(
+            f"SELECT a, MIN(b) AS mn, MAX(b) AS mx FROM {name} GROUP BY a"
+        ).collect()
+    }
+    rows = {}
+    with open(path, newline="") as f:
+        rdr = csv.reader(f)
+        next(rdr)  # header
+        for a, b in rdr:
+            rows.setdefault(caster(a), []).append(float(b))
+    want = {a: (min(bs), max(bs)) for a, bs in rows.items()}
+    assert got == want
+
+
+def test_csv_query_cast_truncates(ctx):
+    """tests/sql.rs:69-77 — CAST(lat AS int): float→int truncates
+    toward zero (pinned by the reference's expected string)."""
+    got = sorted(r[0] for r in ctx.sql(
+        "SELECT CAST(lat AS int) AS i FROM cities"
+    ).collect())
+    want = sorted(math.trunc(lat) for _, lat, _ in _cities_rows())
+    assert got == want
+
+
+def test_console_smoketest_against_reference_expected(spark):
+    """The reference's console smoke test end-to-end: parse
+    ``smoketest.sql`` with our statement splitter, run the DDL + both
+    ST_AsText(ST_Point(…)) queries, and compare against the point set
+    in ``smoketest-expected.txt`` (read from the reference at
+    runtime)."""
+    geo.register_sql(spark)
+    c = ExecutionContext(spark)
+    with open(f"{REF}/test/data/smoketest.sql") as f:
+        stmts = split_statements(
+            f.read().replace("'/test/data/", f"'{REF}/test/data/")
+        )
+    assert len(stmts) == 3  # DDL + two queries
+
+    results = []
+    for stmt in stmts:
+        df = c.sql(stmt)
+        if df is not None:
+            results.append([r[0] for r in df.collect()])
+
+    with open(f"{REF}/test/data/smoketest-expected.txt") as f:
+        blocks, cur = [], None
+        for line in f.read().splitlines():
+            if line.startswith("Executing query"):
+                cur = []
+                blocks.append(cur)
+            elif line.startswith("POINT") and cur is not None:
+                cur.append(line)
+    expected_blocks = [b for b in blocks if b]
+    assert len(results) == len(expected_blocks) == 2
+    for got, want in zip(results, expected_blocks):
+        assert sorted(got) == sorted(want)
