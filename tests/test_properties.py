@@ -91,3 +91,34 @@ def test_hash64_duckdb_parity(s, seed):
         [s, f":{seed}"],
     ).fetchone()[0]
     assert py == duck
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value="-99999.99", max_value="99999.99", places=2
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_decimal_sum_split_integer_exact(vals):
+    """decimal_sum's split-integer fast path must equal the exact
+    decimal sum of per-term 6dp values, independent of partitioning
+    (money values with ≤2dp are exactly representable at 6dp)."""
+    import decimal as _d
+
+    from datafusion_archive_spark.functions.rounding import decimal_sum
+    from datafusion_archive_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("tests")
+    floats = [float(v) for v in vals]
+    df = spark.createDataFrame(
+        [(x,) for x in floats], "x double"
+    ).repartition(4)
+    got = df.agg(decimal_sum(F.col("x")).alias("s")).collect()[0].s
+    want = float(sum(_d.Decimal(str(x)).quantize(_d.Decimal("0.000001"))
+                     for x in floats))
+    assert got == pytest.approx(want, abs=0.0)

@@ -138,3 +138,25 @@ def test_console_smoketest_against_reference_expected(spark):
     assert len(results) == len(expected_blocks) == 2
     for got, want in zip(results, expected_blocks):
         assert sorted(got) == sorted(want)
+
+
+def test_parquet_scan_matches_csv_scan(spark):
+    """uk_cities exists as both CSV and parquet in the reference; both
+    scan paths must yield the same relation (the parquet stores
+    lat/lng as float32, so the CSV doubles are narrowed to float32 for
+    the comparison)."""
+    import struct
+
+    c = ExecutionContext(spark)
+    pq_df = c.register_parquet(
+        "cities_pq", f"{REF}/test/data/uk_cities.parquet"
+    )
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    got = sorted(map(tuple, pq_df.collect()))
+    want = sorted(
+        (city, f32(lat), f32(lng)) for city, lat, lng in _cities_rows()
+    )
+    assert got == want
