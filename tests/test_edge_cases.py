@@ -79,3 +79,38 @@ def test_empty_text_document_survives_pipeline(spark):
     assert out[0].sh == [""] and out[2].sh == ["word"]
     sig = dedup.minhash_signatures(df).collect()
     assert len(sig) == 3
+
+
+def test_operators_handle_empty_input(spark):
+    """Every dedup/similarity operator must return an empty (not
+    crashing) result on an empty relation — the post-filter-empty case
+    any 100 TB pipeline stage hits."""
+    from datafusion_archive_spark.operators import dedup, similarity
+    from datafusion_archive_spark.operators.util import release_caches
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    assert dedup.exact_duplicates(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, max_shingle_df=5).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash_near_pairs(empty_docs).count() == 0
+    assert dedup.dedup_clusters(empty_docs).count() == 0
+    assert similarity.cosine_pairs(empty_vecs).count() == 0
+    assert similarity.lsh_cosine_pairs(empty_vecs).count() == 0
+    assert (
+        similarity.cosine_topk(empty_vecs, empty_vecs, k=3).count() == 0
+    )
+    release_caches()
+
+
+def test_connected_components_empty_pairs(spark):
+    from datafusion_archive_spark.operators.dedup import (
+        connected_components,
+    )
+    from datafusion_archive_spark.operators.util import release_caches
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty).count() == 0
+    release_caches()
