@@ -113,6 +113,20 @@ def q_range_join(spark, sf):
     )
 
 
+def q_attribution_join(spark, sf):
+    """Batch twin of the stream-stream attribution join
+    (streaming.events.attribution_join_stream): click ⋈ purchase per
+    user within a 60-minute conversion window. tests/test_streaming.py
+    asserts the completed stream produces this exact pair set."""
+    from datafusion_archive_spark.streaming.events import (
+        attribution_join_batch,
+    )
+
+    return attribution_join_batch(
+        load_events(spark, sf), within_minutes=60
+    )
+
+
 def q_multi_rollup(spark, sf):
     """Hypertable-style hour+day rollup in one pass; the day level
     re-aggregates the hourly partials, not the raw table."""
@@ -133,6 +147,7 @@ QUERIES = {
     "events_range_join": q_range_join,
     "events_multi_rollup": q_multi_rollup,
     "events_distinct_kmv": q_distinct_kmv,
+    "events_attribution_join": q_attribution_join,
 }
 
 ORACLES = {
@@ -251,4 +266,18 @@ ORACLES = {
         FROM daily
     """,
     "events_distinct_kmv": kmv_sql("events", "event_type", "user_id"),
+    "events_attribution_join": """
+        WITH lo AS (
+          SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+          FROM events WHERE event_type = 'click'
+        ),
+        hi AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT lo.user_id, click_id, purchase_id
+        FROM lo JOIN hi ON lo.user_id = hi.user_id
+         AND p_us >= click_us
+         AND p_us <= click_us + 3600000000
+    """,
 }

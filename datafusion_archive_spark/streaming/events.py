@@ -83,6 +83,89 @@ def windowed_event_counts_stream(
     )
 
 
+def attribution_join_batch(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within_minutes: int = 60,
+) -> DataFrame:
+    """Batch twin of the stream-stream attribution join: every
+    (click, purchase) pair for the same user where the purchase
+    happens within ``within_minutes`` AFTER the click. Integer-µs
+    bounds so the comparison is exact on both engines."""
+    lo = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    hi = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    bound = within_minutes * 60 * 1_000_000
+    return (
+        lo.join(
+            hi,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("purchase_us") >= F.col("click_us"))
+            & (F.col("purchase_us") <= F.col("click_us") + bound),
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+
+
+def attribution_join_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within_minutes: int = 60,
+    watermark: str = "2 hours",
+):
+    """Stream-stream inner join with event-time bounds — the canonical
+    attribution pipeline (clicks ⋈ purchases within the conversion
+    window). Both sides carry watermarks and the join predicate bounds
+    purchase time to [click, click + window], so Spark can size and
+    EVICT join state — without the time bound a stream-stream join's
+    state grows forever. State is sharded by the equi-key (user_id);
+    at 100 TB this is the same single keyed shuffle as the batch twin.
+    """
+    src = spark.readStream.schema(schema).parquet(path)
+    bound_s = within_minutes * 60
+    lo = (
+        src.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    hi = (
+        src.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        lo.join(
+            hi,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {bound_s} SECOND")
+            ),
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_minutes: int = 30,

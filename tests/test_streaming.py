@@ -121,3 +121,41 @@ def test_stream_event_dedup_within_watermark(spark, events_path):
     finally:
         q.stop()
     assert n == batch_df.select("user_id", "ts").distinct().count()
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, events_path):
+    """Stream-stream join with event-time bounds: a completed stream
+    must produce exactly the batch join's pair set."""
+    from datafusion_archive_spark.streaming.events import (
+        attribution_join_batch,
+        attribution_join_stream,
+    )
+
+    batch_df = spark.read.parquet(events_path)
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in attribution_join_batch(
+            batch_df, within_minutes=60
+        ).collect()
+    }
+    assert want  # non-vacuous: the testdata really has conversions
+
+    stream = attribution_join_stream(
+        spark, events_path, batch_df.schema,
+        within_minutes=60, watermark="10 years",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM attr_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
