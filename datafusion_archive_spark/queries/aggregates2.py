@@ -107,7 +107,37 @@ def q_expr_misc(spark, sf):
     )
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_columns(spark, sf):
+    """ANALYZE-style column profiling in ONE pass: per numeric column
+    the null count, exact distinct count, and min/max — the stats
+    sweep a warehouse runs before choosing layouts. Multiple exact
+    COUNT(DISTINCT)s in one aggregate become a single Expand-based
+    multi-distinct plan (rows × #distinct-aggs, standard at scale);
+    the wide one-row result is then unpivoted with stack()."""
+    l = _t(spark, sf, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    wide = l.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, min_v, max_v)"
+    )
+
+
 QUERIES = {
+    "profile_columns": q_profile_columns,
     "stats_aggs": q_stats_aggs,
     "argminmax_aggs": q_argminmax,
     "collect_agg": q_collect_agg,
@@ -117,6 +147,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_columns": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               min({c}) AS min_v,
+               max({c}) AS max_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
     "stats_aggs": """
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 6) AS sd_qty,
