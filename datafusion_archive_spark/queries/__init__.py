@@ -58,6 +58,12 @@ for mod in (
     ORACLES.update(mod.ORACLES)
 
 #: The round-2 certification window (driver checks entries [:50]).
+#: ROUND-3 TODO: rotate the still-uncertified tail into this window —
+#: sources_roundtrip, salted_join_agg, planir_roundtrip,
+#: decontaminate_ngram_overlap, vocab_topk, udaf_median_tokens,
+#: chunk_documents, pack_sequences, embedding_near_dup_exact,
+#: events_attribution_join, profile_columns (+ anything added since);
+#: fill the rest with the oldest-certified names.
 _FIRST_50 = [
     # --- un-certified in round 1 (CORRECTNESS_r01 covered slots 0-49);
     #     every one of these already passes tools/check_oracle locally
