@@ -464,6 +464,23 @@ def q_setop_except(spark, sf):
     return c.subtract(s)
 
 
+def q_setop_intersect_all(spark, sf):
+    """INTERSECT ALL — multiset semantics: each nationkey survives
+    min(customer-count, supplier-count) times. Distinguishes Spark's
+    ``intersectAll`` from ``intersect`` (which would return ≤25 rows);
+    here the supplier side's multiplicity dominates."""
+    c, s = _nation_sides(spark, sf)
+    return c.intersectAll(s)
+
+
+def q_setop_except_all(spark, sf):
+    """EXCEPT ALL — multiset difference: customer-count minus
+    supplier-count occurrences per nationkey (``exceptAll``, not
+    ``subtract``)."""
+    c, s = _nation_sides(spark, sf)
+    return c.exceptAll(s)
+
+
 # ---------------------------------------------------------------------------
 # Window functions (absent in the reference — SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -684,6 +701,8 @@ QUERIES = {
     "setop_union": q_setop_union,
     "setop_intersect": q_setop_intersect,
     "setop_except": q_setop_except,
+    "setop_intersect_all": q_setop_intersect_all,
+    "setop_except_all": q_setop_except_all,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running": q_window_running,
     "json_extract": q_json_extract,
@@ -896,6 +915,16 @@ ORACLES = {
         EXCEPT
         SELECT CAST(s_nationkey AS INTEGER) FROM supplier
         WHERE s_acctbal > 5000
+    """,
+    "setop_intersect_all": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+    """,
+    "setop_except_all": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT CAST(s_nationkey AS INTEGER) FROM supplier
     """,
     "window_topk_per_group": """
         SELECT l_returnflag, l_linestatus, l_orderkey, l_extendedprice, rn
