@@ -1,6 +1,6 @@
 """Deduplication operators for document corpora.
 
-Five strategies, all expressed as DataFrame compositions that scale to
+Six strategies, all expressed as DataFrame compositions that scale to
 100 TB on a real cluster:
 
 - :func:`exact_duplicates` — hash-groupBy on a content fingerprint.
@@ -13,6 +13,8 @@ Five strategies, all expressed as DataFrame compositions that scale to
   O(docs²); the quadratic verify step runs only inside tiny buckets.
 - :func:`simhash64` / :func:`simhash_near_pairs` — 64-bit SimHash with
   banded blocking for Hamming-distance search.
+- :func:`editdistance_pairs` — banded Levenshtein with prefix
+  blocking; the quadratic kernel runs only inside same-prefix blocks.
 - embedding near-dup lives in
   :mod:`datafusion_archive_spark.operators.similarity`
   (:func:`~datafusion_archive_spark.operators.similarity.cosine_pairs`).
@@ -502,4 +504,59 @@ def dedup_clusters(
             F.min("node").alias("keep_id"),
         )
         .select("keep_id", "cluster_size")
+    )
+
+
+def editdistance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 8,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein edit distance, the sixth
+    dedup strategy (catches small in-place edits — typo fixes,
+    appended boilerplate — that shingle/bit-sketch methods may score
+    as identical or miss entirely).
+
+    Full pairwise edit distance is O(docs² · len²) — untenable. The
+    standard blocking compromise: candidates must share their first
+    ``prefix_len`` normalized characters and differ in length by at
+    most ``max_dist`` (a *necessary* condition — each insert/delete
+    changes length by 1). The plan is then a plain equi-join on the
+    prefix key (one shuffle of (prefix, id, text)), with the quadratic
+    kernel confined to same-prefix blocks; Spark's banded
+    ``levenshtein(l, r, threshold)`` bails out early at
+    ``O(max_dist · len)`` per pair. Recall tradeoff (documented, by
+    design): edits inside the first ``prefix_len`` characters move a
+    doc to a different block — mirror-block on a suffix key for
+    higher recall.
+
+    Returns ``(id_a < id_b, dist)`` with ``dist <= max_dist``.
+    """
+    t = df.select(
+        F.col(id_col).alias("id"),
+        TX.normalize_text(F.col(text_col)).alias("norm"),
+    ).select(
+        "id", "norm",
+        F.substring("norm", 1, prefix_len).alias("block"),
+        F.length("norm").alias("len"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.norm"), F.col("b.norm"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )

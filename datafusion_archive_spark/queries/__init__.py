@@ -62,7 +62,8 @@ for mod in (
 #: sources_roundtrip, salted_join_agg, planir_roundtrip,
 #: decontaminate_ngram_overlap, vocab_topk, udaf_median_tokens,
 #: chunk_documents, pack_sequences, embedding_near_dup_exact,
-#: events_attribution_join, profile_columns (+ anything added since);
+#: events_attribution_join, profile_columns, train_val_test_split,
+#: bm25_topk, dedup_editdistance (+ anything added since);
 #: fill the rest with the oldest-certified names.
 _FIRST_50 = [
     # --- un-certified in round 1 (CORRECTNESS_r01 covered slots 0-49);

@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.functions.rounding import round_half_up
-from datafusion_archive_spark.operators import dedup, multimodal, similarity
+from datafusion_archive_spark.functions import ranking
+from datafusion_archive_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    splits,
+)
 
 # -- shared SQL fragments (DuckDB) ------------------------------------------
 
@@ -717,6 +723,41 @@ def _ann_ivf_oracle(k: int = 5, nprobe: int = 2, stride: int = 50) -> str:
     """
 
 
+def q_train_val_test_split(spark, sf):
+    """Deterministic hash-based 80/10/10 split assignment — map-only
+    (operators.splits); the oracle reproduces the identical md5-bucket
+    CASE, pinning cross-engine split stability."""
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return splits.assign_splits(d, id_col="doc_id")
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 keyword retrieval (functions.ranking): top-15 documents
+    for a 3-term query. Contributions are summed as integer micros so
+    the score and the top-k cut are partition-order-independent and
+    engine-exact."""
+    return ranking.bm25_topk(
+        _t(spark, sf, "documents"),
+        ["merge", "vector", "window"],
+        k=15,
+    )
+
+
+def q_dedup_editdistance(spark, sf):
+    """Levenshtein near-dup pairs with prefix blocking + length
+    pre-filter. Planted twins (doc_id < 25 re-appended with a 6-char
+    suffix at id+200000) guarantee non-vacuous hits: each twin shares
+    its original's 16-char block and sits at distance 6 ≤ 8."""
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    pert = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq zq")).alias("text"),
+    )
+    return dedup.editdistance_pairs(
+        base.unionByName(pert), max_dist=8, prefix_len=16
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
@@ -741,6 +782,9 @@ QUERIES = {
     "udaf_median_tokens": q_udaf_median,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "train_val_test_split": q_train_val_test_split,
+    "bm25_topk": q_bm25_topk,
+    "dedup_editdistance": q_dedup_editdistance,
 }
 
 
@@ -977,5 +1021,80 @@ ORACLES = {
                count(*) AS n_chunks,
                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
         FROM packed GROUP BY shard, seq_id
+    """,
+    "train_val_test_split": """
+        SELECT doc_id, source,
+               CASE WHEN h < 8000 THEN 'train'
+                    WHEN h < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                                 1, 15))::BIGINT % 10000 AS h
+          FROM documents
+        ) t
+    """,
+    # BM25 twin: every float literal is embedded as CAST('<repr>' AS
+    # DOUBLE) so DuckDB parses the exact IEEE double Spark's plan
+    # carries (k1+1=2.2, k1=1.2, 1-b=0.25, b=0.75); contributions are
+    # rounded to integer micros before the sum so the score and the
+    # top-k cut are partition-order-independent in both engines.
+    "bm25_topk": f"""
+        WITH b2 AS (
+          SELECT doc_id, w, len(w) AS dl
+          FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+        tok AS (SELECT doc_id, dl, unnest(w) AS token FROM b2),
+        tf AS (
+          SELECT doc_id, dl, token, count(*) AS tf
+          FROM tok WHERE token IN ('merge', 'vector', 'window')
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * ((tf * CAST('2.2' AS DOUBLE))
+                      / (tf + CAST('1.2' AS DOUBLE)
+                         * (CAST('0.25' AS DOUBLE)
+                            + CAST('0.75' AS DOUBLE) * dl / avgdl)))
+                   * 1000000 + 0.5) AS BIGINT) AS micros
+          FROM tf JOIN dfreq USING (token), stats
+        ),
+        agg AS (
+          SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
+          FROM scored GROUP BY 1
+        ),
+        topk AS (
+          SELECT doc_id, micros FROM agg
+          ORDER BY micros DESC, doc_id LIMIT 15
+        )
+        SELECT doc_id,
+               micros / 1000000.0 AS score,
+               CAST(row_number() OVER (ORDER BY micros DESC, doc_id)
+                    AS INTEGER) AS rank
+        FROM topk
+    """,
+    "dedup_editdistance": f"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text || ' zq zq' AS text
+          FROM documents WHERE doc_id < 25
+        ),
+        t2 AS (
+          SELECT id, norm,
+                 substr(norm, 1, 16) AS block,
+                 length(norm) AS len
+          FROM (SELECT doc_id AS id, {_NORM} AS norm FROM all_docs)
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist
+        FROM t2 a JOIN t2 b
+          ON a.block = b.block AND a.id < b.id
+             AND abs(a.len - b.len) <= 8
+        WHERE levenshtein(a.norm, b.norm) <= 8
     """,
 }

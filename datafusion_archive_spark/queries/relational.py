@@ -956,7 +956,7 @@ ORACLES = {
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events WHERE event_type = 'purchase'
     """,
-    "try_cast_nulls": """
+    "try_cast_nulls": r"""
         SELECT p_partkey,
                TRY_CAST(p_name AS INTEGER) AS name_as_int,
                TRY_CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INTEGER)
