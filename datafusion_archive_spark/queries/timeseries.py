@@ -28,17 +28,26 @@ def _t(spark, sf_dir, name):
 
 
 def load_events(spark, sf_dir):
-    """The events table stores TIMESTAMP(NANOS) parquet, which Spark
-    cannot represent natively. Read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — set defensively here in
-    case the session wasn't built by our factory) and truncate to
-    microsecond timestamps, matching engines that truncate ns→µs."""
+    """Normalize the events table's ``ts`` to session-local TIMESTAMP
+    regardless of how the parquet writer encoded it:
+
+    - TIMESTAMP(NANOS): Spark has no native type — read nanos as long
+      (``spark.sql.legacy.parquet.nanosAsLong``, set defensively in
+      case the session wasn't built by our factory) and truncate to µs.
+    - timestamp[us] without timezone annotation: Spark 4 infers
+      TIMESTAMP_NTZ, which time functions like ``unix_micros`` reject —
+      cast to TIMESTAMP (exact under the session's UTC timezone, same
+      values the DuckDB oracle sees).
+    """
     import pyspark.sql.types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
