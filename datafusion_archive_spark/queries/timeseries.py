@@ -42,6 +42,10 @@ def load_events(spark, sf_dir):
     import pyspark.sql.types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ→TIMESTAMP cast below is value-exact only under UTC; set it
+    # defensively (like nanosAsLong) for sessions not built by our factory,
+    # so unix_micros arithmetic can't diverge from the oracle across DST.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = _t(spark, sf_dir, "events")
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
