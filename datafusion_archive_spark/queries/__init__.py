@@ -11,12 +11,11 @@ check.
 Ordering: the driver certifies only the first 50 entries per round, so
 the dict is explicitly ordered to rotate un-certified entries into that
 window. Round 1 certified the relational/timeseries/text head; round 2
-presents everything that round could not see (TPC-H tail, window
-frames, nested/array/map, the dedup/ANN/multimodal family) plus the
-queries whose semantics changed this round (join_anti — now non-empty —
-and the new dedup_clusters capstone). ``approx_aggs`` stays outside
-the window: it is rows-only by design and would waste a certification
-slot.
+the TPC-H tail + dedup/ANN/multimodal family; round 4 presents every
+remaining never-certified entry (sources/sinks, LLM-pipeline tail,
+UDAF, plan-IR serde, the fixed ``windows2`` wave, the new registry-UDF
+batch twin, and ``approx_aggs`` as an explicit rows-only row), filled
+out with the oldest (round-1) certifications.
 """
 
 from __future__ import annotations
@@ -31,18 +30,20 @@ from datafusion_archive_spark.queries import (
     llm,
     nested,
     pipeline,
+    registry_udf,
     relational,
     sources_io,
     timeseries,
     tpch_more,
     tpch_more2,
     tpch_more3,
+    windows2,
 )
 
-_ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-for mod in (
+#: Every query module. tests/test_registration.py asserts this tuple
+#: stays in sync with the modules on disk (a module with a QUERIES
+#: dict that is missing here is dead code — the round-3 failure mode).
+QUERY_MODULES = (
     relational,
     timeseries,
     llm,
@@ -53,72 +54,90 @@ for mod in (
     aggregates2,
     pipeline,
     sources_io,
-):
+    windows2,
+    registry_udf,
+)
+
+_ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+for mod in QUERY_MODULES:
     _ALL_QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
-#: The round-2 certification window (driver checks entries [:50]).
-#: ROUND-3 TODO: rotate the still-uncertified tail into this window —
-#: sources_roundtrip, salted_join_agg, planir_roundtrip,
-#: decontaminate_ngram_overlap, vocab_topk, udaf_median_tokens,
-#: chunk_documents, pack_sequences, embedding_near_dup_exact,
-#: events_attribution_join, profile_columns, train_val_test_split,
-#: bm25_topk, dedup_editdistance (+ anything added since);
-#: fill the rest with the oldest-certified names.
+#: Queries intentionally WITHOUT a DuckDB oracle (the driver records a
+#: rows-only check). Every _ALL_QUERIES key must be here or in ORACLES
+#: — tests/test_registration.py enforces it.
+ROWS_ONLY = {
+    # approximate aggregates: HLL/KLL sketch outputs are
+    # implementation-defined; tests/test_approx_bounds.py pins their
+    # relative error against exact DuckDB values instead.
+    "approx_aggs",
+}
+
+#: The round-4 certification window (driver checks entries [:50]).
+#: Head: every query that has NEVER had a driver row — the sources/
+#: sinks + LLM-pipeline tail (uncertified since round 1), the fixed
+#: windows2 wave, the new registry-UDF batch twin, and approx_aggs
+#: (rows-only by design; certifying the weaker check on the record
+#: beats leaving the row blank). Tail: oldest (round-1) certified
+#: names, re-proving the relational core on current code.
 _FIRST_50 = [
-    # --- un-certified in round 1 (CORRECTNESS_r01 covered slots 0-49);
-    #     every one of these already passes tools/check_oracle locally
-    "text_clean",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_clusters",          # new this round: pairs → components → survivors
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "ann_bruteforce",
-    "embedding_near_dup",      # re-certify: now planted + banded-LSH path
-    "ann_lsh",
-    "ann_ivf",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "array_ops",
-    "posexplode_ordinality",
-    "struct_access",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_disjunctive_predicates",
-    "window_ranks",
-    "window_frames",
-    "nulls_ordering",
-    "regexp_extract",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "map_funcs",
-    "sample_deterministic",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_part_promotion",
-    "q21_suppliers_kept_orders_waiting",
-    "stats_aggs",
-    "argminmax_aggs",
-    "collect_agg",
-    "q2_min_per_group_subquery",
-    "unpivot_stack",
-    "expr_misc",
-    "pipeline_clean_corpus",
-    "text_quality_zscore",
-    "q7_volume_between_nations",
-    "q8_market_share",
-    # --- changed semantics this round, needs a fresh driver row
-    "join_anti",               # re-certify: now non-empty (filtered right side)
+    # --- never driver-certified (passed tools/check_oracle locally
+    #     every round since they landed)
+    "sources_roundtrip",       # CSV/NDJSON/DDL/write — the ref's executing core
+    "salted_join_agg",
+    "planir_roundtrip",
+    "decontaminate_ngram_overlap",
+    "vocab_topk",
+    "udaf_median_tokens",
+    "chunk_documents",
+    "pack_sequences",
+    "train_val_test_split",
+    "bm25_topk",
+    "dedup_editdistance",
+    "embedding_near_dup_exact",
+    "events_attribution_join",
+    "profile_columns",
+    "setop_intersect_all",
+    "setop_except_all",
+    "approx_aggs",             # rows-only by design (see ROWS_ONLY)
+    # --- windows2 wave, fixed + wired this round
+    "window_ntile_dist",
+    "window_nav_nulls",
+    "latest_per_key",
+    "agg_filtered",
+    "grouping_flags",
+    "string_agg_ordered",
+    "cross_join_grid",
+    "exists_correlated",
+    # --- new this round
+    "registry_udf_expr",       # first driver row for the UDF registry
+    # --- oldest-certified (round 1) fill: relational/TPC-H core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "scan_filter_project",
+    "agg_global",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "window_running",
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "join_inner_3way",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "setop_union",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "events_sessionize",
+    "events_asof_join",
+    "events_time_bucket",
+    "events_range_join",
 ]
 
 

@@ -103,8 +103,8 @@ def q_agg_filtered(spark, sf):
         ).alias("qty_untaxed"),
         F.expr(
             "round(avg(l_extendedprice) "
-            "FILTER (WHERE l_shipmode = 'AIR'), 4)"
-        ).alias("avg_air_price"),
+            "FILTER (WHERE l_quantity < 10), 4)"
+        ).alias("avg_small_price"),
         F.expr("count(*)").alias("n_total"),
     )
 
@@ -136,7 +136,7 @@ def q_string_agg_ordered(spark, sf):
     value (partition-order-independent), the only way a concatenating
     aggregate can be deterministic on a cluster.
     """
-    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 520000)
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 480000)
     return o.groupBy("o_orderpriority").agg(
         F.array_join(
             F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))),
@@ -237,9 +237,9 @@ ORACLES = {
           FROM events
         )
         SELECT event_id, user_id,
-               round(first_value(v) IGNORE NULLS OVER wf, 6) AS first_nn,
-               round(last_value(v)  IGNORE NULLS OVER wf, 6) AS last_nn,
-               round(nth_value(v,2) IGNORE NULLS OVER wf, 6) AS second_nn,
+               round(first_value(v IGNORE NULLS) OVER wf, 6) AS first_nn,
+               round(last_value(v IGNORE NULLS)  OVER wf, 6) AS last_nn,
+               round(nth_value(v, 2 IGNORE NULLS) OVER wf, 6) AS second_nn,
                round(lag(value, 2, -1.0) OVER wo, 6) AS lag2,
                round(lead(value, 1, 0.0) OVER wo, 6) AS lead1
         FROM ev
@@ -264,8 +264,8 @@ ORACLES = {
                CAST(sum(l_quantity) FILTER (WHERE l_tax = 0.0) AS DOUBLE)
                  AS qty_untaxed,
                round(avg(l_extendedprice)
-                     FILTER (WHERE l_shipmode = 'AIR'), 4)
-                 AS avg_air_price,
+                     FILTER (WHERE l_quantity < 10), 4)
+                 AS avg_small_price,
                count(*) AS n_total
         FROM lineitem GROUP BY l_returnflag
     """,
@@ -285,7 +285,7 @@ ORACLES = {
                           ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
                count(*) AS n
         FROM orders
-        WHERE o_totalprice > 520000
+        WHERE o_totalprice > 480000
         GROUP BY o_orderpriority
     """,
     "cross_join_grid": """

@@ -95,3 +95,29 @@ def test_chunking_is_map_only(spark, sf_dir):
     s = summarize(QUERIES["chunk_documents"](spark, sf_dir))
     assert s.n_hash_exchanges == 0, "chunking must not shuffle:\n" + s.raw
     assert not s.joins
+
+
+def test_exists_correlated_decorrelates(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS must decorrelate into semi/anti
+    hash joins — no per-row subquery, no cartesian product."""
+    s = summarize(QUERIES["exists_correlated"](spark, sf_dir))
+    assert "LeftSemi" in s.raw, s.raw
+    assert "LeftAnti" in s.raw, s.raw
+    assert "CartesianProduct" not in s.joins
+
+
+def test_latest_per_key_single_shuffle(spark, sf_dir):
+    """CDC latest-row compaction: one hash Exchange on the key, no
+    join (the self-join formulation would shuffle orders twice)."""
+    s = summarize(QUERIES["latest_per_key"](spark, sf_dir))
+    assert s.n_hash_exchanges == 1, s.raw
+    assert not s.joins
+
+
+def test_cross_join_grid_aggregates_before_join(spark, sf_dir):
+    """The enumeration grid joins per-cell aggregates, not raw facts:
+    the fact aggregate must sit below the grid join, and both grid
+    sides broadcast."""
+    s = summarize(QUERIES["cross_join_grid"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in s.joins or "CartesianProduct" not in s.joins
+    assert "HashAggregate" in s.raw
