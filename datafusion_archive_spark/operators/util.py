@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame
 
 #: DataFrames persisted by operator internals, awaiting release. The
@@ -36,6 +39,17 @@ def release_caches() -> None:
         _ACTIVE_CACHES.pop().unpersist()
 
 
+_SIZE_SUFFIX = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf values: plain bytes or '128m'/'1g'-style."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", str(v).lower())
+    if not m:
+        return 128 * 2**20
+    return int(m.group(1)) * _SIZE_SUFFIX.get(m.group(2), 1)
+
+
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure compute-heavy per-row operators get cluster-wide
     parallelism.
@@ -43,13 +57,45 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     A small file scans as one partition, which serializes the whole
     operator on one core no matter how many are available — the
     classic "tiny input, heavy compute" trap (hashing/shingling every
-    row costs far more than the scan). If the input already has at
-    least defaultParallelism partitions (any real at-scale table
+    row costs far more than the scan). If the input already splits
+    into at least defaultParallelism tasks (any real at-scale table
     does), this is a no-op; otherwise a round-robin repartition —
     cheap for small inputs by construction — spreads the rows.
+
+    The smallness probe must stay cheap at *plan-build* time: callers
+    construct queries at interactive rates and ``df.rdd`` forces a
+    full logical→physical plan conversion per call. Instead, estimate
+    the scan's split count from the source file listing
+    (``df.inputFiles()`` reads the already-built file index — no job,
+    no RDD): a parquet scan yields at least one task per file, plus
+    one per ``maxPartitionBytes`` of local file bytes. Only sources
+    with no file listing (in-memory ranges, post-shuffle inputs — rare
+    for these operators, and post-shuffle inputs are already spread)
+    fall back to the RDD-partition check.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * min_factor
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * min_factor
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= target:
+            return df
+        local = [f[len("file:"):] for f in files if f.startswith("file:")]
+        if len(local) == len(files):
+            try:
+                total = sum(os.path.getsize(p) for p in local)
+            except OSError:
+                total = 0
+            max_split = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            if max(len(files), -(-total // max_split)) >= target:
+                return df
+        # Small (or size-unknowable remote) scan: repartitioning costs
+        # one shuffle of a tiny input and buys full-width parallelism.
+        return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -78,7 +78,9 @@ def q_approx_aggs(spark, sf):
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
             F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
                 "approx_median_price"
             ),

@@ -307,3 +307,38 @@ def test_kmv_mergeability(spark):
     u_k = merged[-1].hv / float(1 << 60)
     est_merged = (k - 1) / u_k
     assert abs(est_merged - est_whole) < 1e-9
+
+
+class TestSpread:
+    def test_no_rdd_conversion_for_file_scans(self, spark, sf_dir, monkeypatch):
+        """spread() must size file scans from the file index, not by
+        forcing a logical->physical conversion via df.rdd — query
+        construction has to stay cheap at interactive rates."""
+        from pyspark.sql import DataFrame
+
+        from datafusion_archive_spark.operators.util import spread
+
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def boom(self):
+            raise AssertionError("spread() touched df.rdd for a file scan")
+
+        monkeypatch.setattr(DataFrame, "rdd", property(boom))
+        out = spread(df)
+        assert out.columns == df.columns
+
+    def test_small_scan_is_spread(self, spark, sf_dir):
+        from datafusion_archive_spark.operators.util import spread
+
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        target = spark.sparkContext.defaultParallelism
+        assert spread(df).rdd.getNumPartitions() >= min(target, 2)
+
+    def test_parse_bytes(self):
+        from datafusion_archive_spark.operators.util import _parse_bytes
+
+        assert _parse_bytes("134217728") == 134217728
+        assert _parse_bytes("128m") == 128 * 2**20
+        assert _parse_bytes("128MB") == 128 * 2**20
+        assert _parse_bytes("1g") == 2**30
+        assert _parse_bytes("garbage") == 128 * 2**20
