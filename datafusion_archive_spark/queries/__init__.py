@@ -30,6 +30,7 @@ from datafusion_archive_spark.queries import (
     llm,
     nested,
     pipeline,
+    pipeline2,
     registry_udf,
     relational,
     sources_io,
@@ -56,6 +57,7 @@ QUERY_MODULES = (
     sources_io,
     windows2,
     registry_udf,
+    pipeline2,
 )
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -113,6 +115,9 @@ _FIRST_50 = [
     "exists_correlated",
     # --- new this round
     "registry_udf_expr",       # first driver row for the UDF registry
+    "events_gapfill_locf",     # gap-fill + LOCF (hypertable staple)
+    "text_repetition_gopher",  # Gopher/C4 n-gram repetition rules
+    "dedup_incremental",       # new-batch-vs-corpus near-dup removal
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -135,9 +140,6 @@ _FIRST_50 = [
     "setop_intersect",
     "setop_except",
     "events_sessionize",
-    "events_asof_join",
-    "events_time_bucket",
-    "events_range_join",
 ]
 
 

@@ -1,0 +1,280 @@
+"""Pipeline wave 2: time-series gap-fill with LOCF, Gopher-style
+intra-document repetition metrics, and incremental (new-batch vs
+corpus) dedup.
+
+These extend the engine's training-pipeline/time-series surface beyond
+the reference (which has none of it — its roadmap stops at batch SQL,
+``/root/reference/ROADMAP.md:36-56``):
+
+- gap-fill + last-observation-carried-forward is the standard
+  hypertable/monitoring query (report every bucket, carry the last
+  reading across silent ones);
+- duplicate-token and repeated-2-gram fractions are the Gopher/C4
+  repetition quality rules used to drop boilerplate from training
+  corpora (token-type repetition was already covered by
+  ``text_stats``; these pin the n-gram family);
+- incremental dedup is the production shape of near-dup removal: a new
+  ingest batch is checked against the existing corpus, not against
+  itself — only *cross* pairs disqualify a new document.
+
+All three are pure Catalyst plans with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.functions.rounding import (
+    decimal_sum,
+    decimal_sum_sql,
+    round_half_up,
+    round_half_up_sql,
+)
+from datafusion_archive_spark.operators import dedup
+from datafusion_archive_spark.queries import llm as _llm
+from datafusion_archive_spark.queries.timeseries import load_events
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: 6-hour buckets: at sf0.01 the grid is ~150 users x ~120 buckets —
+#: large enough to exercise sequence/explode/LOCF, small enough for
+#: the driver's full-result compare.
+_BUCKET_S = 21_600
+
+
+def q_events_gapfill_locf(spark, sf):
+    """Gap-fill + LOCF: every user reports every 6-hour bucket between
+    their first and last activity; silent buckets carry the last
+    observed bucket-sum forward.
+
+    Plan shape: one hash aggregate on (user_id, bucket), a per-user
+    min/max (same partitioning), a ``sequence``+``explode`` grid
+    (narrow — one output row per grid cell, no shuffle beyond the
+    agg's), a left join back on (user_id, bucket), and one window pass
+    for the carry-forward. The grid is O(users x span/bucket) — at
+    scale this is the dimension side, NOT the event count, which is
+    why gap-fill is grid-join-shaped rather than resample-shaped.
+    Bucket sums go through ``decimal_sum`` so LOCF carries exact
+    values the oracle reproduces bit-for-bit.
+    """
+    ev = load_events(spark, sf)
+    bucketed = ev.withColumn(
+        "bucket",
+        F.timestamp_seconds(
+            (F.expr("unix_micros(ts) div 1000000") / _BUCKET_S).cast("long")
+            * _BUCKET_S
+        ),
+    )
+    agg = bucketed.groupBy("user_id", "bucket").agg(
+        decimal_sum(F.col("value")).alias("v_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = agg.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {_BUCKET_S} SECONDS"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("v_sum", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+def q_text_repetition_gopher(spark, sf):
+    """Gopher/C4 repetition rules as scan-side expressions: fraction
+    of tokens that are repeats of an earlier token type, the share of
+    2-grams taken by the most frequent 2-gram, and the fraction of
+    2-grams whose type occurs more than once. Zero Exchanges — the
+    per-document array work is O(distinct-grams x grams), bounded by
+    document length, and never leaves the scan stage."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.split(TX.normalize_text(F.col("text")), " ").alias("w"),
+    )
+    g2 = (
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    d = d.withColumn("g", F.expr(g2)).withColumn(
+        "cnts",
+        F.expr("transform(array_distinct(g), t -> size(filter(g, x -> x = t)))"),
+    )
+    n_tok = F.size("w")
+    n_g = F.size("g")
+    return d.select(
+        "doc_id",
+        round_half_up(
+            F.when(
+                n_tok > 0,
+                F.lit(1.0) - F.size(F.array_distinct("w")) / n_tok,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        round_half_up(
+            F.when(
+                n_g > 0, F.array_max("cnts") / n_g
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_2gram_frac"),
+        round_half_up(
+            F.when(
+                n_g > 0,
+                (n_g - F.expr("size(filter(cnts, c -> c = 1))")) / n_g,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+
+
+def q_dedup_incremental(spark, sf):
+    """Incremental near-dup dedup: treat ``doc_id % 5 == 0`` as the
+    newly ingested batch and the rest as the standing corpus; a new
+    document survives unless it is a near-duplicate (3-gram Jaccard
+    >= 0.2) of a CORPUS document. New-vs-new duplicates are kept —
+    intra-batch dedup is a separate (already certified) pass.
+
+    Reuses the banded candidate generation of ``ngram_jaccard_pairs``
+    (stop-shingle df cap keeps the shingle join linear), then drops
+    the new ids that appear in a cross pair via one left-anti join on
+    doc_id. At scale the corpus side is the big one, and only ids —
+    never text — reach the anti join.
+    """
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.2, max_shingle_df=50
+    )
+    is_new = lambda c: c % 5 == 0  # noqa: E731
+    drop = (
+        pairs.filter(is_new(F.col("id_a")) & ~is_new(F.col("id_b")))
+        .select(F.col("id_a").alias("doc_id"))
+        .union(
+            pairs.filter(is_new(F.col("id_b")) & ~is_new(F.col("id_a")))
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    return (
+        docs.filter(is_new(F.col("doc_id")))
+        .select("doc_id")
+        .join(drop, "doc_id", "left_anti")
+    )
+
+
+QUERIES = {
+    "events_gapfill_locf": q_events_gapfill_locf,
+    "text_repetition_gopher": q_text_repetition_gopher,
+    "dedup_incremental": q_dedup_incremental,
+}
+
+_G2_SQL = (
+    "list_transform(range(1, len(w)), "
+    "i -> list_extract(w, i) || ' ' || list_extract(w, i + 1))"
+)
+
+ORACLES = {
+    "events_gapfill_locf": f"""
+        WITH ev AS (
+          SELECT user_id,
+                 make_timestamp((epoch_us(ts) // {_BUCKET_S * 1_000_000})
+                                * {_BUCKET_S} * 1000000) AS bucket,
+                 value
+          FROM events
+        ),
+        agg AS (
+          SELECT user_id, bucket,
+                 {decimal_sum_sql("value")} AS v_sum,
+                 count(*) AS n
+          FROM ev GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          FROM agg GROUP BY 1
+        ),
+        grid AS (
+          SELECT user_id,
+                 unnest(generate_series(lo, hi,
+                        INTERVAL {_BUCKET_S} SECOND)) AS bucket
+          FROM bounds
+        )
+        SELECT g.user_id,
+               strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               coalesce(a.n, 0) AS n_events,
+               last_value(a.v_sum IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_value
+        FROM grid g
+        LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+    """,
+    "text_repetition_gopher": f"""
+        WITH wl AS (
+          SELECT doc_id, {_llm._WORDS} AS w FROM documents
+        ),
+        gl AS (
+          SELECT doc_id, w, {_G2_SQL} AS g FROM wl
+        ),
+        cl AS (
+          SELECT doc_id, w, g,
+                 list_transform(list_distinct(g),
+                   t -> len(list_filter(g, x -> x = t))) AS cnts
+          FROM gl
+        )
+        SELECT doc_id,
+               {round_half_up_sql(
+                   "CASE WHEN len(w) > 0 THEN "
+                   "1.0 - len(list_distinct(w)) / len(w) ELSE 0.0 END", 6)}
+                 AS dup_token_frac,
+               {round_half_up_sql(
+                   "CASE WHEN len(g) > 0 THEN "
+                   "list_max(cnts) / len(g) ELSE 0.0 END", 6)}
+                 AS top_2gram_frac,
+               {round_half_up_sql(
+                   "CASE WHEN len(g) > 0 THEN "
+                   "(len(g) - len(list_filter(cnts, c -> c = 1))) / len(g) "
+                   "ELSE 0.0 END", 6)}
+                 AS dup_2gram_frac
+        FROM cl
+    """,
+}
+
+
+def _incremental_oracle() -> str:
+    pairs_sql = _llm.ORACLES["dedup_ngram_jaccard"]
+    return f"""
+        WITH pairs AS ({pairs_sql}),
+        drops AS (
+          SELECT id_a AS doc_id FROM pairs
+          WHERE id_a % 5 = 0 AND id_b % 5 <> 0
+          UNION
+          SELECT id_b FROM pairs
+          WHERE id_b % 5 = 0 AND id_a % 5 <> 0
+        )
+        SELECT d.doc_id
+        FROM documents d
+        WHERE d.doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)
+    """
+
+
+ORACLES["dedup_incremental"] = _incremental_oracle()

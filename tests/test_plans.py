@@ -121,3 +121,20 @@ def test_cross_join_grid_aggregates_before_join(spark, sf_dir):
     s = summarize(QUERIES["cross_join_grid"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in s.joins or "CartesianProduct" not in s.joins
     assert "HashAggregate" in s.raw
+
+
+def test_repetition_metrics_are_scan_side(spark, sf_dir):
+    """Gopher repetition rules are per-document array expressions —
+    they must never shuffle."""
+    s = summarize(QUERIES["text_repetition_gopher"](spark, sf_dir))
+    assert s.n_hash_exchanges == 0, s.raw
+    assert not s.joins
+
+
+def test_gapfill_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    """Gap-fill is grid-join-shaped: bucket agg + per-user bounds +
+    grid left-join + one window — at most the agg's and the window's
+    hash exchanges, never a cartesian grid expansion."""
+    s = summarize(QUERIES["events_gapfill_locf"](spark, sf_dir))
+    assert "CartesianProduct" not in s.joins
+    assert s.n_hash_exchanges <= 3, s.raw
