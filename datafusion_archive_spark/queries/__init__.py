@@ -34,6 +34,7 @@ from datafusion_archive_spark.queries import (
     registry_udf,
     relational,
     sources_io,
+    sql2,
     timeseries,
     tpch_more,
     tpch_more2,
@@ -58,6 +59,7 @@ QUERY_MODULES = (
     windows2,
     registry_udf,
     pipeline2,
+    sql2,
 )
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -118,6 +120,8 @@ _FIRST_50 = [
     "events_gapfill_locf",     # gap-fill + LOCF (hypertable staple)
     "text_repetition_gopher",  # Gopher/C4 n-gram repetition rules
     "dedup_incremental",       # new-batch-vs-corpus near-dup removal
+    "recursive_month_grid",    # WITH RECURSIVE dimension + fact join
+    "lateral_top2_per_priority",  # correlated LATERAL with ORDER BY/LIMIT
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -125,8 +129,6 @@ _FIRST_50 = [
     "scan_filter_project",
     "agg_global",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_having",
     "window_running",
     "window_topk_per_group",
