@@ -95,6 +95,12 @@ class ExecutionContext:
         and projected columns into the scan."""
         return self.register_datasource(name, self.spark.read.parquet(path))
 
+    def register_orc(self, name: str, path: str) -> DataFrame:
+        """ORC source — beyond the reference grammar; self-describing
+        schema with the same pushdown behavior as parquet (Spark's
+        native vectorized ORC reader)."""
+        return self.register_datasource(name, self.spark.read.orc(path))
+
     def register_ndjson(
         self,
         name: str,
@@ -165,6 +171,8 @@ class ExecutionContext:
             return self.register_ndjson(stmt.name, stmt.location, schema=schema)
         if stmt.file_format == "PARQUET":
             return self.register_parquet(stmt.name, stmt.location)
+        if stmt.file_format == "ORC":
+            return self.register_orc(stmt.name, stmt.location)
         raise ValueError(f"unsupported file format: {stmt.file_format}")
 
     # -- write path (reference PhysicalPlan::Write, physicalplan.rs:25-29,

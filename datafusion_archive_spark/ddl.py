@@ -4,8 +4,12 @@ The reference extends ANSI SQL with one custom statement
 (``/root/reference/src/dfparser.rs:38-55,101-208``)::
 
     CREATE EXTERNAL TABLE name (col TYPE, ...)
-    STORED AS {CSV [WITH HEADER ROW | WITHOUT HEADER ROW] | NDJSON | PARQUET}
+    STORED AS {CSV [WITH HEADER ROW | WITHOUT HEADER ROW] | NDJSON
+               | PARQUET | ORC}
     LOCATION 'path'
+
+(ORC is our extension beyond the reference grammar — same
+self-describing-schema treatment as parquet.)
 
 In the reference the execution of this DDL is commented out
 (``src/execution/context.rs:48-76``); here it is fully functional: we
@@ -25,7 +29,7 @@ from dataclasses import dataclass, field
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\((?P<cols>.*?)\)\s*)?"
-    r"STORED\s+AS\s+(?P<format>CSV|NDJSON|PARQUET)\s*"
+    r"STORED\s+AS\s+(?P<format>CSV|NDJSON|PARQUET|ORC)\s*"
     r"(?P<header>WITH\s+HEADER\s+ROW|WITHOUT\s+HEADER\s+ROW)?\s*"
     r"LOCATION\s+'(?P<location>[^']*)'\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,

@@ -2,13 +2,14 @@
 
 ``sources_roundtrip`` drives the reference's *executing* core — the
 CSV datasource (``/root/reference/src/execution/datasource.rs:33-58``,
-``examples/csv_sql.rs:29-57``) plus its declared-only NDJSON format and
-write sink — through an oracle-checkable query: a parquet table slice
-is written to CSV and NDJSON under the repo, re-registered via the
-``CREATE EXTERNAL TABLE`` dialect (:mod:`datafusion_archive_spark.ddl`),
-joined back, and aggregated; the DuckDB oracle computes the same
-aggregate from the original parquet, so any fidelity loss in the
-write→DDL→scan path breaks the hash match.
+``examples/csv_sql.rs:29-57``) plus its declared-only NDJSON format,
+our ORC extension, and the write sink — through an oracle-checkable
+query: parquet table slices are written to CSV, NDJSON, and ORC under
+the repo, re-registered via the ``CREATE EXTERNAL TABLE`` dialect
+(:mod:`datafusion_archive_spark.ddl`), joined back, and aggregated;
+the DuckDB oracle computes the same aggregate from the original
+parquet, so any fidelity loss in any write→DDL→scan path breaks the
+hash match.
 
 ``salted_join_agg`` proves :func:`datafusion_archive_spark.operators.
 skew.salted_join` preserves join semantics exactly: the salted fact ⋈
@@ -35,8 +36,10 @@ def q_sources_roundtrip(spark, sf):
     ctx = ExecutionContext(spark)
     nation = spark.read.parquet(f"{sf}/nation.parquet")
     supplier = spark.read.parquet(f"{sf}/supplier.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
     ctx.write(nation, f"{base}/nation_csv", "csv", header="true")
     ctx.write(supplier, f"{base}/supplier_ndjson", "json")
+    ctx.write(region, f"{base}/region_orc", "orc")
     ctx.sql(
         f"CREATE EXTERNAL TABLE nation_csv_rt ("
         f"n_nationkey INT, n_name VARCHAR, n_regionkey INT) "
@@ -48,17 +51,23 @@ def q_sources_roundtrip(spark, sf):
         f"s_acctbal DOUBLE) "
         f"STORED AS NDJSON LOCATION '{base}/supplier_ndjson'"
     )
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE region_orc_rt "
+        f"STORED AS ORC LOCATION '{base}/region_orc'"
+    )
     # decimal-cast sum: exact 2dp money survives CSV/JSON text round-
     # trip and partition-order variation; final DOUBLE for dtype parity
     return ctx.sql(
         """
-        SELECT n.n_name AS nation,
+        SELECT r.r_name AS region,
+               n.n_name AS nation,
                count(*) AS n_suppliers,
                CAST(sum(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                  AS total_bal
         FROM supplier_nd_rt s
         JOIN nation_csv_rt n ON s.s_nationkey = n.n_nationkey
-        GROUP BY n.n_name
+        JOIN region_orc_rt r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
         """
     )
 
@@ -137,13 +146,15 @@ QUERIES = {
 
 ORACLES = {
     "sources_roundtrip": """
-        SELECT n.n_name AS nation,
+        SELECT r.r_name AS region,
+               n.n_name AS nation,
                count(*) AS n_suppliers,
                CAST(sum(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                  AS total_bal
         FROM supplier s
         JOIN nation n ON s.s_nationkey = n.n_nationkey
-        GROUP BY n.n_name
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
     """,
     "salted_join_agg": """
         SELECT s_name,

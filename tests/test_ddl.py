@@ -59,3 +59,29 @@ def test_malformed_raises():
         ddl.parse_create_external_table(
             "CREATE EXTERNAL TABLE t STORED AS EXCEL LOCATION '/x'"
         )
+
+
+def test_parse_orc_format():
+    from datafusion_archive_spark.ddl import parse_create_external_table
+
+    stmt = parse_create_external_table(
+        "CREATE EXTERNAL TABLE t STORED AS ORC LOCATION '/tmp/t_orc'"
+    )
+    assert stmt.file_format == "ORC"
+    assert stmt.columns == []
+    assert stmt.location == "/tmp/t_orc"
+
+
+def test_orc_roundtrip_via_ddl(spark, sf_dir, tmp_path_factory):
+    from datafusion_archive_spark.context import ExecutionContext
+
+    path = str(tmp_path_factory.mktemp("orc") / "region_orc")
+    ctx = ExecutionContext(spark)
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ctx.write(src, path, "orc")
+    ctx.sql(f"CREATE EXTERNAL TABLE region_orc_t STORED AS ORC LOCATION '{path}'")
+    got = ctx.sql(
+        "SELECT r_regionkey, r_name FROM region_orc_t ORDER BY r_regionkey"
+    ).collect()
+    want = src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+    assert got == want
