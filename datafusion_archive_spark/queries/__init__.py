@@ -122,6 +122,7 @@ _FIRST_50 = [
     "dedup_incremental",       # new-batch-vs-corpus near-dup removal
     "recursive_month_grid",    # WITH RECURSIVE dimension + fact join
     "lateral_top2_per_priority",  # correlated LATERAL with ORDER BY/LIMIT
+    "events_hopping_window",   # overlapping-window agg (stream==batch tested)
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -138,7 +139,6 @@ _FIRST_50 = [
     "join_full_outer",
     "join_semi",
     "setop_union",
-    "setop_union_all",
     "setop_intersect",
     "setop_except",
     "events_sessionize",

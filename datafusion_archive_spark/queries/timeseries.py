@@ -146,6 +146,19 @@ def q_multi_rollup(spark, sf):
     return multi_resolution_rollup(load_events(spark, sf), ("hour", "day"))
 
 
+def q_hopping_window(spark, sf):
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes, so each event lands in exactly two overlapping buckets.
+    Spark expands the row into its windows before one hash aggregate —
+    the expansion factor (window/slide) is the inherent cost of
+    hopping windows and is constant per row at any scale. Completes
+    the window-kind coverage: tumbling (``events_time_bucket``),
+    session (``events_sessionize``), hopping (this)."""
+    return windowed_event_counts(
+        load_events(spark, sf), "1 hour", slide="30 minutes"
+    )
+
+
 def q_distinct_kmv(spark, sf):
     """KMV distinct-user sketch per event type — approximate, yet
     exactly reproduced by the DuckDB oracle (md5-derived hashes make
@@ -161,9 +174,35 @@ QUERIES = {
     "events_multi_rollup": q_multi_rollup,
     "events_distinct_kmv": q_distinct_kmv,
     "events_attribution_join": q_attribution_join,
+    "events_hopping_window": q_hopping_window,
 }
 
 ORACLES = {
+    # Hopping windows: an event at integer-second epoch `sec` belongs
+    # to every 30-min-aligned start s with s <= ts < s + 1h, i.e.
+    # s in [((sec-3600)//1800 + 1)*1800, (sec//1800)*1800] — exactly
+    # Spark's window(ts, '1 hour', '30 minutes') membership.
+    "events_hopping_window": """
+        WITH ev AS (
+          SELECT event_type, value, epoch_us(ts) // 1000000 AS sec
+          FROM events
+        ),
+        wins AS (
+          SELECT event_type, value,
+                 unnest(generate_series(
+                   make_timestamp((((sec - 3600) // 1800 + 1) * 1800)
+                                  * 1000000),
+                   make_timestamp(((sec // 1800) * 1800) * 1000000),
+                   INTERVAL 30 MINUTE)) AS wstart
+          FROM ev
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                     * 100 + 0.5) / 100.0 AS sum_value
+        FROM wins GROUP BY 1, 2
+    """,
     "events_time_bucket": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                  AS window_start,

@@ -19,16 +19,27 @@ def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums per event type (batch form).
+    """Tumbling- or hopping-window counts/sums per event type (batch
+    form). ``slide`` < ``window_duration`` makes windows overlap — each
+    event contributes to ``window/slide`` buckets (Spark expands the
+    row before the hash aggregate; the shuffle carries the expansion,
+    which is the standard cost of hopping windows at any scale).
 
     Window start is rendered as a string so external oracles compare
     exactly (DuckDB: ``strftime(date_trunc('hour', ts), ...)`` for the
-    1-hour case — tumbling windows align to the epoch).
+    1-hour tumbling case — windows align to the epoch; hopping starts
+    enumerate via generate_series).
     """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         events.groupBy(
-            F.window(F.col(ts_col), window_duration).alias("w"),
+            win.alias("w"),
             F.col("event_type"),
         )
         .agg(
@@ -54,18 +65,24 @@ def windowed_event_counts_stream(
     schema,
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ):
-    """Streaming form: file source → watermark → tumbling window agg.
-    Returns the streaming DataFrame (caller attaches a sink). Late
-    rows beyond the watermark are dropped; 'append' output emits each
-    window once it is final — the 100 TB pattern for continuous
-    ingestion."""
+    """Streaming form: file source → watermark → tumbling/hopping
+    window agg. Returns the streaming DataFrame (caller attaches a
+    sink). Late rows beyond the watermark are dropped; 'append' output
+    emits each window once it is final — the 100 TB pattern for
+    continuous ingestion."""
     stream = (
         spark.readStream.schema(schema).parquet(path)
         .withWatermark("ts", watermark)
     )
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
     return (
-        stream.groupBy(F.window("ts", window_duration), "event_type")
+        stream.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # identical decimal formulation to the batch twin so the

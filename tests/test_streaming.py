@@ -159,3 +159,36 @@ def test_stream_stream_attribution_join_equals_batch(spark, events_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_hopping_stream_equals_batch(spark, events_path):
+    """Hopping (1h window / 30min slide) streaming agg must equal the
+    batch computation — each event in exactly two overlapping windows."""
+    batch_df = spark.read.parquet(events_path)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(
+            batch_df, "1 hour", slide="30 minutes"
+        ).collect()
+    }
+    assert expected, "batch hopping agg must not be empty"
+
+    stream = windowed_event_counts_stream(
+        spark, events_path, batch_df.schema, "1 hour",
+        watermark="10 years", slide="30 minutes",
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hop_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM hop_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
