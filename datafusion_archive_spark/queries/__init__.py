@@ -123,6 +123,7 @@ _FIRST_50 = [
     "recursive_month_grid",    # WITH RECURSIVE dimension + fact join
     "lateral_top2_per_priority",  # correlated LATERAL with ORDER BY/LIMIT
     "events_hopping_window",   # overlapping-window agg (stream==batch tested)
+    "console_script_sql",      # console batch-mode pipeline, certified
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -130,7 +131,6 @@ _FIRST_50 = [
     "scan_filter_project",
     "agg_global",
     "agg_rollup",
-    "agg_having",
     "window_running",
     "window_topk_per_group",
     "sort_limit_topk",

@@ -72,6 +72,38 @@ def q_sources_roundtrip(spark, sf):
     )
 
 
+def q_console_script(spark, sf):
+    """Drives the console's script pipeline (the reference console's
+    batch mode, ``/root/reference/src/bin/console/main.rs:41-63``):
+    quote-aware statement splitting, comment stripping, DDL
+    interception, and query routing — everything the interactive
+    binary does except terminal printing. The final SELECT is the
+    certified result; the deliberately tricky script embeds a
+    semicolon and a quote inside string literals plus a comment line,
+    so a splitter regression breaks the driver row."""
+    from datafusion_archive_spark.console import split_statements
+
+    ctx = ExecutionContext(spark)
+    script = f"""
+      -- console-parity script: DDL, then an aggregate over it
+      CREATE EXTERNAL TABLE li_console
+      STORED AS PARQUET LOCATION '{sf}/lineitem.parquet';
+      SELECT l_returnflag,
+             count(*) AS n_open,
+             sum(CASE WHEN l_returnflag = 'a;b' THEN 1 ELSE 0 END)
+               AS semicolon_rows
+      FROM li_console
+      WHERE l_linestatus = 'O'
+      GROUP BY l_returnflag
+    """
+    result = None
+    for stmt in split_statements(script):
+        out = ctx.sql(stmt)
+        if out is not None:
+            result = out
+    return result
+
+
 def q_salted_join_agg(spark, sf):
     l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         F.col("l_suppkey").alias("suppkey"), "l_quantity"
@@ -142,6 +174,7 @@ QUERIES = {
     "sources_roundtrip": q_sources_roundtrip,
     "salted_join_agg": q_salted_join_agg,
     "planir_roundtrip": q_planir_roundtrip,
+    "console_script_sql": q_console_script,
 }
 
 ORACLES = {
@@ -163,6 +196,15 @@ ORACLES = {
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s_name
+    """,
+    "console_script_sql": """
+        SELECT l_returnflag,
+               count(*) AS n_open,
+               sum(CASE WHEN l_returnflag = 'a;b' THEN 1 ELSE 0 END)
+                 AS semicolon_rows
+        FROM lineitem
+        WHERE l_linestatus = 'O'
+        GROUP BY l_returnflag
     """,
     "planir_roundtrip": """
         SELECT n.n_name AS nation,
