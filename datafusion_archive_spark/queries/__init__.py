@@ -124,6 +124,8 @@ _FIRST_50 = [
     "lateral_top2_per_priority",  # correlated LATERAL with ORDER BY/LIMIT
     "events_hopping_window",   # overlapping-window agg (stream==batch tested)
     "console_script_sql",      # console batch-mode pipeline, certified
+    "stratified_sample",       # per-language hash-gated rebalancing
+    "winsorized_aggs",         # robust clipped aggregation
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -139,8 +141,6 @@ _FIRST_50 = [
     "join_full_outer",
     "join_semi",
     "setop_union",
-    "setop_intersect",
-    "setop_except",
     "events_sessionize",
 ]
 

@@ -181,10 +181,63 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+#: per-language sampling fractions for the stratified sample — the
+#: corpus-rebalancing pattern (downsample the dominant language,
+#: keep the tail). Basis points of 10000.
+_STRATA_BP = {"en": 2500, "de": 7500, "fr": 7500, "es": 7500, "zh": 7500}
+_STRATA_SEED = 7
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum (language) sampling: each document
+    passes iff ``hash64(doc_id) mod 10000`` falls under its language's
+    basis-point budget. Unlike ``df.sampleBy`` (RNG-order-dependent),
+    the hash gate is a pure per-row predicate — reproducible on any
+    cluster, any partitioning, and exactly replayable by the oracle.
+    Map-only: no shuffle, no sort."""
+    d = _t(spark, sf, "documents")
+    bp = F.create_map(
+        *[F.lit(x) for kv in _STRATA_BP.items() for x in kv]
+    )
+    gate = TX.hash64(F.col("doc_id").cast("string"), _STRATA_SEED) % 10_000
+    return (
+        d.withColumn("bucket", gate)
+        .filter(F.col("bucket") < bp[F.col("lang")])
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def q_winsorized_aggs(spark, sf):
+    """Winsorized (clipped) aggregation: per event type, clip values
+    to the exact [p05, p95] band and aggregate the clipped series —
+    the standard robust-mean pattern for long-tailed metrics. Exact
+    interpolated percentiles compute per group in one pass; the tiny
+    (type, lo, hi) table broadcasts back onto the events scan, so the
+    fact side is read once and never shuffled beyond the final
+    aggregate. Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    linear interpolation, so the oracle is exact."""
+    ev = load_events(spark, sf)
+    bands = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bands), "event_type").withColumn(
+        "v_clip", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_floor"),
+        F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_ceil"),
+        round_half_up(decimal_sum(F.col("v_clip")), 2).alias("clipped_sum"),
+    )
+
+
 QUERIES = {
     "events_gapfill_locf": q_events_gapfill_locf,
     "text_repetition_gopher": q_text_repetition_gopher,
     "dedup_incremental": q_dedup_incremental,
+    "stratified_sample": q_stratified_sample,
+    "winsorized_aggs": q_winsorized_aggs,
 }
 
 _G2_SQL = (
@@ -257,6 +310,40 @@ ORACLES = {
         FROM cl
     """,
 }
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{lang}' THEN {bp}" for lang, bp in _STRATA_BP.items()
+)
+
+ORACLES["stratified_sample"] = f"""
+    SELECT doc_id, lang, bucket
+    FROM (
+      SELECT doc_id, lang,
+             {_llm._hash64_sql("CAST(doc_id AS VARCHAR)", _STRATA_SEED)}
+               % 10000 AS bucket
+      FROM documents
+    )
+    WHERE bucket < (CASE lang {_STRATA_CASE} ELSE 0 END)
+"""
+
+ORACLES["winsorized_aggs"] = f"""
+    WITH bands AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE e.value < b.lo) AS n_floor,
+           count(*) FILTER (WHERE e.value > b.hi) AS n_ceil,
+           {round_half_up_sql(
+               decimal_sum_sql("least(greatest(e.value, b.lo), b.hi)"), 2)}
+             AS clipped_sum
+    FROM events e JOIN bands b USING (event_type)
+    GROUP BY 1
+"""
 
 
 def _incremental_oracle() -> str:
