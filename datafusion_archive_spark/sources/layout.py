@@ -102,3 +102,70 @@ def compact(
         os.rename(old, local)  # roll back; tmp still holds the rewrite
         raise
     shutil.rmtree(old)
+
+
+def zorder_expr(
+    col1: str,
+    col2: str,
+    bounds1: tuple[float, float],
+    bounds2: tuple[float, float],
+    bits: int = 10,
+) -> "Column":
+    """Z-order (Morton) interleave of two quantized columns (by name).
+
+    Each column is min-max quantized to ``bits`` bits against caller-
+    supplied bounds (at scale the bounds come from table stats — a
+    constant, not a data pass), then the bit planes are interleaved so
+    rows close in (col1, col2) space get close z-values. Sorting the
+    write by this value clusters both dimensions at once, which is
+    what makes parquet file/row-group min/max stats selective for
+    *either* predicate — the standard multi-dimensional data-skipping
+    layout (Delta/Iceberg OPTIMIZE ZORDER does exactly this).
+
+    Built as one ``F.expr`` string (2·bits shift terms) per the
+    plan-build cost rule in PERF.md.
+    """
+    from pyspark.sql import functions as F
+
+    def quant(col_sql: str, lo: float, hi: float) -> str:
+        span = hi - lo
+        return (
+            f"CAST(least(greatest(floor((({col_sql}) - {lo!r}) "
+            f"/ {span!r} * {(1 << bits) - 1}), 0), {(1 << bits) - 1}) AS LONG)"
+        )
+
+    q1 = quant(col1, *bounds1)
+    q2 = quant(col2, *bounds2)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(shiftleft(shiftright({q1}, {i}) & 1, {2 * i + 1}))")
+        terms.append(f"(shiftleft(shiftright({q2}, {i}) & 1, {2 * i}))")
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: "DataFrame",
+    path: str,
+    col1: str,
+    col2: str,
+    bounds1: tuple[float, float],
+    bounds2: tuple[float, float],
+    n_files: int = 16,
+    bits: int = 10,
+    file_format: str = "parquet",
+) -> None:
+    """Write ``df`` clustered by the Z-order of (col1, col2): range-
+    partition on the z-value into ``n_files`` files and sort within
+    each, so every file covers a compact box in (col1, col2) space and
+    its min/max stats prune box predicates on either column. One
+    range-exchange shuffle — same cost class as any global sort."""
+    z = zorder_expr(col1, col2, bounds1, bounds2, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(file_format)
+        .save(path)
+    )

@@ -90,3 +90,64 @@ def test_compaction(spark, sf_dir, tmp_path_factory):
     n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_after <= 2
     assert spark.read.parquet(out).count() == 25
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """Z-order must make per-file min/max stats selective for a box
+    predicate on BOTH columns — the property that lets parquet
+    row-group/file stats skip data for either dimension. Validated
+    directly from the written files' footers via pyarrow."""
+    import pyarrow.parquet as pq
+    import os
+
+    from datafusion_archive_spark.sources.layout import write_zordered
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo_k, hi_k = 1.0, float(
+        src.agg({"o_custkey": "max"}).collect()[0][0]
+    )
+    lo_p, hi_p = 0.0, 500_000.0
+    base = tmp_path_factory.mktemp("zorder")
+
+    zpath = str(base / "z")
+    write_zordered(
+        src, zpath, "o_custkey", "o_totalprice",
+        (lo_k, hi_k), (lo_p, hi_p), n_files=16,
+    )
+    upath = str(base / "u")
+    src.repartition(16).write.parquet(upath)  # round-robin: no clustering
+
+    def overlap_fraction(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 8
+        # box predicate: bottom-quarter custkey AND bottom-quarter price
+        k_cut = lo_k + (hi_k - lo_k) / 4
+        p_cut = lo_p + (hi_p - lo_p) / 4
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            kmin = min(
+                md.row_group(i).column(1).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            pmin = min(
+                md.row_group(i).column(2).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            if kmin <= k_cut and pmin <= p_cut:
+                hit += 1
+        return hit / len(files)
+
+    z_frac, u_frac = overlap_fraction(zpath), overlap_fraction(upath)
+    # every unsorted file spans the whole space → ~100% overlap;
+    # z-ordered files cover compact boxes → only the corner overlaps
+    assert u_frac >= 0.9, u_frac
+    assert z_frac <= 0.5, (
+        f"z-ordered files should mostly skip the corner box: {z_frac}"
+    )
