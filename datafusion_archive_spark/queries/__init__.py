@@ -126,6 +126,8 @@ _FIRST_50 = [
     "console_script_sql",      # console batch-mode pipeline, certified
     "stratified_sample",       # per-language hash-gated rebalancing
     "winsorized_aggs",         # robust clipped aggregation
+    "merge_upsert_orders",     # MERGE INTO semantics, certified
+    "join_null_safe",          # EqualNullSafe hash join
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -137,9 +139,7 @@ _FIRST_50 = [
     "window_topk_per_group",
     "sort_limit_topk",
     "join_inner_3way",
-    "join_left_outer",
     "join_full_outer",
-    "join_semi",
     "setop_union",
     "events_sessionize",
 ]

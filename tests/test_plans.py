@@ -138,3 +138,11 @@ def test_gapfill_no_cartesian_and_bounded_shuffles(spark, sf_dir):
     s = summarize(QUERIES["events_gapfill_locf"](spark, sf_dir))
     assert "CartesianProduct" not in s.joins
     assert s.n_hash_exchanges <= 3, s.raw
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """EqualNullSafe must plan as a hash/SMJ join key, never a
+    cartesian product with a post-filter."""
+    s = summarize(QUERIES["join_null_safe"](spark, sf_dir))
+    assert "CartesianProduct" not in s.joins, s.joins
+    assert "BroadcastNestedLoopJoin" not in s.joins, s.joins
