@@ -128,6 +128,7 @@ _FIRST_50 = [
     "winsorized_aggs",         # robust clipped aggregation
     "merge_upsert_orders",     # MERGE INTO semantics, certified
     "join_null_safe",          # EqualNullSafe hash join
+    "partitioned_pruning",     # partitionBy write + PartitionFilters scan
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -140,7 +141,6 @@ _FIRST_50 = [
     "sort_limit_topk",
     "join_inner_3way",
     "join_full_outer",
-    "setop_union",
     "events_sessionize",
 ]
 

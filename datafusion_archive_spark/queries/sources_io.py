@@ -24,6 +24,12 @@ import os
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.context import ExecutionContext
+from datafusion_archive_spark.functions.rounding import (
+    decimal_sum,
+    decimal_sum_sql,
+    round_half_up,
+    round_half_up_sql,
+)
 from datafusion_archive_spark.operators.skew import salted_join
 
 #: scratch area for the round-trip files — must live under the repo
@@ -69,6 +75,32 @@ def q_sources_roundtrip(spark, sf):
         JOIN region_orc_rt r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name, n.n_name
         """
+    )
+
+
+def q_partitioned_pruning(spark, sf):
+    """Directory-partitioned layout end-to-end: orders re-written
+    ``partitionBy(o_year)``, then scanned with a year predicate that
+    must prune to one directory (``PartitionFilters`` in the plan —
+    asserted in tests/test_plans.py). At 100 TB this IS the difference
+    between scanning one day and scanning the table; the certified
+    aggregate replays the pruned scan against the original parquet,
+    so a partition-column encoding bug (year widening, null dirs)
+    breaks the hash match."""
+    base = f"{_IO_BASE}/{os.path.basename(sf.rstrip('/'))}_orders_by_year"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(base)
+    )
+    part = spark.read.parquet(base).filter(F.col("o_year") == 1997)
+    return part.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(decimal_sum(F.col("o_totalprice")), 2).alias(
+            "total_price"
+        ),
     )
 
 
@@ -175,6 +207,7 @@ QUERIES = {
     "salted_join_agg": q_salted_join_agg,
     "planir_roundtrip": q_planir_roundtrip,
     "console_script_sql": q_console_script,
+    "partitioned_pruning": q_partitioned_pruning,
 }
 
 ORACLES = {
@@ -196,6 +229,15 @@ ORACLES = {
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s_name
+    """,
+    "partitioned_pruning": f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               {round_half_up_sql(decimal_sum_sql("o_totalprice"), 2)}
+                 AS total_price
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1997
+        GROUP BY 1
     """,
     "console_script_sql": """
         SELECT l_returnflag,

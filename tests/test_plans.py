@@ -146,3 +146,11 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     s = summarize(QUERIES["join_null_safe"](spark, sf_dir))
     assert "CartesianProduct" not in s.joins, s.joins
     assert "BroadcastNestedLoopJoin" not in s.joins, s.joins
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The year predicate must reach the scan as a PartitionFilter
+    (directory pruning), not a post-scan filter."""
+    s = summarize(QUERIES["partitioned_pruning"](spark, sf_dir))
+    pf = ";".join(s.partition_filters)
+    assert "o_year" in pf and "1997" in pf, s.partition_filters
