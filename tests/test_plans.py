@@ -154,3 +154,21 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
     s = summarize(QUERIES["partitioned_pruning"](spark, sf_dir))
     pf = ";".join(s.partition_filters)
     assert "o_year" in pf and "1997" in pf, s.partition_filters
+
+
+def test_no_cartesian_in_certification_window(spark, sf_dir):
+    """Bulk scale guard: no query in the certification window may plan
+    a CartesianProduct. cross_join_grid is the one deliberate
+    enumeration grid (dims-only, aggregate-before-join) and is
+    exempted explicitly."""
+    from datafusion_archive_spark.queries import _FIRST_50
+
+    allowed = {"cross_join_grid"}
+    offenders = {}
+    for name in _FIRST_50:
+        if name in allowed:
+            continue
+        s = summarize(QUERIES[name](spark, sf_dir))
+        if "CartesianProduct" in s.joins:
+            offenders[name] = s.joins
+    assert not offenders, offenders
