@@ -13,6 +13,8 @@ extension surface mandated by BASELINE.json's north star.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -187,17 +189,49 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     )
 
 
+#: Active hash family for :func:`hash64` — "md5" (default: engine-
+#: portable, DuckDB-reproducible, the correctness-oracle path) or
+#: "xxhash64" (Spark-native, ~2-3× faster hashing, NOT reproducible
+#: outside Spark — the production path when cross-engine parity isn't
+#: required). Switch scoped via :func:`use_hash`.
+HASH_METHOD = "md5"
+
+
+@_contextmanager
+def use_hash(method: str):
+    """Scoped hash-family override: ``with use_hash("xxhash64"): ...``
+    makes every operator built inside the block (minhash, simhash,
+    fingerprints, splits) use the Spark-native family. Plan-build-time
+    only — the choice is baked into the returned lazy DataFrame."""
+    global HASH_METHOD
+    if method not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash method: {method!r}")
+    old, HASH_METHOD = HASH_METHOD, method
+    try:
+        yield
+    finally:
+        HASH_METHOD = old
+
+
 def hash64(c: Column, seed: int = 0) -> Column:
-    """Deterministic 60-bit integer hash of a string, reproducible in
-    any engine with md5: take the first 15 hex digits of
-    ``md5(s || ':' || seed)`` as a base-16 integer.
+    """Deterministic 60-bit positive integer hash of a string.
 
-    DuckDB: ``('0x' || substr(md5(s || ':<seed>'), 1, 15))::BIGINT``.
+    md5 family (default): first 15 hex digits of
+    ``md5(s || ':' || seed)`` as a base-16 integer — reproducible in
+    any engine (DuckDB: ``('0x' || substr(md5(s || ':<seed>'), 1,
+    15))::BIGINT``), which keeps the correctness oracle exact.
 
-    Spark's native ``xxhash64``/``hash`` would be faster but is not
-    reproducible outside Spark; md5 keeps the correctness oracle exact.
+    xxhash64 family (``use_hash("xxhash64")``): Spark-native seeded
+    xxhash, shifted to the same positive 60-bit range so downstream
+    modular arithmetic (MinHash affine family) behaves identically.
+    Same collision statistics, ~2-3× faster, Spark-only.
+
     Both stay JVM-side / codegen'd.
     """
+    if HASH_METHOD == "xxhash64":
+        return F.shiftrightunsigned(
+            F.xxhash64(c, F.lit(seed)), 4
+        ).cast("long")
     return F.conv(
         F.substring(F.md5(F.concat(c, F.lit(f":{seed}"))), 1, 15), 16, 10
     ).cast("long")

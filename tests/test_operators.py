@@ -342,3 +342,42 @@ class TestSpread:
         assert _parse_bytes("128MB") == 128 * 2**20
         assert _parse_bytes("1g") == 2**30
         assert _parse_bytes("garbage") == 128 * 2**20
+
+
+class TestProductionHashPath:
+    def test_xxhash_finds_planted_near_dups(self, spark, sf_dir):
+        """The xxhash64 production path must detect the same planted
+        near-duplicates as the oracle md5 path: every pair the exact
+        (hash-independent) 3-gram Jaccard rates >= 0.8 must surface
+        from xxhash-based MinHash-LSH candidates."""
+        from datafusion_archive_spark.functions import text as TX
+        from datafusion_archive_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        planted = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, k=3, threshold=0.8, max_shingle_df=50
+            ).collect()
+        }
+        assert planted, "testdata should contain planted near-dups"
+
+        with TX.use_hash("xxhash64"):
+            xx_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in xx_pairs.collect()}
+        missed = planted - got
+        assert not missed, f"xxhash path missed planted pairs: {missed}"
+
+    def test_use_hash_restores_default(self):
+        from datafusion_archive_spark.functions import text as TX
+
+        assert TX.HASH_METHOD == "md5"
+        with TX.use_hash("xxhash64"):
+            assert TX.HASH_METHOD == "xxhash64"
+        assert TX.HASH_METHOD == "md5"
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            with TX.use_hash("sha1"):
+                pass
