@@ -448,3 +448,87 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    base_path: str,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index at rest: the assigned corpus written
+    ``partitionBy(list_id)`` (one directory per inverted list) plus
+    the small centroid table alongside. This is the layout that turns
+    an IVF probe into *partition pruning* — the query below reads only
+    its probed lists' directories, which is the whole point of an IVF
+    index at 100 TB."""
+    assigned = ivf_assign(corpus, centroid_stride, id_col, vec_col)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{base_path}/lists")
+    )
+    cents = _normalized(
+        corpus.filter(F.col(id_col) % centroid_stride == 0),
+        id_col, vec_col, "list_id", "cv", spread_input=False,
+        persist=False,
+    )
+    cents.write.mode("overwrite").parquet(f"{base_path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    base_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query against the at-rest index: pick each query's
+    ``nprobe`` nearest centroids, then scan ONLY those lists'
+    partitions (static IN-list pruning — the probed id set is tiny,
+    queries x nprobe, so collecting it to the driver is the correct
+    move; the plan shows the list_id PartitionFilters) and rank exact
+    cosine within them. Results are identical to the in-memory
+    :func:`ivf_topk` for the same stride/probe parameters."""
+    cents = spark.read.parquet(f"{base_path}/centroids")
+    q = _normalized(
+        queries, id_col, vec_col, "query_id", "qv", spread_input=False
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("list_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "list_id",
+            dot(F.col("qv"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    probes = cached(probes)
+    probe_ids = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    lists = spark.read.parquet(f"{base_path}/lists").filter(
+        F.col("list_id").isin(probe_ids)
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -381,3 +381,56 @@ class TestProductionHashPath:
         with _pytest.raises(ValueError):
             with TX.use_hash("sha1"):
                 pass
+
+
+class TestIvfAtRest:
+    def test_index_query_matches_in_memory_and_prunes(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """The at-rest IVF index must (a) return exactly the in-memory
+        ivf_topk results and (b) actually prune: the probed scan reads
+        only the probed lists' partition directories."""
+        from datafusion_archive_spark.operators.similarity import (
+            ivf_index_write,
+            ivf_topk,
+            ivf_topk_from_index,
+        )
+        from datafusion_archive_spark.operators.util import release_caches
+
+        corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = corpus.filter(F.col("vec_id") % 100 == 1).limit(2)
+        base = str(tmp_path_factory.mktemp("ivf") / "index")
+
+        ivf_index_write(corpus, base, centroid_stride=20)
+        got = ivf_topk_from_index(
+            spark, base, queries, k=5, nprobe=2
+        )
+        got_rows = {tuple(r) for r in got.collect()}
+        release_caches()
+        want_rows = {
+            tuple(r)
+            for r in ivf_topk(
+                corpus, queries, k=5, nprobe=2, centroid_stride=20
+            ).collect()
+        }
+        release_caches()
+        assert got_rows == want_rows
+
+        # pruning: the probed IN-list must reach the lists scan as a
+        # PartitionFilter (directory pruning), covering fewer lists
+        # than exist on disk
+        import os
+        import re as _re
+
+        from datafusion_archive_spark.plans import summarize
+
+        all_lists = [
+            d for d in os.listdir(f"{base}/lists") if d.startswith("list_id=")
+        ]
+        probed = ivf_topk_from_index(spark, base, queries, k=5, nprobe=2)
+        s = summarize(probed)
+        pf = ";".join(s.partition_filters)
+        release_caches()
+        assert "list_id" in pf, s.partition_filters
+        probed_ids = set(_re.findall(r"\b(\d+)\b", pf))
+        assert 0 < len(probed_ids) < len(all_lists), (pf, len(all_lists))
