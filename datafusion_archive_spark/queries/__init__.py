@@ -129,6 +129,7 @@ _FIRST_50 = [
     "merge_upsert_orders",     # MERGE INTO semantics, certified
     "join_null_safe",          # EqualNullSafe hash join
     "partitioned_pruning",     # partitionBy write + PartitionFilters scan
+    "histogram_equi_depth",    # decile histogram via broadcast cutpoints
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -139,7 +140,6 @@ _FIRST_50 = [
     "window_running",
     "window_topk_per_group",
     "sort_limit_topk",
-    "join_inner_3way",
     "join_full_outer",
     "events_sessionize",
 ]

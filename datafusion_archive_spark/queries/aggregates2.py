@@ -136,7 +136,37 @@ def q_profile_columns(spark, sf):
     )
 
 
+_HIST_PCTS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_histogram_equi_depth(spark, sf):
+    """Equi-depth (decile) histogram the scale-sane way: exact
+    interpolated decile boundaries in ONE aggregate pass, broadcast
+    back onto the scan, bucket assignment as a fold over the 9
+    cutpoints — never the ntile-over-global-order formulation, whose
+    single-partition window is a scale-killer. Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear interpolation, so bucket
+    edges (and therefore every count) match exactly."""
+    l = _t(spark, sf, "lineitem").select("l_extendedprice")
+    pcts = ", ".join(str(p) for p in _HIST_PCTS)
+    bounds = l.agg(
+        F.expr(f"percentile(l_extendedprice, array({pcts}))").alias("bs")
+    )
+    bucketed = l.join(F.broadcast(bounds)).select(
+        F.expr(
+            "aggregate(bs, 0, (acc, b) -> acc + IF(l_extendedprice > b, 1, 0))"
+        ).alias("bucket"),
+        "l_extendedprice",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
 QUERIES = {
+    "histogram_equi_depth": q_histogram_equi_depth,
     "profile_columns": q_profile_columns,
     "stats_aggs": q_stats_aggs,
     "argminmax_aggs": q_argminmax,
@@ -147,6 +177,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "histogram_equi_depth": f"""
+        WITH bounds AS (
+          SELECT quantile_cont(l_extendedprice,
+                               [{", ".join(str(p) for p in _HIST_PCTS)}]) AS bs
+          FROM lineitem
+        )
+        SELECT list_sum(list_transform(b.bs,
+                 x -> CASE WHEN l.l_extendedprice > x THEN 1 ELSE 0 END))
+                 AS bucket,
+               count(*) AS n,
+               round(min(l.l_extendedprice), 2) AS lo,
+               round(max(l.l_extendedprice), 2) AS hi
+        FROM lineitem l CROSS JOIN bounds b
+        GROUP BY 1
+    """,
     "profile_columns": "\nUNION ALL\n".join(
         f"""
         SELECT '{c}' AS column_name,
