@@ -130,6 +130,7 @@ _FIRST_50 = [
     "join_null_safe",          # EqualNullSafe hash join
     "partitioned_pruning",     # partitionBy write + PartitionFilters scan
     "histogram_equi_depth",    # decile histogram via broadcast cutpoints
+    "text_token_entropy",      # perplexity-proxy quality signal
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -140,7 +141,6 @@ _FIRST_50 = [
     "window_running",
     "window_topk_per_group",
     "sort_limit_topk",
-    "join_full_outer",
     "events_sessionize",
 ]
 

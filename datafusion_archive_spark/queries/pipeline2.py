@@ -147,6 +147,40 @@ def q_text_repetition_gopher(spark, sf):
     )
 
 
+def q_text_token_entropy(spark, sf):
+    """Unigram token entropy per document (nats) — low entropy flags
+    repetitive gibberish/spam, high entropy flags random noise; the
+    classic cheap perplexity proxy for corpus filtering. Scan-side
+    array work only. The float fold runs over SORTED counts on both
+    engines: a float sum's low bits depend on summation order, and
+    Spark's ``array_distinct`` (first-occurrence order) and DuckDB's
+    ``list_distinct`` (unspecified order) would otherwise disagree at
+    the rounding boundary."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.split(TX.normalize_text(F.col("text")), " ").alias("w"),
+    )
+    d = d.withColumn(
+        "cnts",
+        F.expr(
+            "array_sort(transform(array_distinct(w), "
+            "t -> size(filter(w, x -> x = t))))"
+        ),
+    )
+    ent = F.expr(
+        "-aggregate(cnts, CAST(0 AS DOUBLE), (acc, c) -> "
+        "acc + (c / CAST(size(w) AS DOUBLE)) "
+        "* ln(c / CAST(size(w) AS DOUBLE)))"
+    )
+    return d.select(
+        "doc_id",
+        round_half_up(
+            F.when(F.size("w") > 0, ent).otherwise(F.lit(0.0)), 4
+        ).alias("token_entropy"),
+        F.size("w").alias("n_tokens"),
+    )
+
+
 def q_dedup_incremental(spark, sf):
     """Incremental near-dup dedup: treat ``doc_id % 5 == 0`` as the
     newly ingested batch and the rest as the standing corpus; a new
@@ -238,6 +272,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "stratified_sample": q_stratified_sample,
     "winsorized_aggs": q_winsorized_aggs,
+    "text_token_entropy": q_text_token_entropy,
 }
 
 _G2_SQL = (
@@ -343,6 +378,29 @@ ORACLES["winsorized_aggs"] = f"""
              AS clipped_sum
     FROM events e JOIN bands b USING (event_type)
     GROUP BY 1
+"""
+
+
+ORACLES["text_token_entropy"] = f"""
+    WITH wl AS (
+      SELECT doc_id, {_llm._WORDS} AS w FROM documents
+    ),
+    cl AS (
+      SELECT doc_id, w,
+             list_sort(list_transform(list_distinct(w),
+               t -> len(list_filter(w, x -> x = t)))) AS cnts
+      FROM wl
+    )
+    SELECT doc_id,
+           {round_half_up_sql(
+               "CASE WHEN len(w) > 0 THEN "
+               "-list_sum(list_transform(cnts, "
+               "c -> (c / CAST(len(w) AS DOUBLE)) "
+               "* ln(c / CAST(len(w) AS DOUBLE)))) "
+               "ELSE 0.0 END", 4)}
+             AS token_entropy,
+           CAST(len(w) AS INTEGER) AS n_tokens
+    FROM cl
 """
 
 
