@@ -95,6 +95,16 @@ class ExecutionContext:
         and projected columns into the scan."""
         return self.register_datasource(name, self.spark.read.parquet(path))
 
+    def register_parquet_evolving(self, name: str, path: str) -> DataFrame:
+        """Parquet source with schema evolution on read
+        (``mergeSchema``): batches written with added columns union
+        into one schema, older files reading the new columns as NULL —
+        the append-only lake pattern where ingestion schemas drift."""
+        return self.register_datasource(
+            name,
+            self.spark.read.option("mergeSchema", "true").parquet(path),
+        )
+
     def register_orc(self, name: str, path: str) -> DataFrame:
         """ORC source — beyond the reference grammar; self-describing
         schema with the same pushdown behavior as parquet (Spark's
@@ -106,11 +116,20 @@ class ExecutionContext:
         name: str,
         path: str,
         schema: T.StructType | Iterable[tuple[str, str]] | None = None,
+        **options: str,
     ) -> DataFrame:
         """Newline-delimited JSON source — ``STORED AS NDJSON`` in the
         reference grammar (``src/dfparser.rs:33,175-176``), never wired
-        there (``context.rs:63``)."""
+        there (``context.rs:63``).
+
+        Extra ``options`` pass through to the reader — e.g.
+        ``mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt"``
+        (add a ``_corrupt STRING`` field to the declared schema) to
+        quarantine malformed lines into a column instead of failing
+        the batch, the standard large-scale ingestion posture."""
         reader = self.spark.read
+        for k, v in options.items():
+            reader = reader.option(k, v)
         st = _as_struct_type(schema)
         if st is not None:
             reader = reader.schema(st)

@@ -112,3 +112,76 @@ def test_write_roundtrip(ctx, sf_dir, tmp_path_factory):
 def test_select_no_from(ctx):
     row = ctx.sql("SELECT 1 + 2 AS three").collect()[0]
     assert row.three == 3
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
+    """Two batches with drifting schemas union under mergeSchema; the
+    older batch reads the new column as NULL."""
+    from datafusion_archive_spark.context import ExecutionContext
+
+    base = str(tmp_path_factory.mktemp("evolve") / "t")
+    ctx = ExecutionContext(spark)
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.parquet(
+        f"{base}/b1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v STRING, score DOUBLE"
+    ).write.parquet(f"{base}/b2")
+    # read both dirs as one evolving table
+    import shutil, os
+
+    merged_dir = str(tmp_path_factory.mktemp("evolve2") / "m")
+    os.makedirs(merged_dir)
+    for b in ("b1", "b2"):
+        for f in os.listdir(f"{base}/{b}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/{b}/{f}", f"{merged_dir}/{b}_{f}")
+    df = ctx.register_parquet_evolving("evolving_t", merged_dir)
+    rows = {
+        (r.id, r.v, r.score)
+        for r in ctx.sql(
+            "SELECT id, v, score FROM evolving_t ORDER BY id"
+        ).collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    assert set(df.columns) == {"id", "v", "score"}
+
+
+def test_ndjson_corrupt_record_quarantine(spark, tmp_path_factory):
+    """PERMISSIVE mode quarantines malformed lines into the declared
+    corrupt-record column instead of failing the batch."""
+    from pyspark.sql import types as T
+
+    from datafusion_archive_spark.context import ExecutionContext
+
+    p = tmp_path_factory.mktemp("nd") / "data.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "fine"}\n'
+    )
+    ctx = ExecutionContext(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = ctx.register_ndjson(
+        "nd_perm",
+        str(p),
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    df.cache()  # corrupt-column queries need the full row materialized
+    good = ctx.sql(
+        "SELECT id FROM nd_perm WHERE _corrupt IS NULL ORDER BY id"
+    ).collect()
+    bad = ctx.sql(
+        "SELECT _corrupt FROM nd_perm WHERE _corrupt IS NOT NULL"
+    ).collect()
+    df.unpersist()
+    assert [r.id for r in good] == [1, 2]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt
