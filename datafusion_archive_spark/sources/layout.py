@@ -104,28 +104,33 @@ def compact(
     shutil.rmtree(old)
 
 
-def zorder_expr(
-    col1: str,
-    col2: str,
-    bounds1: tuple[float, float],
-    bounds2: tuple[float, float],
+def zorder_expr_n(
+    cols: "list[tuple[str, float, float]]",
     bits: int = 10,
 ) -> "Column":
-    """Z-order (Morton) interleave of two quantized columns (by name).
+    """Z-order (Morton) interleave of n quantized columns.
 
-    Each column is min-max quantized to ``bits`` bits against caller-
-    supplied bounds (at scale the bounds come from table stats — a
-    constant, not a data pass), then the bit planes are interleaved so
-    rows close in (col1, col2) space get close z-values. Sorting the
-    write by this value clusters both dimensions at once, which is
-    what makes parquet file/row-group min/max stats selective for
-    *either* predicate — the standard multi-dimensional data-skipping
-    layout (Delta/Iceberg OPTIMIZE ZORDER does exactly this).
+    ``cols`` is a list of (column_name, lo, hi): each column is
+    min-max quantized to ``bits`` bits against caller-supplied bounds
+    (at scale the bounds come from table stats — a constant, not a
+    data pass), then the bit planes are interleaved round-robin so
+    rows close in the n-dimensional space get close z-values. Sorting
+    the write by this value clusters every dimension at once, which
+    is what makes parquet file/row-group min/max stats selective for
+    ANY of the predicates — the standard multi-dimensional
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER).
 
-    Built as one ``F.expr`` string (2·bits shift terms) per the
-    plan-build cost rule in PERF.md.
+    n·bits must fit a signed 64-bit long (n·bits ≤ 62). Built as one
+    ``F.expr`` string (n·bits shift terms) per the plan-build cost
+    rule in PERF.md.
     """
     from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a 64-bit long")
 
     def quant(col_sql: str, lo: float, hi: float) -> str:
         span = hi - lo
@@ -134,13 +139,28 @@ def zorder_expr(
             f"/ {span!r} * {(1 << bits) - 1}), 0), {(1 << bits) - 1}) AS LONG)"
         )
 
-    q1 = quant(col1, *bounds1)
-    q2 = quant(col2, *bounds2)
+    qs = [quant(c, lo, hi) for c, lo, hi in cols]
     terms = []
     for i in range(bits):
-        terms.append(f"(shiftleft(shiftright({q1}, {i}) & 1, {2 * i + 1}))")
-        terms.append(f"(shiftleft(shiftright({q2}, {i}) & 1, {2 * i}))")
+        for j, q in enumerate(qs):
+            # column j's bit i lands at interleaved position i*n + (n-1-j)
+            terms.append(
+                f"(shiftleft(shiftright({q}, {i}) & 1, {i * n + (n - 1 - j)}))"
+            )
     return F.expr(" + ".join(terms))
+
+
+def zorder_expr(
+    col1: str,
+    col2: str,
+    bounds1: tuple[float, float],
+    bounds2: tuple[float, float],
+    bits: int = 10,
+) -> "Column":
+    """Two-column convenience wrapper over :func:`zorder_expr_n`."""
+    return zorder_expr_n(
+        [(col1, *bounds1), (col2, *bounds2)], bits
+    )
 
 
 def write_zordered(

@@ -151,3 +151,31 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path_factory):
     assert z_frac <= 0.5, (
         f"z-ordered files should mostly skip the corner box: {z_frac}"
     )
+
+
+def test_zorder_n_dimensional_validation_and_locality(spark):
+    """n-col z-values: validation errors and 3-D locality sanity —
+    neighbors in all three dims must be z-closer than far points."""
+    import pytest as _pytest
+
+    from datafusion_archive_spark.sources.layout import zorder_expr_n
+
+    with _pytest.raises(ValueError):
+        zorder_expr_n([("a", 0.0, 1.0)])
+    with _pytest.raises(ValueError):
+        zorder_expr_n([("a", 0.0, 1.0)] * 7, bits=10)  # 70 bits > 62
+
+    df = spark.createDataFrame(
+        [(0.1, 0.1, 0.1), (0.12, 0.12, 0.12), (0.9, 0.9, 0.9)],
+        "x DOUBLE, y DOUBLE, z DOUBLE",
+    )
+    zs = [
+        r.zv
+        for r in df.select(
+            zorder_expr_n(
+                [("x", 0.0, 1.0), ("y", 0.0, 1.0), ("z", 0.0, 1.0)],
+                bits=10,
+            ).alias("zv")
+        ).collect()
+    ]
+    assert abs(zs[0] - zs[1]) < abs(zs[0] - zs[2])
