@@ -21,6 +21,14 @@ ORACLE_SUBSET = [
     "dedup_minhash_lsh",
     "ann_bruteforce",
     "text_stats",
+    # round-4 wave representatives
+    "agg_filtered",
+    "window_nav_nulls",
+    "events_gapfill_locf",
+    "text_token_entropy",
+    "merge_upsert_orders",
+    "recursive_month_grid",
+    "histogram_equi_depth",
 ]
 
 
