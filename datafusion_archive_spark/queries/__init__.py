@@ -86,6 +86,13 @@ ROWS_ONLY = {
 #: (rows-only by design; certifying the weaker check on the record
 #: beats leaving the row blank). Tail: oldest (round-1) certified
 #: names, re-proving the relational core on current code.
+#:
+#: ROUND-5 NOTE: once CORRECTNESS_r04 lands, the union of driver rows
+#: covers ALL registered queries (verified: r1∪r2∪r3 ∪ this window =
+#: every key). The next rotation is maintenance: put any NEW queries
+#: first, then the r1 names that have not been re-certified since
+#: round 1 (the events_*/setop_*/join_* families and the scalar-fn
+#: head), oldest first.
 _FIRST_50 = [
     # --- never driver-certified (passed tools/check_oracle locally
     #     every round since they landed)
