@@ -138,6 +138,8 @@ _FIRST_50 = [
     "partitioned_pruning",     # partitionBy write + PartitionFilters scan
     "histogram_equi_depth",    # decile histogram via broadcast cutpoints
     "text_token_entropy",      # perplexity-proxy quality signal
+    "cohort_retention",        # first-week cohort x return-week matrix
+    "events_funnel",           # ordered click->view->purchase stages
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -145,9 +147,7 @@ _FIRST_50 = [
     "scan_filter_project",
     "agg_global",
     "agg_rollup",
-    "window_running",
     "window_topk_per_group",
-    "sort_limit_topk",
     "events_sessionize",
 ]
 

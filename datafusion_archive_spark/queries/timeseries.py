@@ -159,6 +159,84 @@ def q_hopping_window(spark, sf):
     )
 
 
+def q_cohort_retention(spark, sf):
+    """Cohort retention matrix: users bucketed by first-activity week
+    (the cohort), counted in every subsequent week they return — the
+    standard growth-analytics rollup. Two hash aggregates on user_id
+    (the week set is derived per user) + one join; the cohort table is
+    one row per user, so at scale the join side to broadcast/shuffle
+    is O(users), never O(events). Week offsets are integer arithmetic
+    on epoch seconds (both engines Monday-truncate ISO weeks)."""
+    ev = load_events(spark, sf)
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = weeks.join(cohorts, "user_id")
+    return (
+        joined.select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (
+                    F.expr("unix_micros(week) div 1000000")
+                    - F.expr("unix_micros(cohort) div 1000000")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_events_funnel(spark, sf):
+    """Ordered funnel: click → view-after-click → purchase-after-view
+    per user, counted per stage. Each stage is a conditional min over
+    the previous stage's timestamp — three aggregates on user_id that
+    all reuse one hash partitioning, then a 3-row stage rollup. The
+    sequential-constraint joins are per-user scalars (O(users)), not
+    event-by-event pairings."""
+    ev = load_events(spark, sf).select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.select(F.lit(1).alias("stage"), F.lit("click").alias("name"), "user_id")
+        .unionByName(
+            s2.select(
+                F.lit(2).alias("stage"), F.lit("view_after_click").alias("name"),
+                "user_id",
+            )
+        )
+        .unionByName(
+            s3.select(
+                F.lit(3).alias("stage"),
+                F.lit("purchase_after_view").alias("name"),
+                "user_id",
+            )
+        )
+        .groupBy("stage", "name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_distinct_kmv(spark, sf):
     """KMV distinct-user sketch per event type — approximate, yet
     exactly reproduced by the DuckDB oracle (md5-derived hashes make
@@ -175,9 +253,51 @@ QUERIES = {
     "events_distinct_kmv": q_distinct_kmv,
     "events_attribution_join": q_attribution_join,
     "events_hopping_window": q_hopping_window,
+    "cohort_retention": q_cohort_retention,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
+    "cohort_retention": """
+        WITH weeks AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events
+        ),
+        cohorts AS (
+          SELECT user_id, min(week) AS cohort FROM weeks GROUP BY 1
+        )
+        SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+               CAST((epoch(w.week) - epoch(c.cohort)) / 604800 AS INTEGER)
+                 AS week_offset,
+               count(DISTINCT w.user_id) AS n_users
+        FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    "events_funnel": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'click' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'view' AND e.ts > s1.t1
+          GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY 1
+        )
+        SELECT stage, name, count(*) AS n_users FROM (
+          SELECT 1 AS stage, 'click' AS name, user_id FROM s1
+          UNION ALL
+          SELECT 2, 'view_after_click', user_id FROM s2
+          UNION ALL
+          SELECT 3, 'purchase_after_view', user_id FROM s3
+        ) GROUP BY 1, 2
+    """,
     # Hopping windows: an event at integer-second epoch `sec` belongs
     # to every 30-min-aligned start s with s <= ts < s + 1h, i.e.
     # s in [((sec-3600)//1800 + 1)*1800, (sec//1800)*1800] — exactly
