@@ -71,16 +71,25 @@ class ExecutionContext:
         schema: T.StructType | Iterable[tuple[str, str]] | None = None,
         header: bool = True,
         delimiter: str = ",",
+        **options: str,
     ) -> DataFrame:
         """CSV source (reference ``CsvDataSource``,
         ``src/execution/datasource.rs:33-58``). Unlike the reference —
         which hard-codes ``has_header=true`` and silently eats the first
         row of headerless files (SURVEY.md §7.9) — the header flag is
         explicit and honored. Schema is caller-declared, never inferred,
-        matching the reference's fixed-schema model (§1.3)."""
+        matching the reference's fixed-schema model (§1.3).
+
+        Extra ``options`` pass through to the reader. Data whose
+        strings embed newlines needs ``multiLine="true"`` and
+        ``escape='"'`` to round-trip the RFC-4180 quoting our write
+        path emits — note multiLine makes each file non-splittable,
+        so keep it off (the default) for large clean tables."""
         reader = self.spark.read.option("header", str(header).lower()).option(
             "delimiter", delimiter
         )
+        for k, v in options.items():
+            reader = reader.option(k, v)
         st = _as_struct_type(schema)
         if st is not None:
             reader = reader.schema(st)
@@ -207,6 +216,11 @@ class ExecutionContext:
         **options: str,
     ) -> None:
         writer = df.write.mode(mode).format(file_format.lower())
+        if file_format.lower() == "csv" and "escape" not in options:
+            # RFC-4180 quote doubling instead of Spark's backslash
+            # default, so any CSV consumer (and our own reader with
+            # escape='"') round-trips embedded quotes exactly
+            writer = writer.option("escape", '"')
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         for k, v in options.items():

@@ -58,6 +58,15 @@ def exact_duplicates(
     )
 
 
+def _nonempty(df: DataFrame, text_col: str) -> DataFrame:
+    """Drop null / empty / whitespace-only documents before shingle or
+    token hashing: they carry no content, and their degenerate single
+    shingle (the empty string) would otherwise make every empty doc a
+    'near-duplicate' of every other. Exact dedup keeps them (same-
+    fingerprint grouping of empties IS meaningful there)."""
+    return df.filter(F.length(TX.normalize_text(F.col(text_col))) > 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -76,9 +85,14 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles whose document frequency exceeds
     the cap — the standard stop-shingle guard that keeps the self-join
     skew-free at corpus scale (AQE skew-join handles the remainder).
+
+    Null/empty/whitespace-only documents are excluded (via
+    :func:`_nonempty`): they have no shingles, and without the guard
+    every empty document would pair with every other at jaccard 1.0
+    through the single empty shingle.
     """
     shingles = (
-        spread(df).select(
+        spread(_nonempty(df, text_col)).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(TX.word_shingles(F.col(text_col), k))
@@ -172,7 +186,7 @@ def minhash_signatures(
     pipeline num_hashes times (Catalyst collapses projections without
     cross-column CSE).
     """
-    ex = spread(df).select(
+    ex = spread(_nonempty(df, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(TX.word_shingles(F.col(text_col), k))
@@ -284,7 +298,7 @@ def simhash64(
     # hash into each aggregate would evaluate the md5 per slice —
     # CollapseProject keeps non-cheap multi-referenced aliases as a
     # separate projection, same pattern as minhash_signatures.
-    tokens = spread(df).select(
+    tokens = spread(_nonempty(df, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(TX.normalize_text(F.col(text_col)), " ")
@@ -534,7 +548,7 @@ def editdistance_pairs(
 
     Returns ``(id_a < id_b, dist)`` with ``dist <= max_dist``.
     """
-    t = df.select(
+    t = _nonempty(df, text_col).select(
         F.col(id_col).alias("id"),
         TX.normalize_text(F.col(text_col)).alias("norm"),
     ).select(

@@ -77,8 +77,11 @@ def test_empty_text_document_survives_pipeline(spark):
     ).collect()
     assert all(r.fp is not None for r in out)
     assert out[0].sh == [""] and out[2].sh == ["word"]
+    # near-dup operators EXCLUDE contentless docs (an empty doc must
+    # not near-dup-match every other empty doc); only the real
+    # document earns a signature
     sig = dedup.minhash_signatures(df).collect()
-    assert len(sig) == 3
+    assert [r.id for r in sig] == [3]
 
 
 def test_operators_handle_empty_input(spark):
@@ -114,3 +117,75 @@ def test_connected_components_empty_pairs(spark):
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert connected_components(empty).count() == 0
     release_caches()
+
+
+def test_csv_roundtrip_quoting_fidelity(spark, tmp_path_factory):
+    """CSV write->DDL->read must preserve embedded delimiters, quotes,
+    and newlines exactly (the classic text-sink fidelity trap)."""
+    from datafusion_archive_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark)
+    rows = [
+        (1, "plain"),
+        (2, "comma, inside"),
+        (3, 'quote " inside'),
+        (4, "new\nline"),
+        (5, "both, \"and\"\nmore"),
+    ]
+    src = spark.createDataFrame(rows, "id LONG, v STRING")
+    path = str(tmp_path_factory.mktemp("csvq") / "t")
+    ctx.write(src, path, "csv", header="true")
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE csvq_t (id BIGINT, v VARCHAR) "
+        f"STORED AS CSV WITH HEADER ROW LOCATION '{path}'"
+    )
+    # multiLine + RFC quote-escape are required for embedded newlines
+    got = {
+        (r.id, r.v)
+        for r in ctx.register_csv(
+            "csvq_t2",
+            path,
+            schema=src.schema,
+            header=True,
+            multiLine="true",
+            escape='"',
+        ).collect()
+    }
+    assert got == set(rows)
+
+
+def test_text_ops_tolerate_null_and_empty_text(spark):
+    """Null / empty / whitespace-only text must flow through the text
+    metrics and dedup fingerprints without raising, yielding nulls or
+    zeros — a user corpus always contains them even if testdata
+    doesn't."""
+    from pyspark.sql import functions as F
+
+    from datafusion_archive_spark.functions import text as TX
+    from datafusion_archive_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text here")],
+        "doc_id LONG, text STRING",
+    )
+    m = df.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("toks"),
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.repetition_ratio(F.col("text")).alias("rep"),
+    ).collect()
+    by_id = {r.doc_id: r for r in m}
+    assert by_id[4].toks == 3
+    assert by_id[1].fp is None  # null text -> null fingerprint
+    # dedup machinery: empty/null texts group without raising
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) >= 2  # null-fp group + real-text group at minimum
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.1).collect()
+    # empty/whitespace docs are excluded from near-dup shingling, so
+    # they must NOT pair with each other at jaccard 1.0
+    assert pairs == []
+    sigs = dedup.minhash_signatures(df).collect()
+    assert {r.id for r in sigs} == {4}  # only the real document signs
+    ed = dedup.editdistance_pairs(df).collect()
+    assert ed == []
