@@ -88,6 +88,11 @@ class ExecutionContext:
         reader = self.spark.read.option("header", str(header).lower()).option(
             "delimiter", delimiter
         )
+        # RFC-4180 quote doubling, matching our own write path (and
+        # excel/duckdb/pandas output); override escape='\\' for files
+        # using backslash escapes
+        if "escape" not in options:
+            reader = reader.option("escape", '"')
         for k, v in options.items():
             reader = reader.option(k, v)
         st = _as_struct_type(schema)
