@@ -122,3 +122,77 @@ def test_decimal_sum_split_integer_exact(vals):
     want = float(sum(_d.Decimal(str(x)).quantize(_d.Decimal("0.000001"))
                      for x in floats))
     assert got == pytest.approx(want, abs=0.0)
+
+
+def test_normalize_shingle_hash_spark_duckdb_parity(spark):
+    """The full shingling foundation — normalize → split → k-shingles
+    → hash64 — agrees between Spark and DuckDB on a deliberately nasty
+    corpus (unicode, emoji, tabs/newlines, repeated spaces, quotes,
+    long tokens). Every dedup oracle builds on these three fragments;
+    a divergence here would silently rot the whole family."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_archive_spark.functions import text as TX
+    from datafusion_archive_spark.queries.llm import (
+        _NORM,
+        _WORDS,
+        _hash64_sql,
+        _shingles_sql,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abc ABC  123 ,.;:!?\"'\t\n éüñ 中文 🙂 ---"
+    corpus = [
+        "",
+        "   ",
+        "one",
+        "one two",
+        "one  two\tthree\nfour",
+        'quotes "inside" here',
+        "UPPER lower MiXeD",
+        "x" * 300,
+        ("tok " * 50).strip(),
+    ] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 80)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id LONG, text STRING"
+    )
+    spark_rows = (
+        df.select(
+            "doc_id",
+            TX.normalize_text(F.col("text")).alias("norm"),
+            TX.word_shingles(F.col("text"), 3).alias("sh"),
+            TX.hash64(F.col("text"), 7).alias("h"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i, t) for i, t in enumerate(corpus)],
+    )
+    duck_rows = con.execute(
+        f"""
+        SELECT doc_id, {_NORM} AS norm,
+               (SELECT {_shingles_sql(3)} FROM (SELECT {_WORDS} AS w)) AS sh,
+               {_hash64_sql("text", 7)} AS h
+        FROM documents ORDER BY doc_id
+        """
+    ).fetchall()
+
+    for s_row, d_row in zip(spark_rows, duck_rows):
+        assert s_row.doc_id == d_row[0]
+        assert s_row.norm == d_row[1], (s_row.doc_id, s_row.norm, d_row[1])
+        assert list(s_row.sh) == list(d_row[2]), (
+            s_row.doc_id, s_row.sh, d_row[2],
+        )
+        assert s_row.h == d_row[3], (s_row.doc_id, corpus[s_row.doc_id])
