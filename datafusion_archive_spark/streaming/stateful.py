@@ -76,3 +76,88 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.StringType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def _make_heavy_hitter_fn(k: int, capacity: int):
+    """Build the per-group update fn with (k, capacity) baked in —
+    applyInPandasWithState passes only (key, pdfs, state)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (lang,) = key
+        if state.exists:
+            toks, cnts = state.get
+            counts = dict(zip(toks, cnts))
+        else:
+            counts = {}
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                if tok in counts:
+                    counts[tok] += 1
+                elif len(counts) < capacity:
+                    counts[tok] = 1
+                else:
+                    # space-saving eviction: replace the current
+                    # minimum, inheriting its count (+1) — bounds the
+                    # overestimate by the evicted minimum
+                    victim = min(counts, key=counts.get)
+                    counts[tok] = counts.pop(victim) + 1
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update((
+            [t for t, _ in items],
+            [c for _, c in items],
+        ))
+        top = items[:k]
+        yield pd.DataFrame(
+            {
+                "lang": [lang] * len(top),
+                "token": [t for t, _ in top],
+                "cnt": [c for _, c in top],
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    tokens: DataFrame, k: int = 10, capacity: int = 1000
+) -> DataFrame:
+    """Bounded-state heavy hitters per key (space-saving / Metwally
+    top-k): per language, maintain at most ``capacity`` (token, count)
+    slots; when full, a new token replaces the current minimum and
+    inherits its count — the classic O(capacity)-state sketch whose
+    counts are exact whenever ``capacity`` exceeds the distinct-token
+    cardinality, and overestimate by at most the evicted minimum
+    otherwise. State is sharded by the groupBy hash — O(keys x
+    capacity) total, the layout that holds on any cluster size.
+
+    ``tokens`` must be a streaming DataFrame with (lang, token) rows
+    (explode upstream); emits the current top-``k`` per key each
+    micro-batch.
+    """
+    return tokens.groupBy("lang").applyInPandasWithState(
+        _make_heavy_hitter_fn(k, capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -48,3 +48,74 @@ def test_stateful_profile_equals_batch(spark, sf_dir, tmp_path_factory):
     assert len(final) == len(expected)
     for uid, (n, s) in expected.items():
         assert final[uid] == (n, s), f"user {uid}"
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_suffices(
+    spark, sf_dir, tmp_path_factory
+):
+    """With capacity >= distinct tokens the space-saving sketch is
+    exact: the final per-lang top-k must equal the batch top-k
+    (count-desc, token-asc). With tiny capacity, state stays bounded."""
+    from pyspark.sql import functions as F
+
+    from datafusion_archive_spark.functions import text as TX
+    from datafusion_archive_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias(
+            "token"
+        ),
+    )
+    src = str(tmp_path_factory.mktemp("hh") / "tokens")
+    toks.coalesce(4).write.parquet(src)
+
+    # batch truth: top-5 tokens per lang
+    w_batch = (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    import collections
+
+    truth = collections.defaultdict(dict)
+    for r in w_batch:
+        truth[r.lang][r.token] = r.cnt
+    expected = {
+        lang: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for lang, d in truth.items()
+    }
+
+    stream = spark.readStream.schema(toks.schema).parquet(src)
+    out = streaming_heavy_hitters(stream, k=5, capacity=100_000)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM hh_out"
+        ).collect()  # update mode: last emission per key wins
+    finally:
+        q.stop()
+    # update mode appends one emission per key per micro-batch; counts
+    # only grow, so per (lang, token) the max count is the final one
+    best = collections.defaultdict(dict)
+    for r in rows:
+        if r.cnt >= best[r.lang].get(r.token, 0):
+            best[r.lang][r.token] = r.cnt
+    final = {
+        lang: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for lang, d in best.items()
+    }
+    assert set(final) == set(expected)
+    for lang in expected:
+        assert final[lang] == expected[lang], (
+            lang, final[lang], expected[lang],
+        )
