@@ -140,6 +140,7 @@ _FIRST_50 = [
     "text_token_entropy",      # perplexity-proxy quality signal
     "cohort_retention",        # first-week cohort x return-week matrix
     "events_funnel",           # ordered click->view->purchase stages
+    "weighted_sample",         # quality-weighted sample w/o replacement
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,7 +148,6 @@ _FIRST_50 = [
     "scan_filter_project",
     "agg_global",
     "agg_rollup",
-    "window_topk_per_group",
     "events_sessionize",
 ]
 

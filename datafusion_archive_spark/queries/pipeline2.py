@@ -181,6 +181,35 @@ def q_text_token_entropy(spark, sf):
     )
 
 
+def q_weighted_sample(spark, sf):
+    """Quality-weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): each document draws a deterministic uniform
+    u from its id hash and ranks by ln(u)/w — the top-k of that key
+    IS an exact weighted sample without replacement. Because u is
+    md5-derived (not RNG), the sample is reproducible on any cluster,
+    any partitioning, and bit-replayable by the oracle. One scan +
+    one TakeOrdered — no shuffle of the corpus.
+
+    The weight is the document quality score clamped away from zero,
+    so high-quality docs are proportionally more likely — the
+    standard quality-weighted corpus subsampling step.
+    """
+    d = _t(spark, sf, "documents")
+    m = 1 << 53
+    u = (TX.hash64(F.col("doc_id").cast("string"), 11) % m + 0.5) / m
+    w = F.greatest(TX.quality_score(F.col("text")), F.lit(0.05))
+    key = F.log(u) / w
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            round_half_up(key, 6).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+
+
 def q_dedup_incremental(spark, sf):
     """Incremental near-dup dedup: treat ``doc_id % 5 == 0`` as the
     newly ingested batch and the rest as the standing corpus; a new
@@ -273,6 +302,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "winsorized_aggs": q_winsorized_aggs,
     "text_token_entropy": q_text_token_entropy,
+    "weighted_sample": q_weighted_sample,
 }
 
 _G2_SQL = (
@@ -361,6 +391,26 @@ ORACLES["stratified_sample"] = f"""
     )
     WHERE bucket < (CASE lang {_STRATA_CASE} ELSE 0 END)
 """
+
+def _weighted_sample_oracle() -> str:
+    m = 1 << 53
+    u = f"(({_llm._hash64_sql('CAST(doc_id AS VARCHAR)', 11)} % {m}) + 0.5) / {m}"
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 {round_half_up_sql(
+                     f"ln({u}) / greatest({_llm._QUALITY_SQL}, 0.05)", 6)}
+                   AS sample_key
+          FROM documents
+        )
+        SELECT doc_id, lang, sample_key
+        FROM keyed
+        ORDER BY sample_key DESC, doc_id
+        LIMIT 100
+    """
+
+
+ORACLES["weighted_sample"] = _weighted_sample_oracle()
 
 ORACLES["winsorized_aggs"] = f"""
     WITH bands AS (
