@@ -141,13 +141,13 @@ _FIRST_50 = [
     "cohort_retention",        # first-week cohort x return-week matrix
     "events_funnel",           # ordered click->view->purchase stages
     "weighted_sample",         # quality-weighted sample w/o replacement
+    "weighted_sample_per_lang",  # balanced per-language variant
     # --- oldest-certified (round 1) fill: relational/TPC-H core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "scan_filter_project",
     "agg_global",
-    "agg_rollup",
     "events_sessionize",
 ]
 

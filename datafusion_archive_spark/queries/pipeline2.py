@@ -210,6 +210,29 @@ def q_weighted_sample(spark, sf):
     )
 
 
+def q_weighted_sample_per_lang(spark, sf):
+    """Per-group weighted sampling: the A-ES key of
+    :func:`q_weighted_sample` ranked WITHIN each language — k docs per
+    language, quality-weighted, deterministic. One hash Exchange on
+    lang + a row_number filter; the balanced-subcorpus construction
+    (equal doc budget per language regardless of language skew)."""
+    d = _t(spark, sf, "documents")
+    m = 1 << 53
+    u = (TX.hash64(F.col("doc_id").cast("string"), 11) % m + 0.5) / m
+    w = F.greatest(TX.quality_score(F.col("text")), F.lit(0.05))
+    keyed = d.select(
+        "doc_id", "lang", round_half_up(F.log(u) / w, 6).alias("sample_key")
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "sample_key", "rk")
+    )
+
+
 def q_dedup_incremental(spark, sf):
     """Incremental near-dup dedup: treat ``doc_id % 5 == 0`` as the
     newly ingested batch and the rest as the standing corpus; a new
@@ -303,6 +326,7 @@ QUERIES = {
     "winsorized_aggs": q_winsorized_aggs,
     "text_token_entropy": q_text_token_entropy,
     "weighted_sample": q_weighted_sample,
+    "weighted_sample_per_lang": q_weighted_sample_per_lang,
 }
 
 _G2_SQL = (
@@ -411,6 +435,30 @@ def _weighted_sample_oracle() -> str:
 
 
 ORACLES["weighted_sample"] = _weighted_sample_oracle()
+
+
+def _weighted_sample_per_lang_oracle() -> str:
+    m = 1 << 53
+    u = f"(({_llm._hash64_sql('CAST(doc_id AS VARCHAR)', 11)} % {m}) + 0.5) / {m}"
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 {round_half_up_sql(
+                     f"ln({u}) / greatest({_llm._QUALITY_SQL}, 0.05)", 6)}
+                   AS sample_key
+          FROM documents
+        )
+        SELECT doc_id, lang, sample_key, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY sample_key DESC, doc_id
+                 ) AS INTEGER) AS rk
+          FROM keyed
+        ) WHERE rk <= 20
+    """
+
+
+ORACLES["weighted_sample_per_lang"] = _weighted_sample_per_lang_oracle()
 
 ORACLES["winsorized_aggs"] = f"""
     WITH bands AS (
