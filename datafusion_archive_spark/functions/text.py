@@ -226,11 +226,21 @@ def hash64(c: Column, seed: int = 0) -> Column:
     modular arithmetic (MinHash affine family) behaves identically.
     Same collision statistics, ~2-3× faster, Spark-only.
 
-    Both stay JVM-side / codegen'd.
+    Both stay JVM-side / codegen'd, and both return NULL for NULL
+    input: ``xxhash64`` natively ignores NULL args (it would hash just
+    the seed, giving every null-text doc one shared fingerprint and
+    silently changing dedup grouping vs the md5 family), so the
+    xxhash path hashes the same ``s || ':' || seed`` concat — concat
+    with a NULL is NULL, and xxhash of a single NULL arg with the
+    default seed is the seed itself, which the ``when`` guard maps
+    back to NULL.
     """
     if HASH_METHOD == "xxhash64":
-        return F.shiftrightunsigned(
-            F.xxhash64(c, F.lit(seed)), 4
+        return F.when(
+            c.isNotNull(),
+            F.shiftrightunsigned(
+                F.xxhash64(F.concat(c, F.lit(f":{seed}"))), 4
+            ),
         ).cast("long")
     return F.conv(
         F.substring(F.md5(F.concat(c, F.lit(f":{seed}"))), 1, 15), 16, 10

@@ -93,9 +93,13 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
             )
             if max(len(files), -(-total // max_split)) >= target:
                 return df
-        # Small (or size-unknowable remote) scan: repartitioning costs
-        # one shuffle of a tiny input and buys full-width parallelism.
-        return df.repartition(target)
+            # Small local scan: repartitioning costs one shuffle of a
+            # tiny input and buys full-width parallelism.
+            return df.repartition(target)
+        # Remote listing: file sizes aren't knowable here, and a few
+        # large splittable files already fan out into many byte-range
+        # tasks — fall through to the RDD-partition probe rather than
+        # force-shuffling what may be a huge table.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -31,6 +31,7 @@ from datafusion_archive_spark.queries import (
     nested,
     pipeline,
     pipeline2,
+    pipeline3,
     registry_udf,
     relational,
     sources_io,
@@ -59,6 +60,7 @@ QUERY_MODULES = (
     windows2,
     registry_udf,
     pipeline2,
+    pipeline3,
     sql2,
 )
 
@@ -79,76 +81,69 @@ ROWS_ONLY = {
     "approx_aggs",
 }
 
-#: The round-4 certification window (driver checks entries [:50]).
-#: Head: every query that has NEVER had a driver row — the sources/
-#: sinks + LLM-pipeline tail (uncertified since round 1), the fixed
-#: windows2 wave, the new registry-UDF batch twin, and approx_aggs
-#: (rows-only by design; certifying the weaker check on the record
-#: beats leaving the row blank). Tail: oldest (round-1) certified
-#: names, re-proving the relational core on current code.
-#:
-#: ROUND-5 NOTE: once CORRECTNESS_r04 lands, the union of driver rows
-#: covers ALL registered queries (verified: r1∪r2∪r3 ∪ this window =
-#: every key). The next rotation is maintenance: put any NEW queries
-#: first, then the r1 names that have not been re-certified since
-#: round 1 (the events_*/setop_*/join_* families and the scalar-fn
-#: head), oldest first.
+#: The round-5 certification window (driver checks entries [:50]).
+#: Head: the five NEW round-5 queries (skew-proof salted sampler,
+#: heavy-hitters batch twin, schema-evolution + quarantine ingestion
+#: rows, PMI collocations), then the two round-4 rows that failed on
+#: oracle dtype only (console_script_sql, histogram_equi_depth —
+#: oracles now CAST to the Spark dtype; re-certifying closes the last
+#: red rows). Tail: the 43 names whose certification-of-record is
+#: still round 1 (events_*/setop_*/join_* families and the scalar-fn
+#: head) — after this round no query's record is older than round 4.
 _FIRST_50 = [
-    # --- never driver-certified (passed tools/check_oracle locally
-    #     every round since they landed)
-    "sources_roundtrip",       # CSV/NDJSON/DDL/write — the ref's executing core
-    "salted_join_agg",
-    "planir_roundtrip",
-    "decontaminate_ngram_overlap",
-    "vocab_topk",
-    "udaf_median_tokens",
-    "chunk_documents",
-    "pack_sequences",
-    "train_val_test_split",
-    "bm25_topk",
-    "dedup_editdistance",
-    "embedding_near_dup_exact",
-    "events_attribution_join",
-    "profile_columns",
-    "setop_intersect_all",
-    "setop_except_all",
-    "approx_aggs",             # rows-only by design (see ROWS_ONLY)
-    # --- windows2 wave, fixed + wired this round
-    "window_ntile_dist",
-    "window_nav_nulls",
-    "latest_per_key",
-    "agg_filtered",
-    "grouping_flags",
-    "string_agg_ordered",
-    "cross_join_grid",
-    "exists_correlated",
     # --- new this round
-    "registry_udf_expr",       # first driver row for the UDF registry
-    "events_gapfill_locf",     # gap-fill + LOCF (hypertable staple)
-    "text_repetition_gopher",  # Gopher/C4 n-gram repetition rules
-    "dedup_incremental",       # new-batch-vs-corpus near-dup removal
-    "recursive_month_grid",    # WITH RECURSIVE dimension + fact join
-    "lateral_top2_per_priority",  # correlated LATERAL with ORDER BY/LIMIT
-    "events_hopping_window",   # overlapping-window agg (stream==batch tested)
-    "console_script_sql",      # console batch-mode pipeline, certified
-    "stratified_sample",       # per-language hash-gated rebalancing
-    "winsorized_aggs",         # robust clipped aggregation
-    "merge_upsert_orders",     # MERGE INTO semantics, certified
-    "join_null_safe",          # EqualNullSafe hash join
-    "partitioned_pruning",     # partitionBy write + PartitionFilters scan
-    "histogram_equi_depth",    # decile histogram via broadcast cutpoints
-    "text_token_entropy",      # perplexity-proxy quality signal
-    "cohort_retention",        # first-week cohort x return-week matrix
-    "events_funnel",           # ordered click->view->purchase stages
-    "weighted_sample",         # quality-weighted sample w/o replacement
-    "weighted_sample_per_lang",  # balanced per-language variant
-    # --- oldest-certified (round 1) fill: relational/TPC-H core
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "scan_filter_project",
-    "agg_global",
-    "events_sessionize",
+    "weighted_sample_per_lang_salted",
+    "heavy_hitters_topk",
+    "schema_evolution_merge",
+    "quarantine_corrupt_rows",
+    "collocations_pmi",
+    # --- round-4 dtype-only failures, oracles fixed
+    "console_script_sql",
+    "histogram_equi_depth",
+    # --- round-1-only certifications, re-proving on current code
+    "agg_count_distinct_group",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "arithmetic_ops",
+    "case_when",
+    "cast_semantics",
+    "cte_scalar_subquery",
+    "date_funcs",
+    "distinct_pairs",
+    "events_asof_join",
+    "events_distinct_kmv",
+    "events_multi_rollup",
+    "events_range_join",
+    "events_time_bucket",
+    "filter_like",
+    "geo_udt",
+    "in_subquery",
+    "join_full_outer",
+    "join_inner_3way",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "literals_no_from",
+    "null_predicates",
+    "percentiles",
+    "pivot_linestatus",
+    "predicate_between_in",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "setop_union_all",
+    "sort_limit_topk",
+    "sqrt_fn",
+    "string_funcs",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_stats",
+    "try_cast_nulls",
+    "try_divide_nulls",
+    "window_running",
+    "window_topk_per_group",
 ]
 
 
@@ -160,6 +155,16 @@ def _wrap(fn):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_caches()
+        # certified builds must use the engine-portable hash family:
+        # a query built inside use_hash("xxhash64") would bake
+        # non-oracle-reproducible fingerprints into its plan
+        from datafusion_archive_spark.functions import text as _text
+
+        if _text.HASH_METHOD != "md5":
+            raise RuntimeError(
+                "certified queries must not be built inside "
+                f"use_hash({_text.HASH_METHOD!r})"
+            )
         return fn(spark, sf_dir)
 
     run.__name__ = getattr(fn, "__name__", "query")

@@ -183,9 +183,9 @@ ORACLES = {
                                [{", ".join(str(p) for p in _HIST_PCTS)}]) AS bs
           FROM lineitem
         )
-        SELECT list_sum(list_transform(b.bs,
+        SELECT CAST(list_sum(list_transform(b.bs,
                  x -> CASE WHEN l.l_extendedprice > x THEN 1 ELSE 0 END))
-                 AS bucket,
+                 AS INTEGER) AS bucket,
                count(*) AS n,
                round(min(l.l_extendedprice), 2) AS lo,
                round(max(l.l_extendedprice), 2) AS hi

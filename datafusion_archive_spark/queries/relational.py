@@ -116,7 +116,10 @@ def q_literals_no_from(spark, sf):
     """SELECT without FROM — EmptyRelation in the reference, planner-only
     (``sqlplanner.rs:61-64``, exec stub ``context.rs:108-111``)."""
     return spark.sql(
-        "SELECT 1 AS i, 2.5 AS f, 'hello' AS s, true AS b, 1 + 2 * 3 AS arith"
+        # 2.5 parses as DECIMAL(2,1) in Spark but the oracle fetches
+        # DOUBLE — cast so the driver's dtype-sensitive hash matches
+        "SELECT 1 AS i, CAST(2.5 AS DOUBLE) AS f, 'hello' AS s, true AS b, "
+        "1 + 2 * 3 AS arith"
     )
 
 

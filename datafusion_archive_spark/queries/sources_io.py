@@ -242,8 +242,8 @@ ORACLES = {
     "console_script_sql": """
         SELECT l_returnflag,
                count(*) AS n_open,
-               sum(CASE WHEN l_returnflag = 'a;b' THEN 1 ELSE 0 END)
-                 AS semicolon_rows
+               CAST(sum(CASE WHEN l_returnflag = 'a;b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS semicolon_rows
         FROM lineitem
         WHERE l_linestatus = 'O'
         GROUP BY l_returnflag

@@ -60,9 +60,19 @@ class ParquetUpsertSink:
 
             if os.path.exists(old):
                 shutil.rmtree(old)
-            if os.path.exists(self.path):
-                os.rename(self.path, old)
-            os.rename(tmp, self.path)
+            had_current = os.path.exists(self.path)
+            try:
+                if had_current:
+                    os.rename(self.path, old)
+                os.rename(tmp, self.path)
+            except OSError:
+                # crash-safety: if the second rename failed after the
+                # first succeeded, the target is missing — restore it
+                # from __old so data is never stranded (same recovery
+                # contract as sources.layout.compact)
+                if had_current and not os.path.exists(self.path):
+                    os.rename(old, self.path)
+                raise
             if os.path.exists(old):
                 shutil.rmtree(old)
 

@@ -40,18 +40,44 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def typed_value(v):
+    """(type-tag, value) so the comparison is dtype-strict like the
+    driver's value hash: int64 0 vs float64 0.0 must FAIL here, not
+    pass via Python's ``0 == 0.0``. Round-4 shipped two red driver
+    rows because this tool compared raw values with ``==``."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return ("null", None)
+    if isinstance(v, (bool, np.bool_)):  # before int: bool < int
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, (float, np.floating)):
+        return ("float", float(v))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("list", tuple(typed_value(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, typed_value(x)) for k, x in v.items())))
+    if isinstance(v, datetime.datetime):  # before date: datetime < date
+        return ("timestamp", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("binary", bytes(v))
+    return (type(v).__name__, v)
+
+
 def value_repr(df: pd.DataFrame) -> list[tuple]:
-    out = []
-    for row in df.itertuples(index=False):
-        out.append(
-            tuple(
-                None
-                if v is None or (isinstance(v, float) and pd.isna(v))
-                else v
-                for v in row
-            )
-        )
-    return out
+    return [
+        tuple(typed_value(v) for v in row)
+        for row in df.itertuples(index=False)
+    ]
 
 
 def main() -> int:
