@@ -172,3 +172,41 @@ def test_no_cartesian_in_certification_window(spark, sf_dir):
         if "CartesianProduct" in s.joins:
             offenders[name] = s.joins
     assert not offenders, offenders
+
+
+def test_heavy_hitters_two_phase_agg_single_window(spark, sf_dir):
+    """Explode fan-out must be absorbed by a map-side partial
+    aggregate: one hash Exchange for the (lang, token) agg, one for
+    the per-lang ranking window — never a shuffle of raw tokens."""
+    s = summarize(QUERIES["heavy_hitters_topk"](spark, sf_dir))
+    assert s.n_hash_exchanges == 2, s.raw
+    assert not s.joins
+
+
+def test_salted_sampler_spreads_the_window_sort(spark, sf_dir):
+    """The salted two-phase top-k exists to break the per-language
+    sort hotspot: the first window must partition by (lang, salt) —
+    visible as a hashpartitioning on two keys — and only the tiny
+    candidate set may reach the per-lang window."""
+    s = summarize(QUERIES["weighted_sample_per_lang_salted"](spark, sf_dir))
+    assert s.n_hash_exchanges == 2, s.raw
+    assert "salt" in s.raw and "lang" in s.raw
+
+
+def test_collocations_topk_is_take_ordered(spark, sf_dir):
+    """The PMI top-20 must be a TakeOrderedAndProject (per-partition
+    heap + merge), never a global sort; unigram counts and the two
+    scalar totals join by broadcast."""
+    s = summarize(QUERIES["collocations_pmi"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in s.raw
+    assert "BroadcastHashJoin" in s.joins
+    assert "SortMergeJoin" not in s.joins
+
+
+def test_ingestion_rows_single_shuffle(spark, sf_dir):
+    """Schema-evolution merge and corrupt-row quarantine are scan +
+    two-phase aggregate: exactly one hash Exchange each."""
+    for name in ("schema_evolution_merge", "quarantine_corrupt_rows"):
+        s = summarize(QUERIES[name](spark, sf_dir))
+        assert s.n_hash_exchanges == 1, (name, s.raw)
+        assert not s.joins, name
