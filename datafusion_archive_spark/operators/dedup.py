@@ -146,6 +146,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise shingle CONTAINMENT — ``|A ∩ B| / |A|`` — the
+    asymmetric near-dup relation Jaccard misses: a short document
+    embedded verbatim inside a long one scores near 1.0 containment
+    but low Jaccard (the union is dominated by the long doc). This is
+    the doc-in-doc signal used to drop quoted/aggregated pages from
+    training corpora (Broder's containment, the same measure
+    super-shingle systems estimate).
+
+    Returns ``(id_a < id_b, containment_a_in_b, containment_b_in_a)``
+    where either direction clears ``threshold``. Plan shape and scale
+    behavior are identical to :func:`ngram_jaccard_pairs` — the
+    intersection self-join is per-shingle linear under the
+    ``max_shingle_df`` stop-shingle cap; only the final ratio differs
+    (per-side size instead of union).
+    """
+    shingles = (
+        spread(_nonempty(df, text_col)).select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(TX.word_shingles(F.col(text_col), k))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    shingles = cached(shingles)
+    if max_shingle_df is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle")
+
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "cont_a_in_b",
+            round_half_up(F.col("inter") / F.col("n_a"), 4),
+        )
+        .withColumn(
+            "cont_b_in_a",
+            round_half_up(F.col("inter") / F.col("n_b"), 4),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= threshold
+        )
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
 #: Mersenne prime 2^31-1 — modulus of the universal hash family below.
 MINHASH_PRIME = 2147483647
 

@@ -89,7 +89,12 @@ ROWS_ONLY = {
 #: oracles now CAST to the Spark dtype; re-certifying closes the last
 #: red rows). Tail: the 43 names whose certification-of-record is
 #: still round 1 (events_*/setop_*/join_* families and the scalar-fn
-#: head) — after this round no query's record is older than round 4.
+#: head). Three r1 names stay r1-of-record to make room for the
+#: second new-query wave — sqrt_fn, setop_union_all, agg_cube — each
+#: chosen because a same-family sibling re-certifies the code path in
+#: this very window (string/date scalar fns; setop_union + the r4
+#: *_ALL rows; rollup/grouping_sets/grouping_flags), and the local
+#: dtype-strict gate now reproduces the driver hash semantics.
 _FIRST_50 = [
     # --- new this round
     "weighted_sample_per_lang_salted",
@@ -97,12 +102,14 @@ _FIRST_50 = [
     "schema_evolution_merge",
     "quarantine_corrupt_rows",
     "collocations_pmi",
+    "dedup_containment",
+    "outliers_mad",
+    "tfidf_topk_terms",
     # --- round-4 dtype-only failures, oracles fixed
     "console_script_sql",
     "histogram_equi_depth",
     # --- round-1-only certifications, re-proving on current code
     "agg_count_distinct_group",
-    "agg_cube",
     "agg_grouping_sets",
     "agg_having",
     "agg_rollup",
@@ -133,9 +140,7 @@ _FIRST_50 = [
     "setop_except",
     "setop_intersect",
     "setop_union",
-    "setop_union_all",
     "sort_limit_topk",
-    "sqrt_fn",
     "string_funcs",
     "text_fingerprint",
     "text_lang_id",

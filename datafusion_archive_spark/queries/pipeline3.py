@@ -43,10 +43,13 @@ from datafusion_archive_spark.functions.rounding import (
     round_half_up,
     round_half_up_sql,
 )
+from datafusion_archive_spark.operators import dedup
+from datafusion_archive_spark.operators.util import cached
 from datafusion_archive_spark.queries import llm as _llm
 from datafusion_archive_spark.queries.pipeline2 import (
     _weighted_sample_per_lang_oracle,
 )
+from datafusion_archive_spark.queries.timeseries import load_events
 
 _IO_BASE = "/root/repo/.tmp_io"
 
@@ -257,12 +260,15 @@ def q_collocations_pmi(spark, sf):
     words = d.select(
         F.split(TX.normalize_text(F.col("text")), " ").alias("w")
     ).filter(F.size("w") > 0)
-    uni = (
+    # cache the two count tables (vocab-sized, tiny): the scalar
+    # totals re-aggregate them instead of re-scanning + re-tokenizing
+    # the corpus — 2 corpus scans total (uni, bi), not 4
+    uni = cached(
         words.select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c_tok"))
     )
-    bi = (
+    bi_all = cached(
         words.select(
             F.explode(
                 F.expr(
@@ -273,12 +279,12 @@ def q_collocations_pmi(spark, sf):
         )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_bg"))
-        .filter(F.col("c_bg") >= _PMI_MIN_COUNT)
     )
+    bi = bi_all.filter(F.col("c_bg") >= _PMI_MIN_COUNT)
     n_w = uni.agg(F.sum("c_tok").alias("n_w"))
-    n_bg = words.select(
-        F.sum(F.size("w") - 1).alias("n_bg")
-    )
+    # Σ bigram counts (pre-filter) == Σ (len(w) - 1): same total, no
+    # third corpus scan
+    n_bg = bi_all.agg(F.sum("c_bg").alias("n_bg"))
     parts = bi.withColumn(
         "tok_a", F.split(F.col("bigram"), " ").getItem(0)
     ).withColumn("tok_b", F.split(F.col("bigram"), " ").getItem(1))
@@ -311,12 +317,172 @@ def q_collocations_pmi(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric doc-in-doc)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_containment(spark, sf):
+    """Asymmetric containment near-dup — |A∩B|/|A| over 3-gram shingle
+    sets: catches a short document quoted verbatim inside a longer one
+    (low Jaccard, high containment), the doc-in-doc case the certified
+    Jaccard row cannot express. Same banded plan and stop-shingle skew
+    guard as ``dedup_ngram_jaccard``."""
+    return dedup.containment_pairs(
+        _t(spark, sf, "documents"), k=3, threshold=0.3, max_shingle_df=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median/MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_CUT = 3.0
+
+
+def q_outliers_mad(spark, sf):
+    """Median/MAD outlier profile per event type — the robust z-score
+    (|x − median| > 3·MAD) that survives the long tails a mean/stddev
+    gate drowns in. Two broadcast-back passes, mirroring the certified
+    winsorized pattern: exact interpolated median per group, broadcast
+    onto the scan for absolute deviations, exact MAD of those, final
+    single-Exchange aggregate. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear interpolation, so the flag
+    boundary is engine-exact."""
+    ev = load_events(spark, sf)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("adev") > _MAD_CUT * F.col("mad"), 1)
+        ).alias("n_outliers"),
+        round_half_up(F.min("med"), 6).alias("median_v"),
+        round_half_up(F.min("mad"), 6).alias("mad_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk_terms(spark, sf):
+    """Per-document top-k TF-IDF terms — the keyword-extraction
+    complement to the corpus-level BM25 row: tf·ln(N/df) with exact
+    integer tf/df, scored per (doc, term), ranked per doc. ONE corpus
+    scan: the (doc, term, tf) table is cached (bounded by corpus
+    token-type volume) and re-aggregated for document frequencies and
+    the document count, so the scoring join never re-tokenizes. Scores
+    round half-up BEFORE ranking so ordering is engine-portable."""
+    d = _t(spark, sf, "documents")
+    tf = cached(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(TX.normalize_text(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ndocs = tf.agg(F.count_distinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            round_half_up(
+                F.col("tf") * F.log(F.col("nd") / F.col("df")), 6
+            ),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate (C4/Gopher-style filter chain)
+# ---------------------------------------------------------------------------
+
+_QF_MIN_QUALITY = 0.5
+_QF_MAX_DUP_FRAC = 0.3
+_QF_MIN_TOKENS, _QF_MAX_TOKENS = 5, 5000
+_QF_LANGS = ("en", "de", "fr")
+
+#: reject-reason bits (a document may fail several gates at once)
+_QF_BIT_QUALITY, _QF_BIT_REPETITION, _QF_BIT_LENGTH, _QF_BIT_LANG = 1, 2, 4, 8
+
+
+def q_quality_filter_pipeline(spark, sf):
+    """The canonical corpus-preprocessing decision: every document
+    gets a keep/drop verdict plus a reject-reason BITMASK (quality=1,
+    repetition=2, length=4, language=8) — the auditable form of a
+    C4/Gopher filter chain, where knowing *why* a doc dropped matters
+    as much as dropping it (reason histograms are how thresholds get
+    tuned). All four gates are scan-side codegen over already-
+    certified signals; zero shuffles, map-only at any scale."""
+    d = _t(spark, sf, "documents")
+    w = F.split(TX.normalize_text(F.col("text")), " ")
+    q = TX.quality_score(F.col("text"))
+    dup = round_half_up(
+        F.when(
+            F.size(w) > 0,
+            1.0 - F.size(F.array_distinct(w)) / F.size(w).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    ntok = F.size(w)
+    reasons = (
+        F.when(q < _QF_MIN_QUALITY, _QF_BIT_QUALITY).otherwise(0)
+        + F.when(dup > _QF_MAX_DUP_FRAC, _QF_BIT_REPETITION).otherwise(0)
+        + F.when(
+            (ntok < _QF_MIN_TOKENS) | (ntok > _QF_MAX_TOKENS),
+            _QF_BIT_LENGTH,
+        ).otherwise(0)
+        + F.when(~F.col("lang").isin(*_QF_LANGS), _QF_BIT_LANG).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        q.alias("quality"),
+        dup.alias("dup_frac"),
+        ntok.alias("n_tokens"),
+        reasons.cast("int").alias("reject_reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
 QUERIES = {
     "weighted_sample_per_lang_salted": q_weighted_sample_per_lang_salted,
     "heavy_hitters_topk": q_heavy_hitters_topk,
     "schema_evolution_merge": q_schema_evolution_merge,
     "quarantine_corrupt_rows": q_quarantine_corrupt_rows,
     "collocations_pmi": q_collocations_pmi,
+    "dedup_containment": q_dedup_containment,
+    "outliers_mad": q_outliers_mad,
+    "tfidf_topk_terms": q_tfidf_topk_terms,
+    "quality_filter_pipeline": q_quality_filter_pipeline,
 }
 
 # the salted variant must return EXACTLY the unsalted sample — same
@@ -398,5 +564,124 @@ ORACLES = {
           AND ub.tok = string_split(bigram, ' ')[2]
         ORDER BY pmi DESC, bigram
         LIMIT {_PMI_TOP}
+    """,
+    "dedup_containment": f"""
+        WITH wl AS (
+          SELECT doc_id, {_llm._WORDS} AS w FROM documents
+        ),
+        sh_all AS (
+          SELECT DISTINCT doc_id, unnest({_llm._shingles_sql(3)}) AS shingle
+          FROM wl
+        ),
+        rare AS (
+          SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50
+        ),
+        sh AS (
+          SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)
+        ),
+        sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 floor((inter / na.n) * 10000 + 0.5) / 10000.0
+                   AS cont_a_in_b,
+                 floor((inter / nb.n) * 10000 + 0.5) / 10000.0
+                   AS cont_b_in_a
+          FROM inter
+          JOIN sizes na ON id_a = na.doc_id
+          JOIN sizes nb ON id_b = nb.doc_id
+        )
+        SELECT * FROM scored
+        WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.3
+    """,
+    "outliers_mad": f"""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1
+        ),
+        dev AS (
+          SELECT e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN d.adev > {_MAD_CUT} * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               {round_half_up_sql("min(d.med)", 6)} AS median_v,
+               {round_half_up_sql("min(m.mad)", 6)} AS mad_v
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1
+    """,
+    "tfidf_topk_terms": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_llm._WORDS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2
+        ),
+        dfc AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ),
+        nd AS (
+          SELECT count(DISTINCT doc_id) AS nd FROM tf
+        )
+        SELECT doc_id, term, tf,
+               {round_half_up_sql("tf * ln(nd / df)", 6)} AS score,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY
+                 {round_half_up_sql("tf * ln(nd / df)", 6)} DESC, term
+               ) AS INTEGER) AS rk
+        FROM tf JOIN dfc USING (term) CROSS JOIN nd
+        QUALIFY rk <= {_TFIDF_K}
+    """,
+    "quality_filter_pipeline": f"""
+        WITH sig AS (
+          SELECT doc_id, lang,
+                 {_llm._QUALITY_SQL} AS quality,
+                 {_llm._WORDS} AS w
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, lang, quality,
+                 floor((CASE WHEN len(w) > 0
+                        THEN 1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+                        ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS dup_frac,
+                 CAST(len(w) AS INTEGER) AS n_tokens
+          FROM sig
+        )
+        SELECT doc_id, lang, quality, dup_frac, n_tokens,
+               CAST(
+                 (CASE WHEN quality < {_QF_MIN_QUALITY}
+                       THEN {_QF_BIT_QUALITY} ELSE 0 END)
+               + (CASE WHEN dup_frac > {_QF_MAX_DUP_FRAC}
+                       THEN {_QF_BIT_REPETITION} ELSE 0 END)
+               + (CASE WHEN n_tokens < {_QF_MIN_TOKENS}
+                        OR n_tokens > {_QF_MAX_TOKENS}
+                       THEN {_QF_BIT_LENGTH} ELSE 0 END)
+               + (CASE WHEN lang NOT IN {_QF_LANGS!r}
+                       THEN {_QF_BIT_LANG} ELSE 0 END)
+               AS INTEGER) AS reject_reasons,
+               ((CASE WHEN quality < {_QF_MIN_QUALITY}
+                      THEN {_QF_BIT_QUALITY} ELSE 0 END)
+              + (CASE WHEN dup_frac > {_QF_MAX_DUP_FRAC}
+                      THEN {_QF_BIT_REPETITION} ELSE 0 END)
+              + (CASE WHEN n_tokens < {_QF_MIN_TOKENS}
+                       OR n_tokens > {_QF_MAX_TOKENS}
+                      THEN {_QF_BIT_LENGTH} ELSE 0 END)
+              + (CASE WHEN lang NOT IN {_QF_LANGS!r}
+                      THEN {_QF_BIT_LANG} ELSE 0 END)) = 0 AS keep
+        FROM scored
     """,
 }

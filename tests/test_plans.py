@@ -210,3 +210,51 @@ def test_ingestion_rows_single_shuffle(spark, sf_dir):
         s = summarize(QUERIES[name](spark, sf_dir))
         assert s.n_hash_exchanges == 1, (name, s.raw)
         assert not s.joins, name
+
+
+def test_containment_mirrors_jaccard_plan(spark, sf_dir):
+    """Containment reuses the jaccard candidate machinery: cached
+    shingle table (InMemoryTableScan reuse), no cartesian, no SMJ at
+    this sf — the per-shingle equi-join stays the only quadratic-ish
+    term, guarded by the df cap."""
+    s = summarize(QUERIES["dedup_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in s.joins
+    assert "InMemoryTableScan" in s.raw  # shingles computed once
+
+
+def _executed_parquet_scans(df) -> int:
+    """Count EXECUTED parquet scan nodes — the numbered operators of
+    the formatted plan. (Detail sections replay a cached relation's
+    stored lineage, so substring counts over the whole text overcount
+    plans that reuse an InMemoryTableScan.)"""
+    import re
+
+    from datafusion_archive_spark.plans.inspect import plan_string
+
+    nodes = re.findall(r"^\(\d+\) ([A-Za-z ]+)", plan_string(df, "formatted"), re.M)
+    return sum(1 for n in nodes if n.startswith("Scan parquet"))
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    """TF-IDF derives document frequencies and the doc count from the
+    cached (doc, term, tf) table — exactly one parquet scan of the
+    corpus; vocab-side joins broadcast."""
+    df = QUERIES["tfidf_topk_terms"](spark, sf_dir)
+    assert _executed_parquet_scans(df) == 1
+    assert "SortMergeJoin" not in summarize(df).joins
+
+
+def test_collocations_two_corpus_scans(spark, sf_dir):
+    """The PMI totals re-aggregate the cached count tables instead of
+    re-tokenizing: two parquet scans (unigram + bigram explode), not
+    four."""
+    df = QUERIES["collocations_pmi"](spark, sf_dir)
+    assert _executed_parquet_scans(df) == 2
+
+
+def test_quality_filter_is_map_only(spark, sf_dir):
+    """The composite keep/drop gate must stay scan-side: zero
+    Exchanges, no joins — a pure map over the corpus at any scale."""
+    s = summarize(QUERIES["quality_filter_pipeline"](spark, sf_dir))
+    assert s.n_hash_exchanges == 0, s.raw
+    assert not s.joins
