@@ -272,3 +272,71 @@ class TestAnnRecallPlantedClusters:
         )
         assert r_probe2 >= 0.9
         assert r_probe2 >= r_probe1
+
+
+def test_containment_detects_doc_in_doc(spark):
+    """The semantics containment adds over Jaccard: a short document
+    embedded verbatim at the head of a long one must score
+    containment 1.0 (every short-doc shingle appears in the long doc)
+    while Jaccard stays low (union dominated by the long doc)."""
+    from datafusion_archive_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(80))
+    rows = [
+        Row(doc_id=1, text=short),
+        Row(doc_id=2, text=short + " " + filler),
+        Row(doc_id=3, text="totally unrelated content about other things"),
+    ]
+    df = spark.createDataFrame(rows)
+    cont = {
+        (r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in containment_pairs(df, k=3, threshold=0.9).collect()
+    }
+    assert cont[(1, 2)][0] == 1.0  # short fully inside long
+    assert cont[(1, 2)][1] < 0.1  # long barely inside short
+    jac = ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    assert not [r for r in jac if {r.id_a, r.id_b} == {1, 2}], (
+        "Jaccard must NOT flag the asymmetric pair at 0.5"
+    )
+
+
+def test_salted_sampler_equals_unsalted_on_skewed_corpus(
+    spark, tmp_path_factory
+):
+    """The skew escape hatch must be semantics-free where it matters:
+    on a corpus that is ~90% one language, the salted two-phase top-k
+    returns EXACTLY the same sample as the single-window formulation."""
+    from datafusion_archive_spark.queries.pipeline2 import (
+        q_weighted_sample_per_lang,
+    )
+    from datafusion_archive_spark.queries.pipeline3 import (
+        q_weighted_sample_per_lang_salted,
+    )
+
+    rows = []
+    for i in range(3000):
+        lang = "en" if i % 10 else ("de" if i % 20 else "fr")
+        rows.append(
+            Row(
+                doc_id=i,
+                text=f"document number {i} " + "filler words here " * (i % 7),
+                lang=lang,
+                source="synthetic",
+                n_chars=20,
+            )
+        )
+    base = str(tmp_path_factory.mktemp("skewed"))
+    spark.createDataFrame(rows).write.parquet(f"{base}/documents.parquet")
+
+    unsalted = sorted(
+        map(tuple, q_weighted_sample_per_lang(spark, base).collect())
+    )
+    salted = sorted(
+        map(tuple, q_weighted_sample_per_lang_salted(spark, base).collect())
+    )
+    assert salted == unsalted
+    assert len(salted) == 60  # 20 per language, 3 languages
