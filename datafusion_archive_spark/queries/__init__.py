@@ -32,6 +32,7 @@ from datafusion_archive_spark.queries import (
     pipeline,
     pipeline2,
     pipeline3,
+    pipeline4,
     registry_udf,
     relational,
     sources_io,
@@ -61,6 +62,7 @@ QUERY_MODULES = (
     registry_udf,
     pipeline2,
     pipeline3,
+    pipeline4,
     sql2,
 )
 
@@ -150,6 +152,15 @@ _FIRST_50 = [
     "window_running",
     "window_topk_per_group",
 ]
+
+# ROUND-6 NOTE (next certification window): head with the five wave-2
+# round-5 queries that missed this round's window — events_transitions,
+# mixture_weights, pii_redact, dedup_passages, perplexity_bigram
+# (queries/pipeline4.py, oracle-paired, local gate green at sf0.01) —
+# then the three names deliberately left r1-of-record this round
+# (sqrt_fn, setop_union_all, agg_cube), then the oldest remaining
+# certifications (round-3 families) oldest-first, so no query's
+# certification-of-record falls more than two rounds behind.
 
 
 def _wrap(fn):

@@ -1,0 +1,186 @@
+"""Round-5 wave-2 semantics: Markov transitions, mixture weights, PII
+redaction, passage-level dedup, and the self-trained perplexity filter
+(datafusion_archive_spark/queries/pipeline4.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.queries import pipeline4 as P4
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestEventsTransitions:
+    def test_probabilities_normalize_per_row(self, spark):
+        rows = P4.q_events_transitions(spark, SF).collect()
+        assert rows
+        by_from = {}
+        for r in rows:
+            by_from.setdefault(r.from_type, 0.0)
+            by_from[r.from_type] += r.p
+            assert 0.0 < r.p <= 1.0
+        for ft, tot in by_from.items():
+            # per-pair half-up rounding at 6dp: row sums drift by at
+            # most n_pairs * 5e-7
+            assert tot == pytest.approx(1.0, abs=1e-4), ft
+
+    def test_counts_match_manual_lag(self, spark):
+        e = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .orderBy("user_id", "ts", "event_id")
+            .collect()
+        )
+        manual = {}
+        for a, b in zip(e, e[1:]):
+            if a.user_id == b.user_id:
+                k = (a.event_type, b.event_type)
+                manual[k] = manual.get(k, 0) + 1
+        got = {
+            (r.from_type, r.to_type): r.n_transitions
+            for r in P4.q_events_transitions(spark, SF).collect()
+        }
+        assert got == manual
+
+
+class TestMixtureWeights:
+    def test_weights_sum_to_one_and_boost_flips_at_mean(self, spark):
+        rows = P4.q_mixture_weights(spark, SF).collect()
+        assert sum(r.weight for r in rows) == pytest.approx(1.0, abs=1e-4)
+        # temperature < 1 up-weights tail languages and down-weights
+        # the head: boost must be anti-monotone in token mass
+        by_mass = sorted(rows, key=lambda r: r.n_tokens)
+        boosts = [r.boost for r in by_mass]
+        assert boosts == sorted(boosts, reverse=True)
+
+    def test_alpha_half_closed_form(self, spark):
+        rows = P4.q_mixture_weights(spark, SF).collect()
+        tot_sqrt = sum(math.sqrt(r.n_tokens) for r in rows)
+        for r in rows:
+            assert r.weight == pytest.approx(
+                math.sqrt(r.n_tokens) / tot_sqrt, abs=1e-5
+            )
+
+
+class TestPiiRedact:
+    def test_no_pii_survives_redaction(self, spark):
+        rows = P4.q_pii_redact(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.n_emails == 1 and r.n_phones == 1
+            assert "<EMAIL>" in r.redacted and "<PHONE>" in r.redacted
+            assert "@" not in r.redacted
+            assert "+1-555-" not in r.redacted
+
+    def test_redaction_kernel_on_freeform_text(self, spark):
+        # the registered query builds its PII deterministically; the
+        # kernel itself must also catch PII embedded in arbitrary prose
+        df = spark.createDataFrame(
+            [Row(t="mail bob.smith@corp.io or call +1-555-0199 now")]
+        )
+        out = df.select(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), P4._EMAIL_RE, "<EMAIL>"),
+                P4._PHONE_RE,
+                "<PHONE>",
+            ).alias("r")
+        ).first()
+        assert out.r == "mail <EMAIL> or call <PHONE> now"
+
+
+class TestDedupPassages:
+    def test_unaligned_copy_is_invisible_to_fixed_windows(self, spark):
+        # fixed non-overlapping windows only fire when the shared text
+        # lands on the same window boundary in both docs — a passage
+        # copied at a 12-word offset is NOT detected (that's the
+        # documented trade-off vs the shingle-based containment query)
+        passage = " ".join(f"tok{i}" for i in range(10))
+        docs = [
+            Row(doc_id=1, text=passage + " " + "filler one " * 5),
+            Row(doc_id=2, text="other words here " * 4 + passage),
+            Row(doc_id=3, text="completely unrelated words " * 7),
+        ]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(docs).write.mode("overwrite").parquet(
+                f"{td}/documents.parquet"
+            )
+            out = {
+                r.doc_id: r
+                for r in P4.q_dedup_passages(spark, td).collect()
+            }
+        assert out[1].n_shared == 0  # offset 0 vs offset 12: no match
+        assert out[2].n_shared == 0
+        assert out[3].n_shared == 0
+        assert out[1].n_passages >= 1
+
+    def test_aligned_duplicates_flagged_symmetrically(self, spark):
+        passage = " ".join(f"tok{i}" for i in range(10))
+        tail = " ".join(f"fill{i}" for i in range(10))
+        docs = [
+            Row(doc_id=1, text=passage + " " + tail),
+            Row(doc_id=2, text=passage + " " + " ".join(f"x{i}" for i in range(10))),
+            Row(doc_id=3, text=tail + " " + " ".join(f"y{i}" for i in range(10))),
+        ]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(docs).write.mode("overwrite").parquet(
+                f"{td}/documents.parquet"
+            )
+            out = {
+                r.doc_id: r
+                for r in P4.q_dedup_passages(spark, td).collect()
+            }
+        # doc 1 shares window 0 with doc 2 AND window 1 with doc 3
+        assert out[1].n_shared == 2 and out[1].shared_ratio == 1.0
+        assert out[2].n_shared == 1 and out[2].n_passages == 2
+        assert out[3].n_shared == 1
+
+
+class TestPerplexityBigram:
+    def test_rare_bigram_doc_ranks_most_surprising(self, spark):
+        # 20 docs repeat the same fluent bigrams; one doc is the same
+        # vocabulary scrambled into bigrams seen nowhere else — the
+        # scrambled doc must rank #1 by avg negative log-likelihood
+        fluent = "the quick brown fox jumps over the lazy dog again "
+        docs = [Row(doc_id=i, text=fluent * 3) for i in range(20)]
+        docs.append(
+            Row(doc_id=99, text="dog the over fox lazy quick jumps brown again the")
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(docs).write.mode("overwrite").parquet(
+                f"{td}/documents.parquet"
+            )
+            rows = P4.q_perplexity_bigram(spark, td).collect()
+        assert rows[0].doc_id == 99
+        assert rows[0].avg_nll > rows[-1].avg_nll
+
+    def test_smoothed_probability_identity(self, spark):
+        # two docs, tiny corpus: check one term against the closed form
+        docs = [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b c")]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(docs).write.mode("overwrite").parquet(
+                f"{td}/documents.parquet"
+            )
+            rows = {
+                r.doc_id: r
+                for r in P4.q_perplexity_bigram(spark, td).collect()
+            }
+        # corpus: tokens a×3 b×3 c×1, V=3; doc 2 bigrams: (a b), (b c)
+        # c(a)=3, c(a b)=3 -> nll1 = ln(3+3) - ln(3+1)
+        # c(b)=3, c(b c)=1 -> nll2 = ln(3+3) - ln(1+1)
+        exp = (
+            (math.log(6) - math.log(4)) + (math.log(6) - math.log(2))
+        ) / 2
+        assert rows[2].avg_nll == pytest.approx(exp, abs=1e-3)
+        assert rows[2].n_bigrams == 2
