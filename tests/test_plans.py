@@ -258,3 +258,53 @@ def test_quality_filter_is_map_only(spark, sf_dir):
     s = summarize(QUERIES["quality_filter_pipeline"](spark, sf_dir))
     assert s.n_hash_exchanges == 0, s.raw
     assert not s.joins
+
+
+def test_transitions_one_corpus_exchange(spark, sf_dir):
+    """The Markov transition matrix moves the corpus exactly once (the
+    user_id window); the pair agg and row-normalizing window run over
+    the |types|^2 matrix. Scan must prune to the four sequence cols."""
+    df = QUERIES["events_transitions"](spark, sf_dir)
+    s = summarize(df)
+    assert s.n_hash_exchanges == 3, s.raw
+    assert not s.joins
+    assert _executed_parquet_scans(df) == 1
+    assert s.scans_pruned_to("event_id", "ts", "user_id", "event_type"), (
+        s.read_schemas
+    )
+
+
+def test_mixture_weights_tiny_cross_join_only(spark, sf_dir):
+    """Per-language totals ride back via a broadcast of the one-row
+    totals aggregate — never a corpus-sided cartesian."""
+    s = summarize(QUERIES["mixture_weights"](spark, sf_dir))
+    assert "CartesianProduct" not in s.joins
+    assert "SortMergeJoin" not in s.joins
+
+
+def test_pii_redact_is_map_only_with_pushdown(spark, sf_dir):
+    """The redaction kernel is a pure scan-side map; the custkey limit
+    must reach the parquet scan as a pushed filter."""
+    s = summarize(QUERIES["pii_redact"](spark, sf_dir))
+    assert s.n_hash_exchanges == 0, s.raw
+    assert not s.joins
+    assert "LessThanOrEqual(c_custkey" in ";".join(s.pushed_filters), (
+        s.pushed_filters
+    )
+
+
+def test_dedup_passages_single_scan_no_cartesian(spark, sf_dir):
+    """Passages are sliced from one cached word-array scan; only
+    (md5, doc_id) pairs shuffle and the shared-set comes back as an
+    equi (semi) join — never all-pairs."""
+    df = QUERIES["dedup_passages"](spark, sf_dir)
+    assert _executed_parquet_scans(df) == 1
+    assert "CartesianProduct" not in summarize(df).joins
+
+
+def test_perplexity_model_joins_are_equi(spark, sf_dir):
+    """The bigram LM scores via equi-joins against vocab-sized count
+    tables (the only nested-loop is the one-row V broadcast)."""
+    s = summarize(QUERIES["perplexity_bigram"](spark, sf_dir))
+    assert "CartesianProduct" not in s.joins
+    assert "BroadcastHashJoin" in s.joins or "SortMergeJoin" in s.joins
