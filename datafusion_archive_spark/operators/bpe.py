@@ -1,0 +1,128 @@
+"""Byte-pair-encoding merge training — the iterative tokenizer-prep
+pass (Sennrich et al. 2016) expressed Spark-first.
+
+Scale design: the ONLY corpus-sized operation is the initial word-
+frequency aggregation (one scan, one shuffle on the word). Every merge
+iteration runs over the DISTINCT-WORD table — vocab-sized, orders of
+magnitude below the corpus at any scale — and the only data that ever
+reaches the driver is the single argmax pair per iteration (bounded:
+``n_merges`` rows total, the same documented pattern as the IVF probed-
+id collect in operators/similarity.py). Pair extraction and the merge
+rewrite are pure JVM expressions (array transform + regexp_replace), no
+Python in the loop.
+
+The reference engine has no tokenizer surface (its roadmap stops at
+batch SQL, ``/root/reference/ROADMAP.md:36-56``); this operator belongs
+to the training-data-pipeline extension mandate. Correctness is pinned
+differentially against a pure-Python reference BPE in
+tests/test_round5b.py — the op is iterative and not SQL-expressible, so
+its registry row is rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: end-of-word marker, as in the original BPE formulation — keeps
+#: merges from crossing word boundaries when pairs are counted.
+EOW = "</w>"
+
+
+def _quote(sym: str) -> str:
+    """Literal-quote a symbol for a Java regex (\\Q…\\E)."""
+    return "\\Q" + sym.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, freq): the one corpus-sized step. Whitespace
+    tokenization over the normalized text; the aggregation shuffles
+    only (word, partial count) with map-side combine."""
+    from datafusion_archive_spark.functions import text as TX
+
+    return (
+        docs.select(
+            F.explode(
+                F.split(TX.normalize_text(F.col(text_col)), " ")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_merges(words: DataFrame, n_merges: int = 10) -> list[tuple]:
+    """Learn the first ``n_merges`` BPE merges from a (word, freq)
+    table. Returns ``[(merge_idx, left, right, pair_freq), …]`` in
+    merge order.
+
+    Each iteration: explode adjacent symbol pairs weighted by word
+    frequency, aggregate, take the argmax (ties break on the pair
+    string so the result is deterministic), then rewrite the symbol
+    strings with a left-to-right non-overlapping regex replace — the
+    exact greedy semantics of the reference BPE algorithm.
+    """
+    spark = words.sparkSession
+    # symbol representation: space-separated chars + end-of-word mark
+    sym = words.select(
+        "freq",
+        F.concat(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.lit(" " + EOW),
+        ).alias("syms"),
+    )
+    sym = sym.cache()
+    merges: list[tuple] = []
+    for idx in range(n_merges):
+        arr = F.split(F.col("syms"), " ")
+        # fully-merged words have one symbol left — no pairs (and
+        # sequence(0, -1) would run DESCENDING, indexing out of range)
+        pairs = sym.filter(F.size(arr) >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(arr) - 2),
+                    # symbols are space-free by construction, so the
+                    # space-joined pair splits back unambiguously
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(arr, i + 1),
+                        F.element_at(arr, i + 2),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ")
+        merges.append((idx, left, right, top[0]["n"]))
+        # left-to-right, non-overlapping: "a a a" under merge (a,a)
+        # becomes "aa a", matching the reference implementation
+        pat = f"(?<!\\S){_quote(left)} {_quote(right)}(?!\\S)"
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        nxt = sym.withColumn(
+            "syms", F.regexp_replace("syms", pat, repl)
+        ).cache()
+        nxt.count()  # materialize before dropping the parent
+        sym.unpersist()
+        sym = nxt
+    sym.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    spark, docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """End-to-end: corpus -> ordered merge table DataFrame with columns
+    (merge_idx, left, right, pair_freq)."""
+    rows = bpe_merges(word_frequencies(docs, text_col), n_merges)
+    return spark.createDataFrame(
+        rows, "merge_idx INT, left STRING, right STRING, pair_freq BIGINT"
+    )

@@ -81,6 +81,11 @@ ROWS_ONLY = {
     # implementation-defined; tests/test_approx_bounds.py pins their
     # relative error against exact DuckDB values instead.
     "approx_aggs",
+    # BPE merge training is iterative (merge i depends on the rewrite
+    # from merge i-1) — not expressible as one SQL statement; pinned
+    # differentially against a pure-Python reference BPE in
+    # tests/test_round5b.py.
+    "bpe_merges",
 }
 
 #: The round-5 certification window (driver checks entries [:50]).

@@ -352,7 +352,29 @@ def q_perplexity_bigram(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative; rows-only by design)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def q_bpe_merges(spark, sf):
+    """First 8 byte-pair-encoding merges learned from the corpus —
+    the iterative tokenizer-training pass. Not SQL-expressible (each
+    merge depends on the previous rewrite), so this row is rows-only;
+    tests/test_round5b.py pins it differentially against a pure-Python
+    reference BPE. Scale story in operators/bpe.py: one corpus-sized
+    word-count shuffle, then vocab-sized iterations with only the
+    per-iteration argmax row reaching the driver."""
+    from datafusion_archive_spark.operators import bpe
+
+    d = _t(spark, sf, "documents")
+    return bpe.bpe_merge_table(spark, d, n_merges=_BPE_MERGES)
+
+
 QUERIES = {
+    "bpe_merges": q_bpe_merges,
     "events_transitions": q_events_transitions,
     "mixture_weights": q_mixture_weights,
     "pii_redact": q_pii_redact,

@@ -184,3 +184,89 @@ class TestPerplexityBigram:
         ) / 2
         assert rows[2].avg_nll == pytest.approx(exp, abs=1e-3)
         assert rows[2].n_bigrams == 2
+
+
+class TestBpeMerges:
+    """Differential pin of the iterative BPE trainer
+    (operators/bpe.py) against a pure-Python reference."""
+
+    @staticmethod
+    def _ref_bpe(word_freqs, n_merges):
+        syms = {}
+        for w, f in word_freqs.items():
+            key = tuple(w) + ("</w>",)
+            syms[key] = syms.get(key, 0) + f
+        merges = []
+        for i in range(n_merges):
+            pc = {}
+            for ws, f in syms.items():
+                for a, b in zip(ws, ws[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + f
+            if not pc:
+                break
+            (left, right), n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )
+            merges.append((i, left, right, n))
+            new = {}
+            for ws, f in syms.items():
+                out, j = [], 0
+                while j < len(ws):
+                    if (
+                        j < len(ws) - 1
+                        and ws[j] == left
+                        and ws[j + 1] == right
+                    ):
+                        out.append(ws[j] + ws[j + 1])
+                        j += 2
+                    else:
+                        out.append(ws[j])
+                        j += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + f
+            syms = new
+        return merges
+
+    def test_matches_reference_on_corpus(self, spark):
+        from datafusion_archive_spark.operators import bpe
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        wf = {
+            r.word: r.freq
+            for r in bpe.word_frequencies(docs).collect()
+        }
+        expected = self._ref_bpe(wf, 8)
+        got = [
+            tuple(r)
+            for r in bpe.bpe_merge_table(spark, docs, n_merges=8).collect()
+        ]
+        assert got == expected
+
+    def test_classic_example(self, spark):
+        from pyspark.sql import Row
+
+        from datafusion_archive_spark.operators import bpe
+
+        docs = spark.createDataFrame(
+            [Row(text="low lower lowest low low newer newest new")]
+        )
+        got = [
+            tuple(r)
+            for r in bpe.bpe_merge_table(spark, docs, n_merges=4).collect()
+        ]
+        assert got[:2] == [(0, "l", "o", 5), (1, "lo", "w", 5)]
+
+    def test_greedy_left_nonoverlapping_merge(self, spark):
+        # "aaaa" under merge (a,a) must become "aa aa", not "aa a a"
+        from pyspark.sql import Row
+
+        from datafusion_archive_spark.operators import bpe
+
+        docs = spark.createDataFrame([Row(text="aaaa aaaa aaaa")])
+        got = [
+            tuple(r)
+            for r in bpe.bpe_merge_table(spark, docs, n_merges=2).collect()
+        ]
+        assert got[0] == (0, "a", "a", 9)
+        # second merge: each word is now "aa aa </w>" -> (aa,aa)=3,
+        # (aa,</w>)=3; tie breaks on the pair string: "aa </w>" < "aa aa"
+        assert got[1] == (1, "aa", "</w>", 3)
