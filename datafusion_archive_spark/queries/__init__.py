@@ -33,6 +33,7 @@ from datafusion_archive_spark.queries import (
     pipeline2,
     pipeline3,
     pipeline4,
+    pipeline5,
     registry_udf,
     relational,
     sources_io,
@@ -63,6 +64,7 @@ QUERY_MODULES = (
     pipeline2,
     pipeline3,
     pipeline4,
+    pipeline5,
     sql2,
 )
 
@@ -158,14 +160,16 @@ _FIRST_50 = [
     "window_topk_per_group",
 ]
 
-# ROUND-6 NOTE (next certification window): head with the five wave-2
+# ROUND-6 NOTE (next certification window): head with the nine wave-2/3
 # round-5 queries that missed this round's window — events_transitions,
 # mixture_weights, pii_redact, dedup_passages, perplexity_bigram
-# (queries/pipeline4.py, oracle-paired, local gate green at sf0.01) —
-# then the three names deliberately left r1-of-record this round
-# (sqrt_fn, setop_union_all, agg_cube), then the oldest remaining
-# certifications (round-3 families) oldest-first, so no query's
-# certification-of-record falls more than two rounds behind.
+# (queries/pipeline4.py), curation_funnel, quality_quantile_norm,
+# snapshot_diff (queries/pipeline5.py), and bpe_merges as an explicit
+# rows-only row — all local-gate green at sf0.01 — then the three names
+# deliberately left r1-of-record this round (sqrt_fn, setop_union_all,
+# agg_cube), then the oldest remaining certifications (round-3
+# families) oldest-first, so no query's certification-of-record falls
+# more than two rounds behind.
 
 
 def _wrap(fn):

@@ -11,6 +11,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries import pipeline4 as P4
+from datafusion_archive_spark.queries import pipeline5 as P5
 
 SF = "/root/testdata/sf0.001"
 
@@ -270,3 +271,105 @@ class TestBpeMerges:
         # second merge: each word is now "aa aa </w>" -> (aa,aa)=3,
         # (aa,</w>)=3; tie breaks on the pair string: "aa </w>" < "aa aa"
         assert got[1] == (1, "aa", "</w>", 3)
+
+
+class TestCurationFunnel:
+    def test_funnel_is_monotone_and_stages_match_parts(self, spark):
+        from datafusion_archive_spark.queries import llm, pipeline3
+
+        rows = {
+            r.stage: r
+            for r in P5.q_curation_funnel(spark, SF).collect()
+        }
+        assert [rows[i].stage_name for i in range(4)] == [
+            "raw",
+            "after_exact_dedup",
+            "after_quality_gate",
+            "after_decontamination",
+        ]
+        # monotone shrink
+        for i in range(3):
+            assert rows[i].n_docs >= rows[i + 1].n_docs
+            assert rows[i].n_tokens >= rows[i + 1].n_tokens
+        # stage 0 is the corpus; stage 1 matches the certified
+        # standalone dedup row's distinct-content count
+        n_raw = spark.read.parquet(f"{SF}/documents.parquet").count()
+        assert rows[0].n_docs == n_raw
+        n_distinct = llm.q_dedup_exact(spark, SF).count()
+        assert rows[1].n_docs == n_distinct
+
+    def test_quality_stage_agrees_with_standalone_gate(self, spark):
+        from datafusion_archive_spark.queries import llm, pipeline3
+
+        rows = {
+            r.stage: r
+            for r in P5.q_curation_funnel(spark, SF).collect()
+        }
+        keep_ids = {
+            r.doc_id
+            for r in pipeline3.q_quality_filter_pipeline(spark, SF)
+            .filter("keep")
+            .collect()
+        }
+        surv_ids = {
+            r.keep_id for r in llm.q_dedup_exact(spark, SF).collect()
+        }
+        assert rows[2].n_docs == len(keep_ids & surv_ids)
+
+
+class TestQualityQuantileNorm:
+    def test_rank_bounds_and_order(self, spark):
+        rows = P5.q_quality_quantile_norm(spark, SF).collect()
+        assert rows
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rs in by_lang.items():
+            rs.sort(key=lambda r: r.quality)
+            assert rs[0].q_rank == 0.0
+            assert rs[-1].q_rank <= 1.0
+            # ranks are non-decreasing in the score
+            ranks = [r.q_rank for r in rs]
+            assert ranks == sorted(ranks)
+
+    def test_ties_share_a_rank(self, spark):
+        rows = P5.q_quality_quantile_norm(spark, SF).collect()
+        seen = {}
+        for r in rows:
+            key = (r.lang, r.quality)
+            if key in seen:
+                assert seen[key] == r.q_rank
+            seen[key] = r.q_rank
+
+
+class TestSnapshotDiff:
+    def test_classification_matches_manual_diff(self, spark):
+        a = {
+            r.o_orderkey: r.o_totalprice
+            for r in spark.read.parquet(f"{SF}/orders.parquet")
+            .select("o_orderkey", "o_totalprice")
+            .collect()
+        }
+        b = {}
+        for k, p in a.items():
+            if k % P5._DEL_MOD == 0:
+                continue
+            b[k] = p * 1.1 if k % P5._UPD_MOD == 0 else p
+        for k, p in a.items():
+            if k % P5._INS_MOD == 0:
+                b[k + P5._INS_OFFSET] = p
+        manual = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+        for k in set(a) | set(b):
+            if k not in a:
+                manual["added"] += 1
+            elif k not in b:
+                manual["removed"] += 1
+            elif a[k] != b[k]:
+                manual["changed"] += 1
+            else:
+                manual["unchanged"] += 1
+        got = {
+            r.change_type: r.n_rows
+            for r in P5.q_snapshot_diff(spark, SF).collect()
+        }
+        assert got == {k: v for k, v in manual.items() if v > 0}
