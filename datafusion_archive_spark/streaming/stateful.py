@@ -161,3 +161,81 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov transitions (the incremental twin of the certified
+# batch query queries/pipeline4.q_events_transitions)
+# ---------------------------------------------------------------------------
+
+TR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("from_type", T.StringType(), False),
+        T.StructField("to_type", T.StringType(), False),
+    ]
+)
+
+TR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("last_event_id", T.LongType(), False),
+        T.StructField("last_type", T.StringType(), False),
+    ]
+)
+
+
+def _update_transitions(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per user: remember the last event across micro-batches and emit
+    one (from_type, to_type) row per consecutive pair — including the
+    pair that straddles the batch boundary. Rows within a batch are
+    sorted by (ts, event_id), the same order the batch twin's lead
+    window uses; cross-batch correctness requires the source to
+    deliver each user's events in non-decreasing event-time order
+    (guaranteed for time-ordered file drops / log segments — the only
+    deployment where sequence mining without a reorder buffer is
+    sound)."""
+    (user_id,) = key
+    last = state.get if state.exists else None
+    frm: list[str] = []
+    to: list[str] = []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
+        ["ts_us", "event_id"]
+    )
+    for us, eid, etype in zip(
+        pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+    ):
+        if last is not None:
+            frm.append(last[2])
+            to.append(etype)
+        last = (int(us), int(eid), etype)
+    if last is not None:
+        state.update(last)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(frm),
+            "from_type": frm,
+            "to_type": to,
+        }
+    )
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Attach the transition emitter to a streaming events DataFrame.
+    Emits raw (user_id, from_type, to_type) pair rows per micro-batch
+    (append semantics); aggregate downstream (or in the sink) to get
+    the transition matrix. State is one (ts, event_id, type) triple
+    per user — O(users), far below the windowed-agg state of the same
+    pipeline."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TR_OUTPUT_SCHEMA,
+        stateStructType=TR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -119,3 +119,61 @@ def test_streaming_heavy_hitters_exact_when_capacity_suffices(
         assert final[lang] == expected[lang], (
             lang, final[lang], expected[lang],
         )
+
+
+def test_streaming_transitions_equal_certified_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """Drain a two-segment time-ordered file stream through the
+    stateful transition emitter; aggregated pair counts must equal the
+    certified batch query (pipeline4.events_transitions), including
+    the pairs that straddle the segment boundary."""
+    from datafusion_archive_spark.queries.pipeline4 import (
+        q_events_transitions,
+    )
+    from datafusion_archive_spark.streaming.stateful import (
+        streaming_transitions,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # two time-ordered segments written sequentially: segment 1 holds
+    # the earlier half of every user's history (split on ts), so the
+    # file stream replays each user's events in event-time order —
+    # the documented soundness requirement for sequence mining
+    src = str(tmp_path_factory.mktemp("transitions") / "events")
+    bounds = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    first = ev.filter(F.col("ts").cast("double") < bounds)
+    second = ev.filter(F.col("ts").cast("double") >= bounds)
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_transitions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("transition_pairs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_rows = spark.sql(
+            "SELECT from_type, to_type, count(*) AS n "
+            "FROM transition_pairs GROUP BY 1, 2"
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {(r.from_type, r.to_type): r.n for r in got_rows}
+    expected = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in q_events_transitions(spark, sf_dir).collect()
+    }
+    assert got == expected
