@@ -373,3 +373,105 @@ class TestSnapshotDiff:
             for r in P5.q_snapshot_diff(spark, SF).collect()
         }
         assert got == {k: v for k, v in manual.items() if v > 0}
+
+
+class TestKMeans:
+    """Distributed Lloyd's trainer (operators/kmeans.py) pinned
+    differentially against NumPy with identical deterministic
+    seeding, plus objective monotonicity and IVF integration."""
+
+    @staticmethod
+    def _ref_kmeans(X, k, n_iters):
+        import numpy as np
+
+        cents = X[:k].copy()  # ids are 0..n-1 in fixture order
+        for _ in range(n_iters):
+            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)  # ties -> lowest index, like the
+            # operator's (dist, list_id) ordering
+            for i in range(k):
+                if (lab == i).any():
+                    cents[i] = X[lab == i].mean(axis=0)
+        # final labels against the FINAL centroids (kmeans_assign runs
+        # after training, not as part of the last iteration)
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return cents, d.argmin(axis=1)
+
+    @staticmethod
+    def _fixture(spark, n=90, dim=8, seed=3):
+        import numpy as np
+        from pyspark.sql import Row
+
+        rng = np.random.RandomState(seed)
+        X = rng.normal(size=(n, dim))
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[float(x) for x in X[i]])
+                for i in range(n)
+            ]
+        )
+        return X, df
+
+    def test_matches_numpy_lloyds(self, spark):
+        import numpy as np
+
+        from datafusion_archive_spark.operators import kmeans as KM
+
+        X, df = self._fixture(spark)
+        cents = KM.kmeans_train(df, k=4, n_iters=4)
+        ref_cents, ref_lab = self._ref_kmeans(X, 4, 4)
+        assert np.allclose(np.array(cents), ref_cents, atol=1e-9)
+        got = {
+            r.pid: r.list_id
+            for r in KM.kmeans_assign(df, cents).collect()
+        }
+        assert [got[i] for i in range(len(X))] == list(ref_lab)
+
+    def test_inertia_non_increasing(self, spark):
+        from datafusion_archive_spark.operators import kmeans as KM
+
+        _, df = self._fixture(spark, seed=11)
+        inertias = []
+        for iters in (1, 3, 6):
+            cents = KM.kmeans_train(df, k=4, n_iters=iters)
+            inertias.append(
+                KM.kmeans_inertia(KM.kmeans_assign(df, cents))
+            )
+        assert inertias[0] >= inertias[1] >= inertias[2]
+
+    def test_recovers_planted_clusters(self, spark):
+        # trained centroids must put each planted cluster in its own
+        # cell — the IVF regime the stride-seeding rule only gets by
+        # fixture construction
+        import numpy as np
+        from pyspark.sql import Row
+
+        from datafusion_archive_spark.operators import kmeans as KM
+
+        rng = np.random.RandomState(5)
+        centers = rng.normal(size=(4, 16)) * 3
+        rows = []
+        for cid in range(4):
+            for j in range(25):
+                p = centers[cid] + 0.1 * rng.normal(size=16)
+                # round-robin ids: the deterministic smallest-id
+                # seeding then starts with one point from each
+                # planted cluster (a reasonable init; pathological
+                # all-seeds-in-one-cluster inits are a known Lloyd's
+                # failure mode, not what this test pins)
+                rows.append(
+                    Row(
+                        vec_id=j * 4 + cid,
+                        embedding=[float(x) for x in p],
+                    )
+                )
+        df = spark.createDataFrame(rows)
+        cents = KM.kmeans_train(df, k=4, n_iters=6)
+        lab = {
+            r.pid: r.list_id
+            for r in KM.kmeans_assign(df, cents).collect()
+        }
+        for cid in range(4):
+            cluster_labels = {lab[j * 4 + cid] for j in range(25)}
+            assert len(cluster_labels) == 1, f"cluster {cid} split"
+        assert len({lab[cid] for cid in range(4)}) == 4
