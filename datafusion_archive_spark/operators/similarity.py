@@ -532,3 +532,75 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_lists: int = 8,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with TRAINED centroids: Lloyd's k-means over the unit-
+    normalized corpus (operators/kmeans.py) replaces the id-stride
+    seeding rule — the variant that holds when ids carry no cluster
+    structure (the stride rule's silent assumption). On unit vectors,
+    squared euclidean is 2 - 2*cos, so euclidean k-means cells are
+    exactly the cosine Voronoi cells the probe path assumes.
+
+    Same probe machinery and output schema as ivf_topk:
+    (query_id, neighbor_id, cosine, rank).
+    """
+    from datafusion_archive_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    spark = corpus.sparkSession
+    c = _normalized(corpus, id_col, vec_col, "nid", "v")
+    cents = kmeans_train(
+        c, k=n_lists, n_iters=n_iters, id_col="nid", vec_col="v"
+    )
+    assigned = kmeans_assign(c, cents, id_col="nid", vec_col="v").select(
+        F.col("pid").alias("nid"), "v", "list_id"
+    )
+    cdf = spark.createDataFrame(
+        [(i, cv) for i, cv in enumerate(cents)],
+        "list_id INT, cv ARRAY<DOUBLE>",
+    )
+    q = _normalized(
+        queries, id_col, vec_col, "query_id", "qv", spread_input=False
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("list_id")
+    )
+    probes = (
+        q.join(F.broadcast(cdf))
+        .select(
+            "query_id", "qv", "list_id",
+            dot(F.col("qv"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

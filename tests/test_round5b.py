@@ -582,3 +582,69 @@ class TestProductQuantization:
         s = summarize(PQ.pq_encode(corpus, books))
         assert s.n_hash_exchanges == 0, s.raw
         assert not s.joins
+
+
+class TestIvfKmeans:
+    def test_trained_centroids_beat_stride_on_shuffled_ids(self, spark):
+        """When vector ids carry no cluster structure, the id-stride
+        centroid rule seeds arbitrarily while trained centroids still
+        recover the planted clusters: k-means IVF recall must be high
+        AND at least match the stride variant on the same corpus."""
+        import collections as C
+
+        import numpy as np
+
+        from datafusion_archive_spark.operators import similarity as S
+
+        rng = np.random.RandomState(13)
+        centers = rng.normal(size=(6, 16))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        # shuffled ids: cluster membership is NOT recoverable from id
+        perm = rng.permutation(120)
+        i = 0
+        for cid in range(6):
+            for _ in range(20):
+                p = centers[cid] + 0.05 * rng.normal(size=16)
+                rows.append(
+                    Row(
+                        vec_id=int(perm[i]),
+                        embedding=[float(x) for x in p],
+                    )
+                )
+                i += 1
+        corpus = spark.createDataFrame(rows).coalesce(4)
+        queries = corpus.filter(F.col("vec_id") < 6)
+
+        def neighbor_sets(df):
+            out = C.defaultdict(set)
+            for r in df.collect():
+                out[r.query_id].add(r.neighbor_id)
+            return out
+
+        def recall(approx, exact):
+            hits = total = 0
+            for qid, truth in exact.items():
+                total += len(truth)
+                hits += len(truth & approx.get(qid, set()))
+            return hits / total
+
+        exact = neighbor_sets(S.cosine_topk(corpus, queries, k=5))
+        r_kmeans = recall(
+            neighbor_sets(
+                S.ivf_topk_kmeans(
+                    corpus, queries, k=5, nprobe=2, n_lists=6
+                )
+            ),
+            exact,
+        )
+        r_stride = recall(
+            neighbor_sets(
+                S.ivf_topk(
+                    corpus, queries, k=5, nprobe=2, centroid_stride=20
+                )
+            ),
+            exact,
+        )
+        assert r_kmeans >= 0.9, f"kmeans-IVF recall {r_kmeans}"
+        assert r_kmeans >= r_stride
