@@ -604,3 +604,54 @@ def ivf_topk_kmeans(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup: a vector is
+    *removed* iff an earlier (lower-id) member of the SAME cluster has
+    cosine >= threshold to it. Returns (id, cluster, removed flag).
+
+    This is the scale formulation of semantic dedup: the corpus-wide
+    quadratic kernel collapses to an equi-join on the cluster id, so
+    cost is sum(|cluster|^2) — bounded by the clustering granularity
+    (at 100 TB the cluster assignment comes from operators.kmeans /
+    ivf_assign; here the assignment column is an input). Nothing
+    all-pairs ever runs across clusters, the join key is the cluster
+    id (hash-shuffle, AQE-skew-splittable), and vectors are
+    unit-normalized once before the join (dot == cosine).
+
+    Keep-lowest-id is deterministic and order-free: "removed" is
+    EXISTS(earlier similar member), not a greedy chain — every engine
+    computes the identical set regardless of partitioning.
+    """
+    a = _normalized(df, id_col, vec_col, "_id", "_v", persist=False)
+    c = df.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c")
+    )
+    a = cached(a.join(c, "_id"))
+    b = a.select(
+        F.col("_id").alias("_id_b"), F.col("_v").alias("_vb"), "_c"
+    )
+    dup_ids = (
+        a.join(b, "_c")
+        .filter(F.col("_id") < F.col("_id_b"))
+        .filter(F.round(dot(F.col("_v"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_id_b").alias("_dup"))
+        .distinct()
+    )
+    return (
+        a.join(
+            dup_ids, a["_id"] == dup_ids["_dup"], "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_c").alias(cluster_col),
+            F.col("_dup").isNotNull().alias("removed"),
+        )
+    )

@@ -34,6 +34,7 @@ from datafusion_archive_spark.queries import (
     pipeline3,
     pipeline4,
     pipeline5,
+    pipeline6,
     registry_udf,
     relational,
     sources_io,
@@ -65,6 +66,7 @@ QUERY_MODULES = (
     pipeline3,
     pipeline4,
     pipeline5,
+    pipeline6,
     sql2,
 )
 
@@ -98,14 +100,26 @@ ROWS_ONLY = {
 #: oracles now CAST to the Spark dtype; re-certifying closes the last
 #: red rows). Tail: the 43 names whose certification-of-record is
 #: still round 1 (events_*/setop_*/join_* families and the scalar-fn
-#: head). Three r1 names stay r1-of-record to make room for the
-#: second new-query wave — sqrt_fn, setop_union_all, agg_cube — each
-#: chosen because a same-family sibling re-certifies the code path in
-#: this very window (string/date scalar fns; setop_union + the r4
-#: *_ALL rows; rollup/grouping_sets/grouping_flags), and the local
-#: dtype-strict gate now reproduces the driver hash semantics.
+#: head). A query with NO driver row ever is weaker evidence than one
+#: whose row is merely old, so every never-certified name — including
+#: the wave-2/3/4 round-5 additions — outranks re-certification; the
+#: remaining 24 slots go to round-1-of-record names. The r1 names
+#: left out (setop_union/intersect/except, join_left_outer,
+#: join_semi, events_multi_rollup, events_time_bucket,
+#: try_cast_nulls, try_divide_nulls, literals_no_from,
+#: agg_grouping_sets, cte_scalar_subquery, distinct_pairs,
+#: percentiles, pivot_linestatus, sort_limit_topk, plus sqrt_fn,
+#: setop_union_all, agg_cube from the earlier cut) each have a
+#: same-family sibling re-certifying the code path inside this very
+#: window (the r4 setop-ALL rows + full_outer/3way/null_safe joins;
+#: the events asof/range/kmv trio; cast_semantics + arithmetic_ops;
+#: agg_rollup + the r4 grouping_flags; in_subquery +
+#: exists_correlated; histogram/winsorized for the quantile
+#: machinery; skyline_orders' DISTINCT; window_topk_per_group's
+#: TakeOrdered), and the local dtype-strict gate now reproduces the
+#: driver hash semantics.
 _FIRST_50 = [
-    # --- new this round
+    # --- new this round (never certified)
     "weighted_sample_per_lang_salted",
     "heavy_hitters_topk",
     "schema_evolution_merge",
@@ -114,62 +128,61 @@ _FIRST_50 = [
     "dedup_containment",
     "outliers_mad",
     "tfidf_topk_terms",
+    "quality_filter_pipeline",
+    "events_transitions",
+    "mixture_weights",
+    "pii_redact",
+    "dedup_passages",
+    "perplexity_bigram",
+    "curation_funnel",
+    "quality_quantile_norm",
+    "snapshot_diff",
+    "bpe_merges",  # rows-only by design (iterative; differential pytest)
+    "semantic_dedup_clusters",
+    "skyline_orders",
+    "scd2_event_state",
+    "time_decay_agg",
+    "shard_manifest",
+    "events_anomaly_zscore",
     # --- round-4 dtype-only failures, oracles fixed
     "console_script_sql",
     "histogram_equi_depth",
     # --- round-1-only certifications, re-proving on current code
     "agg_count_distinct_group",
-    "agg_grouping_sets",
     "agg_having",
     "agg_rollup",
     "arithmetic_ops",
     "case_when",
     "cast_semantics",
-    "cte_scalar_subquery",
     "date_funcs",
-    "distinct_pairs",
     "events_asof_join",
     "events_distinct_kmv",
-    "events_multi_rollup",
     "events_range_join",
-    "events_time_bucket",
     "filter_like",
     "geo_udt",
     "in_subquery",
     "join_full_outer",
     "join_inner_3way",
-    "join_left_outer",
-    "join_semi",
     "json_extract",
-    "literals_no_from",
     "null_predicates",
-    "percentiles",
-    "pivot_linestatus",
     "predicate_between_in",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "sort_limit_topk",
     "string_funcs",
     "text_fingerprint",
     "text_lang_id",
     "text_stats",
-    "try_cast_nulls",
-    "try_divide_nulls",
     "window_running",
     "window_topk_per_group",
 ]
 
-# ROUND-6 NOTE (next certification window): head with the nine wave-2/3
-# round-5 queries that missed this round's window — events_transitions,
-# mixture_weights, pii_redact, dedup_passages, perplexity_bigram
-# (queries/pipeline4.py), curation_funnel, quality_quantile_norm,
-# snapshot_diff (queries/pipeline5.py), and bpe_merges as an explicit
-# rows-only row — all local-gate green at sf0.01 — then the three names
-# deliberately left r1-of-record this round (sqrt_fn, setop_union_all,
-# agg_cube), then the oldest remaining certifications (round-3
-# families) oldest-first, so no query's certification-of-record falls
-# more than two rounds behind.
+# ROUND-6 NOTE (next certification window): head with any round-6
+# additions, then the r1-of-record names rotated out this round
+# (setop_union, setop_intersect, setop_except, setop_union_all,
+# join_left_outer, join_semi, events_multi_rollup, events_time_bucket,
+# try_cast_nulls, try_divide_nulls, literals_no_from, sqrt_fn,
+# agg_cube, agg_grouping_sets, cte_scalar_subquery, distinct_pairs,
+# percentiles, pivot_linestatus, sort_limit_topk), then the oldest
+# remaining certifications (round-3 families) oldest-first, so no
+# query's certification-of-record falls more than two rounds behind.
 
 
 def _wrap(fn):

@@ -1,0 +1,185 @@
+"""Round-5 wave-4 semantics: semantic dedup, skyline, SCD2, time
+decay, shard manifests, rolling anomalies
+(datafusion_archive_spark/queries/pipeline6.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators import skyline
+from datafusion_archive_spark.plans import summarize
+from datafusion_archive_spark.queries import pipeline6 as P6
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSkyline:
+    def _brute(self, pts):
+        out = []
+        for x, y in pts:
+            dominated = any(
+                (x2 <= x and y2 >= y) and (x2 < x or y2 > y)
+                for x2, y2 in pts
+            )
+            if not dominated:
+                out.append((x, y))
+        return sorted(out)
+
+    def test_matches_bruteforce(self, spark):
+        got = sorted(
+            (r.order_date, r.total_price)
+            for r in P6.q_skyline_orders(spark, SF).collect()
+        )
+        pts = {
+            (r.o_orderdate, r.o_totalprice)
+            for r in spark.read.parquet(f"{SF}/orders.parquet")
+            .select("o_orderdate", "o_totalprice")
+            .collect()
+        }
+        assert got == self._brute(list(pts))
+
+    def test_bucketing_invariance(self, spark):
+        """Correctness must not depend on phase-1 partitioning (the
+        superset property) — 1 bucket and 64 buckets agree."""
+        o = spark.read.parquet(f"{SF}/orders.parquet").select(
+            F.col("o_orderdate").alias("x"), F.col("o_totalprice").alias("y")
+        )
+        a = sorted(map(tuple, skyline.skyline_2d(o, "x", "y", buckets=1).collect()))
+        b = sorted(map(tuple, skyline.skyline_2d(o, "x", "y", buckets=64).collect()))
+        assert a == b
+
+    def test_no_cartesian(self, spark):
+        s = summarize(P6.q_skyline_orders(spark, SF))
+        assert "CartesianProduct" not in s.joins
+        assert "BroadcastNestedLoopJoin" not in s.joins
+
+
+class TestSemanticDedup:
+    def test_exactly_planted_twins_removed(self, spark):
+        rows = P6.q_semantic_dedup_clusters(spark, SF).collect()
+        base = spark.read.parquet(f"{SF}/embeddings.parquet")
+        n_base = base.count()
+        n_planted = base.filter(F.col("vec_id") % 20 == 0).count()
+        assert sum(r.n_members for r in rows) == n_base + n_planted
+        # uniform-random base vectors never clear 0.9; every planted
+        # twin has its lower-id original in the same cluster
+        assert sum(r.n_removed for r in rows) == n_planted
+        assert all(r.n_kept == r.n_members - r.n_removed for r in rows)
+
+    def test_cluster_join_is_equi_not_cartesian(self, spark):
+        s = summarize(P6.q_semantic_dedup_clusters(spark, SF))
+        assert "CartesianProduct" not in s.joins
+
+
+class TestScd2:
+    def test_intervals_tile_each_user_history(self, spark):
+        rows = P6.q_scd2_event_state(spark, SF).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        ev = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        spans = {r.user_id: r for r in ev}
+        for uid, ivs in by_user.items():
+            ivs.sort(key=lambda r: r.valid_from)
+            # runs collapse: adjacent intervals never share a state
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.event_type != b.event_type
+                assert a.valid_to == b.valid_from  # gap-free tiling
+            assert sum(iv.is_current for iv in ivs) == 1
+            assert ivs[-1].is_current and ivs[-1].valid_to is None
+            assert ivs[0].valid_from == spans[uid].lo
+            assert len(ivs) <= spans[uid].n
+
+    def test_single_exchange(self, spark):
+        s = summarize(P6.q_scd2_event_state(spark, SF))
+        assert s.n_hash_exchanges == 1, (
+            "lag, change filter, and lead must share the user_id "
+            "partitioning:\n" + s.raw
+        )
+
+
+class TestTimeDecay:
+    def test_matches_manual_recompute(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+        mx = max(r.ts for r in ev)
+        lam = math.log(2.0) / (7.0 * 86400.0)
+        manual = {}
+        for r in ev:
+            w = math.exp(-lam * (mx - r.ts).total_seconds())
+            n, dv, dc = manual.get(r.event_type, (0, 0.0, 0.0))
+            manual[r.event_type] = (n + 1, dv + w * r.value, dc + w)
+        got = P6.q_time_decay_agg(spark, SF).collect()
+        assert len(got) == len(manual)
+        for r in got:
+            n, dv, dc = manual[r.event_type]
+            assert r.n_events == n
+            assert r.decayed_value == pytest.approx(dv, abs=1e-3)
+            assert r.decayed_count == pytest.approx(dc, abs=1e-3)
+            # decay strictly discounts: 0 < decayed_count < n
+            assert 0 < r.decayed_count < n
+
+    def test_anchor_is_broadcast_not_collected(self, spark):
+        s = summarize(P6.q_time_decay_agg(spark, SF))
+        assert "BroadcastNestedLoopJoin" in s.joins or "BroadcastHashJoin" in s.joins
+        assert "SortMergeJoin" not in s.joins
+
+
+class TestShardManifest:
+    def test_partition_of_corpus_and_determinism(self, spark):
+        rows = P6.q_shard_manifest(spark, SF).collect()
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        assert sum(r.n_docs for r in rows) == d.count()
+        assert sum(r.total_chars for r in rows) == (
+            d.agg(F.sum("n_chars")).collect()[0][0]
+        )
+        assert all(0 <= r.shard < 16 for r in rows)
+        again = P6.q_shard_manifest(spark, SF).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_map_only_plus_single_agg(self, spark):
+        s = summarize(P6.q_shard_manifest(spark, SF))
+        assert s.n_hash_exchanges == 1, s.raw
+        assert not s.joins
+
+
+class TestAnomalyZscore:
+    def test_matches_manual_rolling_window(self, spark):
+        ev = sorted(
+            spark.read.parquet(f"{SF}/events.parquet").collect(),
+            key=lambda r: (r.user_id, r.ts, r.event_id),
+        )
+        manual = {}
+        hist = {}
+        for r in ev:
+            h = hist.setdefault(r.user_id, [])
+            prior = h[-20:]
+            el = an = 0
+            if len(prior) >= 10:
+                mean = sum(prior) / len(prior)
+                var = sum((v - mean) ** 2 for v in prior) / (len(prior) - 1)
+                sd = math.sqrt(var)
+                if sd > 0:
+                    el = 1
+                    an = int(abs((r.value - mean) / sd) >= 2.5)
+            e0, a0 = manual.get(r.event_type, (0, 0))
+            manual[r.event_type] = (e0 + el, a0 + an)
+            h.append(r.value)
+        got = {
+            r.event_type: (r.n_eligible, r.n_anomalies)
+            for r in P6.q_events_anomaly_zscore(spark, SF).collect()
+        }
+        assert got == manual
+
+    def test_one_window_exchange_plus_final_agg(self, spark):
+        s = summarize(P6.q_events_anomaly_zscore(spark, SF))
+        assert s.n_hash_exchanges <= 2, s.raw
+        assert not s.joins
