@@ -126,3 +126,50 @@ def bpe_merge_table(
     return spark.createDataFrame(
         rows, "merge_idx INT, left STRING, right STRING, pair_freq BIGINT"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize text with a learned merge list — the apply side of
+    :func:`bpe_merges`. Returns (id, tokens array<string>, n_tokens).
+
+    Semantics: each merge is applied once, in rank order, as a greedy
+    left-to-right non-overlapping rewrite — the exact mirror of the
+    rewrite the vocabulary underwent during training, so a word seen
+    in training reproduces its trained segmentation verbatim. (The
+    classic "repeat lowest-rank applicable merge" loop differs only in
+    pathological vocabularies where two different merges concatenate
+    to the same symbol string; the differential test pins this
+    single-pass-in-order definition.)
+
+    Scale: map-only. The merge chain compiles to nested JVM
+    regexp_replace calls inside an array transform — no Python in the
+    row path, nothing shuffles, and the merge list itself is
+    vocabulary-sized (the same object every tokenizer broadcasts).
+    """
+    from datafusion_archive_spark.functions import text as TX
+
+    def encode_word(w):
+        s = F.concat(
+            F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" " + EOW)
+        )
+        for _, left, right, _ in merges:
+            pat = f"(?<!\\S){_quote(left)} {_quote(right)}(?!\\S)"
+            repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+            s = F.regexp_replace(s, F.lit(pat), F.lit(repl))
+        return F.split(s, " ")
+
+    words = F.filter(
+        F.split(TX.normalize_text(F.col(text_col)), " "),
+        lambda w: w != F.lit(""),
+    )
+    toks = F.flatten(F.transform(words, encode_word))
+    return docs.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )

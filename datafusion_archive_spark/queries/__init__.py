@@ -90,6 +90,10 @@ ROWS_ONLY = {
     # differentially against a pure-Python reference BPE in
     # tests/test_round5b.py.
     "bpe_merges",
+    # the encode side consumes the iterative trainer's merge list, so
+    # it inherits the same non-SQL-expressible status; the encoder
+    # kernel itself is differentially pinned (tests/test_round5c.py).
+    "bpe_encode_tokens",
 }
 
 #: The round-5 certification window (driver checks entries [:50]).
@@ -144,6 +148,8 @@ _FIRST_50 = [
     "time_decay_agg",
     "shard_manifest",
     "events_anomaly_zscore",
+    "window_range_1h",
+    "bpe_encode_tokens",  # rows-only (consumes the iterative trainer)
     # --- round-4 dtype-only failures, oracles fixed
     "console_script_sql",
     "histogram_equi_depth",
@@ -158,7 +164,6 @@ _FIRST_50 = [
     "events_asof_join",
     "events_distinct_kmv",
     "events_range_join",
-    "filter_like",
     "geo_udt",
     "in_subquery",
     "join_full_outer",
@@ -170,7 +175,6 @@ _FIRST_50 = [
     "text_fingerprint",
     "text_lang_id",
     "text_stats",
-    "window_running",
     "window_topk_per_group",
 ]
 
@@ -180,7 +184,8 @@ _FIRST_50 = [
 # join_left_outer, join_semi, events_multi_rollup, events_time_bucket,
 # try_cast_nulls, try_divide_nulls, literals_no_from, sqrt_fn,
 # agg_cube, agg_grouping_sets, cte_scalar_subquery, distinct_pairs,
-# percentiles, pivot_linestatus, sort_limit_topk), then the oldest
+# percentiles, pivot_linestatus, sort_limit_topk, filter_like,
+# window_running), then the oldest
 # remaining certifications (round-3 families) oldest-first, so no
 # query's certification-of-record falls more than two rounds behind.
 

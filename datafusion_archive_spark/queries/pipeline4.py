@@ -373,8 +373,31 @@ def q_bpe_merges(spark, sf):
     return bpe.bpe_merge_table(spark, d, n_merges=_BPE_MERGES)
 
 
+def q_bpe_encode_tokens(spark, sf):
+    """Apply the corpus-trained merges back to the corpus — the
+    encode side of the tokenizer (operators/bpe.bpe_encode). Encoding
+    itself is a map-only JVM regexp chain; the row is rows-only
+    because the merge list it consumes comes from the iterative
+    trainer. tests/test_round5c.py pins the encoder differentially
+    against a pure-Python greedy-left reference and checks the
+    trained-segmentation consistency property."""
+    from datafusion_archive_spark.operators import bpe
+
+    d = _t(spark, sf, "documents")
+    merges = bpe.bpe_merges(
+        bpe.word_frequencies(d), n_merges=_BPE_MERGES
+    )
+    enc = bpe.bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.slice(F.col("tokens"), 1, 8).alias("head_tokens"),
+    )
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "bpe_encode_tokens": q_bpe_encode_tokens,
     "events_transitions": q_events_transitions,
     "mixture_weights": q_mixture_weights,
     "pii_redact": q_pii_redact,

@@ -209,7 +209,31 @@ def q_exists_correlated(spark, sf):
     )
 
 
+def q_window_range_1h(spark, sf):
+    """Time-RANGE window frame: per-user rolling 1-hour sums/counts —
+    ``RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW``,
+    expressed as a rangeBetween over microsecond epochs (Spark range
+    frames need a numeric sort key; DuckDB mirrors with epoch_us so
+    frame membership is integer-exact on both engines, ties
+    included). One Exchange on user_id; the frame itself is
+    incremental state, never a self-join."""
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
 QUERIES = {
+    "window_range_1h": q_window_range_1h,
     "window_ntile_dist": q_window_ntile_dist,
     "window_nav_nulls": q_window_nav_nulls,
     "latest_per_key": q_latest_per_key,
@@ -221,6 +245,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_range_1h": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER fr, 4) AS sum_1h,
+               count(*) OVER fr AS n_1h
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING
+                                AND CURRENT ROW)
+    """,
     "window_ntile_dist": """
         SELECT o_orderkey, o_orderpriority,
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,

@@ -183,3 +183,110 @@ class TestAnomalyZscore:
         s = summarize(P6.q_events_anomaly_zscore(spark, SF))
         assert s.n_hash_exchanges <= 2, s.raw
         assert not s.joins
+
+
+class TestWindowRange1h:
+    def test_matches_manual_time_frame(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append(r)
+        manual = {}
+        for rows in by_user.values():
+            rows.sort(key=lambda r: r.ts)
+            for r in rows:
+                inc = [
+                    x.value for x in rows
+                    if 0 <= (r.ts - x.ts).total_seconds() <= 3600
+                ]
+                manual[r.event_id] = (round(sum(inc), 4), len(inc))
+        from datafusion_archive_spark.queries import windows2
+        got = {
+            r.event_id: (r.sum_1h, r.n_1h)
+            for r in windows2.q_window_range_1h(spark, SF).collect()
+        }
+        assert set(got) == set(manual)
+        for eid, (s, n) in got.items():
+            assert n == manual[eid][1]
+            assert s == pytest.approx(manual[eid][0], abs=1e-3)
+
+    def test_single_exchange(self, spark):
+        from datafusion_archive_spark.queries import windows2
+        s = summarize(windows2.q_window_range_1h(spark, SF))
+        assert s.n_hash_exchanges == 1, s.raw
+        assert not s.joins
+
+
+class TestBpeEncode:
+    @staticmethod
+    def _ref_encode(word, merges):
+        syms = list(word) + ["</w>"]
+        for _, left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_matches_python_reference_on_corpus(self, spark):
+        from datafusion_archive_spark.functions import text as TX
+        from datafusion_archive_spark.operators import bpe
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+        merges = bpe.bpe_merges(bpe.word_frequencies(d), n_merges=6)
+        assert merges
+        got = {
+            r.doc_id: (list(r.tokens), r.n_tokens)
+            for r in bpe.bpe_encode(d, merges).collect()
+        }
+        norm = {
+            r.doc_id: r.norm
+            for r in d.select(
+                "doc_id", TX.normalize_text(F.col("text")).alias("norm")
+            ).collect()
+        }
+        assert set(got) == set(norm)
+        for doc_id, text in norm.items():
+            want = []
+            for w in text.split(" "):
+                if w:
+                    want.extend(self._ref_encode(w, merges))
+            toks, n = got[doc_id]
+            assert toks == want, doc_id
+            assert n == len(want)
+
+    def test_merges_shrink_token_count(self, spark):
+        """Every merge application can only shorten the encoding —
+        n_tokens under trained merges <= chars+words baseline."""
+        from datafusion_archive_spark.operators import bpe
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+        merges = bpe.bpe_merges(bpe.word_frequencies(d), n_merges=6)
+        with_merges = (
+            bpe.bpe_encode(d, merges)
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+        without = (
+            bpe.bpe_encode(d, [])
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+        assert with_merges < without
+
+    def test_encode_is_map_only(self, spark):
+        from datafusion_archive_spark.operators import bpe
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        s = summarize(bpe.bpe_encode(d, [(0, "e", "</w>", 1)]))
+        assert s.n_hash_exchanges == 0, s.raw
+        assert not s.joins
