@@ -35,6 +35,7 @@ from datafusion_archive_spark.queries import (
     pipeline4,
     pipeline5,
     pipeline6,
+    pipeline7,
     registry_udf,
     relational,
     sources_io,
@@ -67,6 +68,7 @@ QUERY_MODULES = (
     pipeline4,
     pipeline5,
     pipeline6,
+    pipeline7,
     sql2,
 )
 
@@ -150,15 +152,16 @@ _FIRST_50 = [
     "events_anomaly_zscore",
     "window_range_1h",
     "bpe_encode_tokens",  # rows-only (consumes the iterative trainer)
+    "class_rebalance",
+    "temporal_split_last_k",
+    "events_hopping_distinct_users",
+    "sales_share_shift",
     # --- round-4 dtype-only failures, oracles fixed
     "console_script_sql",
     "histogram_equi_depth",
     # --- round-1-only certifications, re-proving on current code
-    "agg_count_distinct_group",
     "agg_having",
     "agg_rollup",
-    "arithmetic_ops",
-    "case_when",
     "cast_semantics",
     "date_funcs",
     "events_asof_join",
@@ -169,7 +172,6 @@ _FIRST_50 = [
     "join_full_outer",
     "join_inner_3way",
     "json_extract",
-    "null_predicates",
     "predicate_between_in",
     "string_funcs",
     "text_fingerprint",
@@ -185,7 +187,8 @@ _FIRST_50 = [
 # try_cast_nulls, try_divide_nulls, literals_no_from, sqrt_fn,
 # agg_cube, agg_grouping_sets, cte_scalar_subquery, distinct_pairs,
 # percentiles, pivot_linestatus, sort_limit_topk, filter_like,
-# window_running), then the oldest
+# window_running, agg_count_distinct_group, arithmetic_ops, case_when,
+# null_predicates), then the oldest
 # remaining certifications (round-3 families) oldest-first, so no
 # query's certification-of-record falls more than two rounds behind.
 

@@ -290,3 +290,84 @@ class TestBpeEncode:
         s = summarize(bpe.bpe_encode(d, [(0, "e", "</w>", 1)]))
         assert s.n_hash_exchanges == 0, s.raw
         assert not s.joins
+
+
+class TestClassRebalance:
+    def test_every_class_hits_minority_size(self, spark):
+        from datafusion_archive_spark.queries import pipeline7 as P7
+        rows = P7.q_class_rebalance(spark, SF).collect()
+        target = min(r.n_before for r in rows)
+        assert all(r.n_kept == target for r in rows)
+        assert all(r.n_before >= r.n_kept for r in rows)
+        again = P7.q_class_rebalance(spark, SF).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestTemporalSplit:
+    def test_last_k_membership(self, spark):
+        from datafusion_archive_spark.queries import pipeline7 as P7
+        rows = P7.q_temporal_split_last_k(spark, SF).collect()
+        ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+        n_users = len({r.user_id for r in ev})
+        test_events = sum(r.n_events for r in rows if r.split == "test")
+        train_events = sum(r.n_events for r in rows if r.split == "train")
+        assert test_events + train_events == len(ev)
+        # every user contributes exactly min(2, their events) test rows
+        per_user = {}
+        for r in ev:
+            per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+        assert test_events == sum(min(2, n) for n in per_user.values())
+        assert n_users >= max(
+            r.n_users for r in rows
+        )
+
+
+class TestHoppingDistinct:
+    def test_matches_manual_windows(self, spark):
+        from datafusion_archive_spark.queries import pipeline7 as P7
+        ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+        manual = {}
+        for r in ev:
+            sec = int(r.ts.timestamp())
+            s2 = sec // 1800 * 1800
+            for s in (s2 - 1800, s2):
+                manual.setdefault(s, set()).add(r.user_id)
+        got = {
+            r.window_start: r.n_users
+            for r in P7.q_events_hopping_distinct_users(spark, SF).collect()
+        }
+        import datetime
+        want = {
+            datetime.datetime.utcfromtimestamp(s).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ): len(users)
+            for s, users in manual.items()
+        }
+        assert got == want
+
+
+class TestShareShift:
+    def test_shares_sum_to_one_and_delta_consistent(self, spark):
+        from datafusion_archive_spark.queries import pipeline7 as P7
+        rows = P7.q_sales_share_shift(spark, SF).collect()
+        by_year = {}
+        for r in rows:
+            by_year.setdefault(r.year, []).append(r)
+        for year, rs in by_year.items():
+            assert sum(r.share for r in rs) == pytest.approx(1.0, abs=1e-4)
+        by_nation = {}
+        for r in rows:
+            by_nation.setdefault(r.nation, []).append(r)
+        for nation, rs in by_nation.items():
+            rs.sort(key=lambda r: r.year)
+            assert rs[0].share_delta is None
+            for a, b in zip(rs, rs[1:]):
+                assert b.share_delta == pytest.approx(
+                    b.share - a.share, abs=2e-6
+                )
+
+    def test_dims_broadcast(self, spark):
+        from datafusion_archive_spark.queries import pipeline7 as P7
+        s = summarize(P7.q_sales_share_shift(spark, SF))
+        assert "BroadcastHashJoin" in s.joins
+        assert "SortMergeJoin" not in s.joins
