@@ -239,3 +239,87 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+AZ_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("eligible", T.BooleanType(), False),
+        T.StructField("anomaly", T.BooleanType(), False),
+    ]
+)
+
+AZ_STATE_SCHEMA = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.DoubleType()), False)]
+)
+
+_AZ_WINDOW = 20
+_AZ_MIN_PRIORS = 10
+_AZ_THRESHOLD = 2.5
+
+
+def _update_anomaly(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per user: keep the last 20 observed values across micro-batches
+    and z-score each arriving event against them — the streaming form
+    of the certified batch frame (pipeline6.events_anomaly_zscore:
+    ROWS 20 PRECEDING..1 PRECEDING, >= 10 priors, |z| >= 2.5,
+    stddev_samp). Same time-ordered-delivery requirement as the
+    transition emitter; state is a bounded 20-double ring per user."""
+    import math
+
+    (user_id,) = key
+    vals: list[float] = list(state.get[0]) if state.exists else []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
+        ["ts_us", "event_id"]
+    )
+    eids, etypes, els, ans = [], [], [], []
+    for eid, etype, value in zip(
+        pdf["event_id"], pdf["event_type"], pdf["value"]
+    ):
+        el = an = False
+        if len(vals) >= _AZ_MIN_PRIORS:
+            n = len(vals)
+            mean = sum(vals) / n
+            var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+            sd = math.sqrt(var)
+            if sd > 0:
+                el = True
+                an = abs((float(value) - mean) / sd) >= _AZ_THRESHOLD
+        eids.append(int(eid))
+        etypes.append(etype)
+        els.append(el)
+        ans.append(an)
+        vals.append(float(value))
+        if len(vals) > _AZ_WINDOW:
+            vals = vals[-_AZ_WINDOW:]
+    state.update((vals,))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(eids),
+            "event_id": eids,
+            "event_type": etypes,
+            "eligible": els,
+            "anomaly": ans,
+        }
+    )
+
+
+def streaming_anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Attach the rolling z-score anomaly flagger to a streaming events
+    DataFrame (append semantics; aggregate flags downstream). State is
+    O(users × 20 doubles) — bounded regardless of stream length,
+    sharded by the groupBy hash like every stateful operator here."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_anomaly,
+        outputStructType=AZ_OUTPUT_SCHEMA,
+        stateStructType=AZ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

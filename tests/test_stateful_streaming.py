@@ -177,3 +177,61 @@ def test_streaming_transitions_equal_certified_batch(
         for r in q_events_transitions(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_streaming_anomaly_zscore_equals_certified_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """Drain a two-segment time-ordered stream through the rolling
+    z-score flagger; per-type (eligible, anomaly) counts must equal
+    the certified batch twin (pipeline6.events_anomaly_zscore),
+    including frames straddling the segment boundary."""
+    from datafusion_archive_spark.queries.pipeline6 import (
+        q_events_anomaly_zscore,
+    )
+    from datafusion_archive_spark.streaming.stateful import (
+        streaming_anomaly_zscore,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    src = str(tmp_path_factory.mktemp("anomaly") / "events")
+    bounds = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    ev.filter(F.col("ts").cast("double") < bounds).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("ts").cast("double") >= bounds).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_anomaly_zscore(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anomaly_flags")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_rows = spark.sql(
+            "SELECT event_type, "
+            "       sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS n_eligible, "
+            "       sum(CASE WHEN anomaly THEN 1 ELSE 0 END) AS n_anomalies "
+            "FROM anomaly_flags GROUP BY 1"
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {r.event_type: (r.n_eligible, r.n_anomalies) for r in got_rows}
+    expected = {
+        r.event_type: (r.n_eligible, r.n_anomalies)
+        for r in q_events_anomaly_zscore(spark, sf_dir).collect()
+    }
+    assert got == expected
