@@ -36,6 +36,7 @@ from datafusion_archive_spark.queries import (
     pipeline5,
     pipeline6,
     pipeline7,
+    pipeline8,
     registry_udf,
     relational,
     sources_io,
@@ -69,6 +70,7 @@ QUERY_MODULES = (
     pipeline5,
     pipeline6,
     pipeline7,
+    pipeline8,
     sql2,
 )
 
