@@ -1,0 +1,184 @@
+"""Distributed graph analytics on DataFrame edge lists: co-occurrence
+graph construction, triangle counting, and PageRank.
+
+Corpus-scale uses: the co-occurrence graph is the item-item /
+doc-doc backbone for recommendation and dedup-cluster analysis;
+triangle count (global clustering coefficient) measures how clumpy a
+near-dup candidate graph is before clustering; PageRank ranks
+documents/domains by link authority — a standard quality prior for
+web-crawl training corpora.
+
+No graph library: every step is joins + aggregates so Catalyst/AQE
+plan it, and all shuffles key on node ids. The reference has no graph
+surface at all (``/root/reference/ROADMAP.md`` stops at scalar
+queries); these follow the classic MapReduce formulations
+(compact-forward triangle counting; power-iteration PageRank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_occurrence_edges(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Undirected unique edges (src < dst) between items sharing at
+    least one basket.
+
+    Scale: the self-join shuffles on the basket id — quadratic only in
+    BASKET size, never in catalog size. Callers with heavy-tailed
+    baskets should cap basket size upstream (the standard guard; a
+    single million-item basket would emit 10^12 pairs)."""
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    a = items.select("_b", F.col("_i").alias("src"))
+    b = items.select("_b", F.col("_i").alias("dst"))
+    return (
+        a.join(b, "_b")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) from an undirected unique edge list."""
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: n_nodes, n_edges, n_wedges, n_triangles, and the
+    global clustering coefficient (3·triangles / wedges).
+
+    Compact-forward orientation: each edge points from the endpoint
+    with the smaller (degree, id) rank to the larger, so wedges are
+    enumerated only at their LOWEST-degree vertex — the join fan-out
+    per node is out-degree², bounded by the orientation instead of the
+    raw degree². This is what keeps a power-law hub (degree 10^6 in a
+    web graph) from generating 10^12 wedge candidates: a hub's edges
+    almost all point INTO it, leaving its out-degree near sqrt(m).
+    Every triangle is counted exactly once (its unique rank-ordered
+    orientation).
+
+    Shuffles: degree agg, two wedge joins keyed on node ids — no
+    cartesian anywhere."""
+    deg = degrees(edges)
+    # scalar orientation rank: degree-major, id-minor (ids and degrees
+    # both fit 31 bits for any realistic catalog)
+    rank = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rank")
+    dr = deg.select("node", rank)
+    e = (
+        edges.join(dr.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("rank", "rank_src")
+        .join(dr.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("rank", "rank_dst")
+    )
+    oriented = e.select(
+        F.when(F.col("rank_src") < F.col("rank_dst"), F.col("src"))
+        .otherwise(F.col("dst"))
+        .alias("lo"),
+        F.when(F.col("rank_src") < F.col("rank_dst"), F.col("rank_src"))
+        .otherwise(F.col("rank_dst"))
+        .alias("lo_rank"),
+        F.when(F.col("rank_src") < F.col("rank_dst"), F.col("dst"))
+        .otherwise(F.col("src"))
+        .alias("hi"),
+        F.when(F.col("rank_src") < F.col("rank_dst"), F.col("rank_dst"))
+        .otherwise(F.col("rank_src"))
+        .alias("hi_rank"),
+    )
+    w1 = oriented.select(
+        F.col("lo").alias("u"),
+        F.col("hi").alias("v"),
+        F.col("hi_rank").alias("vr"),
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("u"),
+        F.col("hi").alias("w"),
+        F.col("hi_rank").alias("wr"),
+    )
+    # wedge (v, w) out of u, canonicalized by rank; close it against
+    # the oriented edge set
+    wedges = w1.join(w2, "u").filter(F.col("vr") < F.col("wr"))
+    closer = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closer, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    totals = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        totals.join(F.broadcast(n_edges))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected unique edge list;
+    returns (node, rank) with ranks scaled to mean 1 (sum = n_nodes).
+
+    r_{i+1}(v) = (1-d)/N + d · Σ_{u~v} r_i(u)/deg(u). Every node in an
+    undirected graph has deg ≥ 1, so there are no dangling nodes and
+    rank mass is conserved by construction.
+
+    Scale: each iteration is one join of the rank vector against the
+    directed edge list plus one aggregate — both shuffles keyed on
+    node id, so AQE reuses the same partitioning. localCheckpoint per
+    iteration truncates lineage (same discipline as
+    dedup.connected_components); the only driver-side values are the
+    scalar node count and the fixed iteration count."""
+    directed = edges.select("src", "dst").unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = deg.count()
+    out = directed.join(
+        deg.withColumnRenamed("node", "src"), "src"
+    ).select("src", "dst", "deg")
+    ranks = deg.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
+    ).localCheckpoint(eager=True)
+    base = (1.0 - damping) / float(n)
+    for _ in range(iterations):
+        contrib = (
+            out.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
+        )
+        new_ranks = contrib.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.col("_in")).alias("r"),
+        ).localCheckpoint(eager=True)
+        ranks = new_ranks
+    return ranks.select(
+        "node", (F.col("r") * F.lit(float(n))).alias("rank")
+    )

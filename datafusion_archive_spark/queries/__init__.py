@@ -37,6 +37,7 @@ from datafusion_archive_spark.queries import (
     pipeline6,
     pipeline7,
     pipeline8,
+    pipeline9,
     registry_udf,
     relational,
     sources_io,
@@ -71,6 +72,7 @@ QUERY_MODULES = (
     pipeline6,
     pipeline7,
     pipeline8,
+    pipeline9,
     sql2,
 )
 
