@@ -38,6 +38,7 @@ from datafusion_archive_spark.queries import (
     pipeline7,
     pipeline8,
     pipeline9,
+    pipeline10,
     registry_udf,
     relational,
     sources_io,
@@ -73,6 +74,7 @@ QUERY_MODULES = (
     pipeline7,
     pipeline8,
     pipeline9,
+    pipeline10,
     sql2,
 )
 

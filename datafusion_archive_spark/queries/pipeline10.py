@@ -1,0 +1,426 @@
+"""Pipeline wave 10 (round 5, eighth wave): retrieval fusion,
+median/mode aggregates, cross-document sentence dedup, a
+grid-bucketed spatial join, and running-distinct windows.
+
+- ``rrf_fusion`` — reciprocal-rank fusion of the BM25 lexical
+  ranking and the embedding-cosine semantic ranking (the standard
+  hybrid-search combiner: score = Σ 1/(60 + rank_i)); certifies the
+  full fused list with both source ranks.
+- ``median_mode_aggs`` — exact MEDIAN (interpolating) and MODE
+  grouped aggregates, the two order statistics the ref's
+  MIN/MAX/SUM/COUNT/AVG set lacks.
+- ``dedup_sentences_cross_doc`` — sentence-level exact dedup:
+  boilerplate sentences shared by ≥2 documents, by portable
+  64-bit fingerprint (the within-page-template removal step of web
+  corpus curation). Planted duplicate docs guarantee non-vacuous
+  certification at any SF.
+- ``geo_grid_join`` — radius join between two point sets via grid
+  cells: each point buckets to an r-sized cell, candidates meet in
+  the 3×3 neighborhood, the exact distance filter closes. The
+  spatial twin of the as-of/range band join — never a cartesian.
+- ``window_running_distinct`` — running COUNT(DISTINCT) per user
+  over event time, via the first-occurrence-flag + cumulative-sum
+  decomposition (running distinct is not directly expressible as a
+  window aggregate in either engine).
+
+Reference tie-ins: aggregates surface `/root/reference/src/
+execution/expression.rs:98-107`; geo builds on the ST_Point UDT
+family (`src/geospatial.rs` line of work); everything else extends
+the SURVEY.md training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.functions import ranking
+from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.operators.similarity import cosine_topk
+from datafusion_archive_spark.queries.llm import (
+    _COSINE_SQL,
+    _NORM_VECS_SQL,
+    _WORDS,
+    _hash64_sql,
+)
+from datafusion_archive_spark.queries.timeseries import load_events
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TERMS = ("merge", "vector", "window")
+_RRF_QUERY_VEC = 7
+_RRF_DEPTH = 50
+
+
+def q_rrf_fusion(spark, sf):
+    """Hybrid search: fuse the BM25 top-50 for a keyword query with
+    the cosine top-50 for a query embedding (vec_id 7 stands in for
+    the encoded query; doc_id and vec_id are aligned) by reciprocal
+    rank, score = 1/(60+r_lex) + 1/(60+r_sem), absent list → 0.
+
+    Scale: both source rankings are already top-k-bounded, so the
+    fusion join touches ≤2k rows regardless of corpus size; the
+    heavy lifting stays in the BM25/ANN operators, whose plans are
+    certified separately (bm25_topk, ann_bruteforce)."""
+    lex = ranking.bm25_topk(
+        _t(spark, sf, "documents"), list(_RRF_TERMS), k=_RRF_DEPTH
+    ).select("doc_id", F.col("rank").alias("r_lex"))
+    emb = _t(spark, sf, "embeddings")
+    sem = cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC),
+        k=_RRF_DEPTH,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_sem"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        1.0 / (F.lit(float(_RRF_K)) + F.col(c)), F.lit(0.0)
+    )
+    return fused.select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round(contrib("r_lex") + contrib("r_sem"), 6).alias("rrf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median / mode aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_median_mode_aggs(spark, sf):
+    """Exact interpolating MEDIAN and MODE per group. Mode
+    determinism: l_linenumber frequencies are strictly decreasing in
+    the line number (TPC-H order sizes are uniform 1..7), so the mode
+    is uniquely 1 at every SF — no tie-break dependence.
+
+    Scale: median is a full-sort aggregate per group — fine for a
+    bounded group count; unbounded-cardinality percentiles should use
+    approx_aggs' sketches instead (documented trade-off)."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.mode("l_linenumber").alias("mode_line"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document sentence dedup
+# ---------------------------------------------------------------------------
+
+_SENT_MIN_CHARS = 20
+_SENT_PLANT_IDS = 25
+_SENT_PLANT_OFFSET = 300000
+
+
+def _docs_with_planted(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    plant = d.filter(F.col("doc_id") < _SENT_PLANT_IDS).select(
+        (F.col("doc_id") + _SENT_PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(plant)
+
+
+def q_dedup_sentences_cross_doc(spark, sf):
+    """Boilerplate detection: sentences ≥20 chars appearing in ≥2
+    distinct documents, as (fingerprint, n_docs, n_occurrences,
+    first_doc). Documents 0..24 are re-planted under shifted ids so
+    the shared-sentence set is non-empty by construction.
+
+    Scale: sentence TEXT never shuffles — the explode emits (fp,
+    doc_id) only, and the aggregate is one Exchange on fp. This is
+    the template-removal pass of web curation; the kept-sentence
+    rewrite is the same join back on fp."""
+    docs = _docs_with_planted(spark, sf)
+    sent = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "[.!?]+")).alias("_s"),
+        )
+        .select("doc_id", F.trim(F.col("_s")).alias("_s"))
+        .filter(F.length("_s") >= _SENT_MIN_CHARS)
+        .select("doc_id", TX.hash64(F.col("_s"), 11).alias("fp"))
+    )
+    return (
+        sent.groupBy("fp")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial radius join
+# ---------------------------------------------------------------------------
+
+_GEO_RADIUS = 0.5  # degrees, also the grid cell size
+_GEO_SPAN = 10.0  # synthetic points live in [0, 10)²
+_GEO_SEED_LAT = 31
+_GEO_SEED_LON = 37
+_TWO60 = float(1 << 60)
+
+
+def _synth_point(key_col, prefix):
+    """Deterministic engine-portable point from an id: two hash64
+    fractions scaled into the [0, 10)² region."""
+    lat = (
+        TX.hash64(key_col.cast("string"), _GEO_SEED_LAT) / _TWO60
+    ) * _GEO_SPAN
+    lon = (
+        TX.hash64(key_col.cast("string"), _GEO_SEED_LON) / _TWO60
+    ) * _GEO_SPAN
+    return lat.alias(f"{prefix}_lat"), lon.alias(f"{prefix}_lon")
+
+
+def q_geo_grid_join(spark, sf):
+    """All (customer, supplier) point pairs within euclidean radius
+    0.5 in synthetic coordinate space, with the distance. Customers
+    bucket to their r-sized grid cell once; suppliers explode to the
+    3×3 neighborhood, so every true pair meets in exactly one equi-
+    join bucket (cell size = radius ⇒ no pair can span farther than
+    one cell) and the exact distance predicate closes. Coordinates
+    are pure-arithmetic hash fractions — bit-identical in any engine,
+    so the certified pair set is exact, not tolerance-based.
+
+    Scale: the candidate join is an equi-join on cell id — work is
+    proportional to occupied-cell co-membership, never |A|×|B|. Real
+    lat/lon would swap the metric for haversine and band latitude
+    the same way (longitude cell width scaled by cos(lat))."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", *_synth_point(F.col("c_custkey"), "c")
+    )
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey", *_synth_point(F.col("s_suppkey"), "s")
+    )
+    r = _GEO_RADIUS
+    c_cells = c.select(
+        "*",
+        F.floor(F.col("c_lat") / r).alias("cx"),
+        F.floor(F.col("c_lon") / r).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    s_cells = (
+        s.select("*", F.explode(offsets).alias("o"))
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.floor(F.col("s_lat") / r) + F.col("o.dx")).alias("cx"),
+            (F.floor(F.col("s_lon") / r) + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dx = F.col("c_lat") - F.col("s_lat")
+    dy = F.col("c_lon") - F.col("s_lon")
+    return (
+        c_cells.join(s_cells, ["cx", "cy"])
+        .filter(dx * dx + dy * dy < F.lit(r * r))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.sqrt(dx * dx + dy * dy), 6).alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct count
+# ---------------------------------------------------------------------------
+
+
+def q_window_running_distinct(spark, sf):
+    """Running COUNT(DISTINCT event_type) per user over event time.
+    Neither engine supports DISTINCT window aggregates over a running
+    frame; the standard decomposition is first-occurrence flags (rank
+    1 within (user, type)) cumulatively summed over the user's
+    timeline — two windows, both partitioned on user, one Exchange."""
+    e = load_events(spark, sf).select("event_id", "user_id", "event_type", "ts")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "_new",
+            (F.row_number().over(w_first) == 1).cast("long"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("_new").over(w_run).alias("n_types_seen"),
+        )
+    )
+
+
+QUERIES = {
+    "rrf_fusion": q_rrf_fusion,
+    "median_mode_aggs": q_median_mode_aggs,
+    "dedup_sentences_cross_doc": q_dedup_sentences_cross_doc,
+    "geo_grid_join": q_geo_grid_join,
+    "window_running_distinct": q_window_running_distinct,
+}
+
+
+def _bm25_sql(depth: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    return f"""
+        b2 AS (
+          SELECT doc_id, w, len(w) AS dl
+          FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+        tok AS (SELECT doc_id, dl, unnest(w) AS token FROM b2),
+        tf AS (
+          SELECT doc_id, dl, token, count(*) AS tf
+          FROM tok WHERE token IN ({terms})
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * ((tf * CAST('2.2' AS DOUBLE))
+                      / (tf + CAST('1.2' AS DOUBLE)
+                         * (CAST('0.25' AS DOUBLE)
+                            + CAST('0.75' AS DOUBLE) * dl / avgdl)))
+                   * 1000000 + 0.5) AS BIGINT) AS micros
+          FROM tf JOIN dfreq USING (token), stats
+        ),
+        bm_agg AS (
+          SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
+          FROM scored GROUP BY 1
+        ),
+        lex AS (
+          SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY micros DESC, doc_id) AS INTEGER) AS r_lex
+          FROM bm_agg
+          ORDER BY micros DESC, doc_id LIMIT {depth}
+        )"""
+
+
+ORACLES = {
+    "rrf_fusion": f"""
+        WITH {_bm25_sql(_RRF_DEPTH)},
+        c AS ({_NORM_VECS_SQL}),
+        q AS (SELECT v FROM c WHERE vec_id = {_RRF_QUERY_VEC}),
+        cos_scored AS (
+          SELECT c.vec_id AS doc_id,
+                 {_COSINE_SQL.format(a="q.v", b="c.v")} AS cosine
+          FROM c, q WHERE c.vec_id <> {_RRF_QUERY_VEC}
+        ),
+        sem AS (
+          SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY cosine DESC, doc_id) AS INTEGER) AS r_sem
+          FROM cos_scored
+          ORDER BY cosine DESC, doc_id LIMIT {_RRF_DEPTH}
+        )
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               r_lex,
+               r_sem,
+               round(coalesce(1.0 / ({_RRF_K} + r_lex), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + r_sem), 0.0), 6)
+                 AS rrf
+        FROM lex FULL OUTER JOIN sem USING (doc_id)
+    """,
+    "median_mode_aggs": """
+        SELECT l_returnflag,
+               round(median(l_quantity), 4) AS med_qty,
+               round(median(l_extendedprice), 4) AS med_price,
+               CAST(mode(l_linenumber) AS INTEGER) AS mode_line,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "dedup_sentences_cross_doc": f"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_SENT_PLANT_OFFSET} AS doc_id, text
+          FROM documents WHERE doc_id < {_SENT_PLANT_IDS}
+        ),
+        sent AS (
+          SELECT doc_id,
+                 trim(unnest(string_split_regex(text, '[.!?]+'))) AS s
+          FROM all_docs WHERE text IS NOT NULL
+        ),
+        fps AS (
+          SELECT doc_id, {_hash64_sql("s", 11)} AS fp
+          FROM sent WHERE length(s) >= {_SENT_MIN_CHARS}
+        )
+        SELECT fp,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS first_doc
+        FROM fps
+        GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "geo_grid_join": f"""
+        WITH c AS (
+          SELECT c_custkey,
+                 {_hash64_sql("CAST(c_custkey AS VARCHAR)", _GEO_SEED_LAT)}
+                   / {_TWO60} * {_GEO_SPAN} AS c_lat,
+                 {_hash64_sql("CAST(c_custkey AS VARCHAR)", _GEO_SEED_LON)}
+                   / {_TWO60} * {_GEO_SPAN} AS c_lon
+          FROM customer
+        ),
+        s AS (
+          SELECT s_suppkey,
+                 {_hash64_sql("CAST(s_suppkey AS VARCHAR)", _GEO_SEED_LAT)}
+                   / {_TWO60} * {_GEO_SPAN} AS s_lat,
+                 {_hash64_sql("CAST(s_suppkey AS VARCHAR)", _GEO_SEED_LON)}
+                   / {_TWO60} * {_GEO_SPAN} AS s_lon
+          FROM supplier
+        )
+        SELECT c_custkey, s_suppkey,
+               round(sqrt((c_lat - s_lat) * (c_lat - s_lat)
+                          + (c_lon - s_lon) * (c_lon - s_lon)), 6)
+                 AS dist
+        FROM c, s
+        WHERE (c_lat - s_lat) * (c_lat - s_lat)
+              + (c_lon - s_lon) * (c_lon - s_lon)
+              < {_GEO_RADIUS * _GEO_RADIUS}
+    """,
+    "window_running_distinct": """
+        WITH flagged AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS new_t
+          FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(sum(new_t) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_types_seen
+        FROM flagged
+    """,
+}
