@@ -39,6 +39,7 @@ from datafusion_archive_spark.queries import (
     pipeline8,
     pipeline9,
     pipeline10,
+    pipeline11,
     registry_udf,
     relational,
     sources_io,
@@ -75,6 +76,7 @@ QUERY_MODULES = (
     pipeline8,
     pipeline9,
     pipeline10,
+    pipeline11,
     sql2,
 )
 
