@@ -40,6 +40,7 @@ from datafusion_archive_spark.queries import (
     pipeline9,
     pipeline10,
     pipeline11,
+    pipeline12,
     registry_udf,
     relational,
     sources_io,
@@ -77,6 +78,7 @@ QUERY_MODULES = (
     pipeline9,
     pipeline10,
     pipeline11,
+    pipeline12,
     sql2,
 )
 

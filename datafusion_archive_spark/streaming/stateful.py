@@ -323,3 +323,63 @@ def streaming_anomaly_zscore(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("n_types_seen", T.LongType(), False),
+    ]
+)
+
+RD_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.ArrayType(T.StringType()), False)]
+)
+
+
+def _update_running_distinct(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per user: the set of event types observed so far; each arriving
+    event is stamped with the post-arrival set size — the streaming
+    form of the certified batch decomposition
+    (pipeline10.window_running_distinct: first-occurrence flag +
+    cumulative sum over (ts, event_id) order). Same
+    time-ordered-delivery requirement as the transition emitter;
+    state is bounded by the TYPE cardinality per user (a small
+    enum), never by stream length."""
+    (user_id,) = key
+    seen = set(state.get[0]) if state.exists else set()
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
+        ["ts_us", "event_id"]
+    )
+    eids, counts = [], []
+    for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+        seen.add(etype)
+        eids.append(int(eid))
+        counts.append(len(seen))
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(eids),
+            "event_id": eids,
+            "n_types_seen": counts,
+        }
+    )
+
+
+def streaming_running_distinct(events: DataFrame) -> DataFrame:
+    """Attach the running COUNT(DISTINCT event_type) stamper to a
+    streaming events DataFrame (append semantics). Batch twin:
+    queries/pipeline10.q_window_running_distinct (driver-certified)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_distinct,
+        outputStructType=RD_OUTPUT_SCHEMA,
+        stateStructType=RD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

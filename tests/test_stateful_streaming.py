@@ -235,3 +235,56 @@ def test_streaming_anomaly_zscore_equals_certified_batch(
         for r in q_events_anomaly_zscore(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_streaming_running_distinct_equals_certified_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """Drain a two-segment time-ordered stream through the running
+    distinct-type stamper; every event's count must equal the
+    certified batch twin (pipeline10.window_running_distinct),
+    including first-occurrences straddling the segment boundary."""
+    from datafusion_archive_spark.queries.pipeline10 import (
+        q_window_running_distinct,
+    )
+    from datafusion_archive_spark.streaming.stateful import (
+        streaming_running_distinct,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = str(tmp_path_factory.mktemp("rdistinct") / "events")
+    bounds = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    ev.filter(F.col("ts").cast("double") < bounds).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("ts").cast("double") >= bounds).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_running_distinct(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("running_distinct")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_rows = spark.sql("SELECT * FROM running_distinct").collect()
+    finally:
+        q.stop()
+
+    got = {r.event_id: r.n_types_seen for r in got_rows}
+    expected = {
+        r.event_id: r.n_types_seen
+        for r in q_window_running_distinct(spark, sf_dir).collect()
+    }
+    assert got == expected
