@@ -41,6 +41,7 @@ from datafusion_archive_spark.queries import (
     pipeline10,
     pipeline11,
     pipeline12,
+    pipeline13,
     registry_udf,
     relational,
     sources_io,
@@ -79,6 +80,7 @@ QUERY_MODULES = (
     pipeline10,
     pipeline11,
     pipeline12,
+    pipeline13,
     sql2,
 )
 
