@@ -42,6 +42,7 @@ from datafusion_archive_spark.queries import (
     pipeline11,
     pipeline12,
     pipeline13,
+    pipeline14,
     registry_udf,
     relational,
     sources_io,
@@ -81,6 +82,7 @@ QUERY_MODULES = (
     pipeline11,
     pipeline12,
     pipeline13,
+    pipeline14,
     sql2,
 )
 
