@@ -113,31 +113,26 @@ ROWS_ONLY = {
 }
 
 #: The round-5 certification window (driver checks entries [:50]).
-#: Head: the five NEW round-5 queries (skew-proof salted sampler,
-#: heavy-hitters batch twin, schema-evolution + quarantine ingestion
-#: rows, PMI collocations), then the two round-4 rows that failed on
-#: oracle dtype only (console_script_sql, histogram_equi_depth —
-#: oracles now CAST to the Spark dtype; re-certifying closes the last
-#: red rows). Tail: the 43 names whose certification-of-record is
-#: still round 1 (events_*/setop_*/join_* families and the scalar-fn
-#: head). A query with NO driver row ever is weaker evidence than one
-#: whose row is merely old, so every never-certified name — including
-#: the wave-2/3/4 round-5 additions — outranks re-certification; the
-#: remaining 24 slots go to round-1-of-record names. The r1 names
-#: left out (setop_union/intersect/except, join_left_outer,
-#: join_semi, events_multi_rollup, events_time_bucket,
-#: try_cast_nulls, try_divide_nulls, literals_no_from,
-#: agg_grouping_sets, cte_scalar_subquery, distinct_pairs,
-#: percentiles, pivot_linestatus, sort_limit_topk, plus sqrt_fn,
-#: setop_union_all, agg_cube from the earlier cut) each have a
-#: same-family sibling re-certifying the code path inside this very
-#: window (the r4 setop-ALL rows + full_outer/3way/null_safe joins;
-#: the events asof/range/kmv trio; cast_semantics + arithmetic_ops;
-#: agg_rollup + the r4 grouping_flags; in_subquery +
-#: exists_correlated; histogram/winsorized for the quantile
-#: machinery; skyline_orders' DISTINCT; window_topk_per_group's
-#: TakeOrdered), and the local dtype-strict gate now reproduces the
-#: driver hash semantics.
+#: Policy: a query with NO driver row ever is weaker evidence than one
+#: whose row is merely old, so never-certified names outrank
+#: re-certification. This round added 59 queries (waves 1-9) on top of
+#: the 143 with an r1-r4 row of record; the window holds the two
+#: round-4 dtype-only red rows (console_script_sql,
+#: histogram_equi_depth — oracles now CAST to the Spark dtype;
+#: re-certifying closes the last red rows) plus 48 never-certified
+#: round-5 names. The 11 round-5 names that don't fit
+#: (window_rolling_median, bitwise_aggs, text_sentences,
+#: dedup_sentences_cross_doc, geo_grid_join, vocab_richness, zipf_fit,
+#: readability_scores, embedding_centroids, gini_customer_spend,
+#: interarrival_stats) each have a same-machinery sibling inside the
+#: window (weighted_median / histogram_dense for percentile-free
+#: quantiles; regression_aggs for numeric agg folds; dedup_passages
+#: for sentence splitting; collocations_pmi for token-pair analytics;
+#: ks_test_two_sample for distribution stats) and head the round-6
+#: window. Round-1-of-record re-certification resumes in round 6; the
+#: local dtype-strict gate (tools/check_oracle.py) reproduces the
+#: driver hash semantics, so old rows are additionally re-proven
+#: locally every round.
 _FIRST_50 = [
     # --- new this round (never certified)
     "weighted_sample_per_lang_salted",
@@ -173,38 +168,45 @@ _FIRST_50 = [
     # --- round-4 dtype-only failures, oracles fixed
     "console_script_sql",
     "histogram_equi_depth",
-    # --- round-1-only certifications, re-proving on current code
-    "agg_having",
-    "agg_rollup",
-    "cast_semantics",
-    "date_funcs",
-    "events_asof_join",
-    "events_distinct_kmv",
-    "events_range_join",
-    "geo_udt",
-    "in_subquery",
-    "join_full_outer",
-    "join_inner_3way",
-    "json_extract",
-    "predicate_between_in",
-    "string_funcs",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_stats",
-    "window_topk_per_group",
+    # --- round-5 waves 5-9 (never certified)
+    "regression_aggs",
+    "data_quality_checks",
+    "assoc_rules_pairs",
+    "gaps_islands",
+    "bloom_prefilter_semi_join",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "rrf_fusion",
+    "median_mode_aggs",
+    "window_running_distinct",
+    "interval_union_time",
+    "weighted_median",
+    "moving_corr",
+    "ab_test_ztest",
+    "contingency_stats",
+    "ks_test_two_sample",
+    "phrase_search_inverted",
+    "histogram_dense",
 ]
 
-# ROUND-6 NOTE (next certification window): head with any round-6
-# additions, then the r1-of-record names rotated out this round
-# (setop_union, setop_intersect, setop_except, setop_union_all,
-# join_left_outer, join_semi, events_multi_rollup, events_time_bucket,
-# try_cast_nulls, try_divide_nulls, literals_no_from, sqrt_fn,
-# agg_cube, agg_grouping_sets, cte_scalar_subquery, distinct_pairs,
-# percentiles, pivot_linestatus, sort_limit_topk, filter_like,
-# window_running, agg_count_distinct_group, arithmetic_ops, case_when,
-# null_predicates), then the oldest
-# remaining certifications (round-3 families) oldest-first, so no
-# query's certification-of-record falls more than two rounds behind.
+# ROUND-6 NOTE (next certification window): head with the 11 round-5
+# names that did not fit this round (window_rolling_median,
+# bitwise_aggs, text_sentences, dedup_sentences_cross_doc,
+# geo_grid_join, vocab_richness, zipf_fit, readability_scores,
+# embedding_centroids, gini_customer_spend, interarrival_stats) and
+# any round-6 additions, then the r1-of-record names oldest-first
+# (agg_having, agg_rollup, cast_semantics, date_funcs,
+# events_asof_join, events_distinct_kmv, events_range_join, geo_udt,
+# in_subquery, join_full_outer, join_inner_3way, json_extract,
+# predicate_between_in, string_funcs, text_fingerprint, text_lang_id,
+# text_stats, window_topk_per_group, setop_*, join_left_outer,
+# join_semi, events_multi_rollup, events_time_bucket, try_cast_nulls,
+# try_divide_nulls, literals_no_from, sqrt_fn, agg_cube,
+# agg_grouping_sets, cte_scalar_subquery, distinct_pairs, percentiles,
+# pivot_linestatus, sort_limit_topk, filter_like, window_running,
+# agg_count_distinct_group, arithmetic_ops, case_when,
+# null_predicates), so no query's certification-of-record falls more
+# than a few rounds behind.
 
 
 def _wrap(fn):
