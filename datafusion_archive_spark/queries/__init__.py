@@ -43,6 +43,7 @@ from datafusion_archive_spark.queries import (
     pipeline12,
     pipeline13,
     pipeline14,
+    pipeline15,
     registry_udf,
     relational,
     sources_io,
@@ -83,6 +84,7 @@ QUERY_MODULES = (
     pipeline12,
     pipeline13,
     pipeline14,
+    pipeline15,
     sql2,
 )
 

@@ -1,0 +1,448 @@
+"""Pipeline wave 15 (round 5, thirteenth wave): customer-value
+segmentation, concentration classes, forensic digit checks, and
+time-series smoothing/diagnostics.
+
+- ``rfm_segments`` — Recency/Frequency/Monetary quartile scoring per
+  customer via the broadcast-cutpoint fold (the equi-depth histogram
+  formulation — never ntile-over-global-order, whose single-partition
+  window dies at scale), rolled up to segment counts.
+- ``pareto_abc_parts`` — ABC / Pareto classification of parts by
+  revenue share (A ≤ 80 %, B ≤ 95 %, C rest) through a cumulative
+  share over the part-level rollup.
+- ``benford_first_digit`` — first-significant-digit distribution of
+  order totals vs Benford's law with per-digit χ² contributions: the
+  forensic data-quality screen for fabricated or truncated numeric
+  columns.
+- ``ewma_daily_revenue`` — exponentially weighted moving average of
+  daily revenue with a bounded 14-day kernel, expressed as a band
+  self-join over the daily rollup (no recursive state, so it runs
+  identically in any engine and parallelizes freely).
+- ``cusum_changepoint`` — CUSUM drift detection over daily event
+  counts: running sum of deviations from the global mean; reports the
+  maximum-|CUSUM| day (the changepoint estimate).
+- ``acf_daily_counts`` — autocorrelation function of the daily event
+  count series at lags 1–7 via lag-grid self-joins and Pearson corr:
+  the seasonality/memory diagnostic.
+
+The reference has no window functions, statistical aggregates, or
+date arithmetic beyond literals (``/root/reference/ROADMAP.md``;
+``src/execution/expression.rs`` implements only comparison/boolean
+ops and SUM/MIN/MAX/COUNT/AVG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.functions.rounding import (
+    decimal_sum,
+    decimal_sum_sql,
+)
+from datafusion_archive_spark.queries.timeseries import load_events
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_EPOCH = "1992-01-01"
+
+
+def q_rfm_segments(spark, sf):
+    """RFM segmentation: per customer, recency (days since last order,
+    relative to the corpus max date), frequency (order count), and
+    monetary (exact-decimal spend); each scored 1–4 by quartile and
+    rolled up to (r, f, m) segment counts with average spend.
+
+    Scores are mechanical value-quartiles (1 = lowest quarter); for
+    recency a LOW score therefore means a RECENT customer.
+
+    Scale: one Exchange collapses orders to customer level; quartile
+    cutpoints come from ONE aggregate pass broadcast back as a 3-array
+    fold (the equi-depth formulation) — no global-order window
+    anywhere. Segment rollup is ≤ 64 groups."""
+    o = _t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.lit(_RFM_EPOCH).cast("date")
+        ).cast("double").alias("last_day"),
+        F.count(F.lit(1)).cast("double").alias("fre"),
+        decimal_sum(F.col("o_totalprice")).cast("double").alias("mon"),
+    )
+    maxday = per_cust.agg(F.max("last_day").alias("corpus_max"))
+    per_cust = per_cust.join(F.broadcast(maxday)).withColumn(
+        "rec", F.col("corpus_max") - F.col("last_day")
+    )
+    cuts = per_cust.agg(
+        F.expr("percentile(rec, array(0.25, 0.5, 0.75))").alias("rc"),
+        F.expr("percentile(fre, array(0.25, 0.5, 0.75))").alias("fc"),
+        F.expr("percentile(mon, array(0.25, 0.5, 0.75))").alias("mc"),
+    )
+    score = (
+        lambda col, cut: F.expr(
+            f"1 + aggregate({cut}, 0, (acc, b) -> acc + IF({col} > b, 1, 0))"
+        )
+    )
+    scored = per_cust.join(F.broadcast(cuts)).select(
+        score("rec", "rc").alias("r_score"),
+        score("fre", "fc").alias("f_score"),
+        score("mon", "mc").alias("m_score"),
+        "mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("mon"), 2).alias("avg_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_abc_parts(spark, sf):
+    """ABC inventory classification: parts ranked by revenue, class A
+    while cumulative share ≤ 80 %, B ≤ 95 %, C the tail. Output is the
+    3-row class summary (part count, revenue, revenue share).
+
+    Scale: revenue collapses per part first (fact scan → one Exchange,
+    exact decimal sums); the cumulative window then orders the
+    PART-LEVEL rollup — dimension-sized input (|parts| ≪ |lineitem|),
+    the standard cost of any exact prefix-share and bounded by the
+    dimension, not the fact table."""
+    li = _t(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        decimal_sum(F.col("l_extendedprice")).cast("double").alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    classed = (
+        rev.join(F.broadcast(tot))
+        .withColumn("cum", F.sum("rev").over(w))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") / F.col("tot") <= 0.80, "A")
+            .when(F.col("cum") / F.col("tot") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.round(F.sum("rev") / F.max("tot"), 6).alias("rev_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+
+def q_benford_first_digit(spark, sf):
+    """First-significant-digit distribution of order totals against
+    Benford's law: per digit 1–9, observed count and share, expected
+    Benford share log10(1 + 1/d), and the χ² contribution
+    (obs − exp)²/exp. Large χ² flags fabricated/truncated columns.
+
+    Scale: digit extraction is scan-side codegen (log10 + floor); the
+    rollup is 9 groups; the total joins back via broadcast."""
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("tot"))
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("obs_share"),
+            F.round(exp_share, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n") - exp_share * F.col("tot"), F.lit(2.0))
+                / (exp_share * F.col("tot")),
+                6,
+            ).alias("chi2_part"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA over daily revenue
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 14  # kernel support in days
+
+
+def q_ewma_daily_revenue(spark, sf):
+    """Exponentially weighted moving average of daily order revenue:
+    ewma_t = Σ_{k=0..13} (1−α)^k · x_{t−k} / Σ (1−α)^k over the days
+    actually present in the window. The bounded kernel makes the
+    recursion a pure band self-join — no sequential state, identical
+    in any engine, and the (1−α)^14 ≈ 0.007 tail it drops is below
+    the rounding grain.
+
+    Scale: the fact scan collapses to one row per day first; the band
+    join runs day-grid × ≤14 — negligible at any corpus size."""
+    o = _t(spark, sf, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(_RFM_EPOCH).cast("date")
+        ).alias("day")
+    ).agg(decimal_sum(F.col("o_totalprice")).cast("double").alias("rev"))
+    d1 = daily.alias("d1")
+    d2 = daily.alias("d2")
+    k = F.col("d1.day") - F.col("d2.day")
+    wgt = F.pow(F.lit(1.0 - _EWMA_ALPHA), k)
+    joined = d1.join(
+        d2,
+        (F.col("d2.day") <= F.col("d1.day"))
+        & (F.col("d2.day") > F.col("d1.day") - _EWMA_SPAN),
+    )
+    return (
+        joined.groupBy(F.col("d1.day").alias("day"))
+        .agg(
+            F.round(F.max(F.when(k == 0, F.col("d2.rev"))), 2).alias("rev"),
+            F.round(
+                F.sum(wgt * F.col("d2.rev")) / F.sum(wgt), 2
+            ).alias("ewma_rev"),
+            F.count(F.lit(1)).alias("n_days_in_window"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(spark, sf):
+    """CUSUM changepoint estimate over the daily event-count series:
+    S_t = Σ_{i≤t} (c_i − mean), the drift accumulator; the day with
+    maximum |S_t| is the estimated shift point. One row: that day, its
+    CUSUM, the series mean, and the day count.
+
+    Scale: events collapse to one row per day; the mean broadcasts
+    back; the prefix sum and argmax run over the DAY grid (thousands
+    of rows for decades of data), not the fact table."""
+    e = load_events(spark, sf)
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    mean = daily.agg(F.avg("c").alias("mu"), F.count(F.lit(1)).alias("nd"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = (
+        daily.join(F.broadcast(mean))
+        .withColumn("s", F.sum(F.col("c") - F.col("mu")).over(w))
+    )
+    pick = Window.orderBy(F.desc(F.abs(F.col("s"))), "day")
+    return (
+        cusum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.round("s", 4).alias("cusum"),
+            F.round("mu", 4).alias("daily_mean"),
+            F.col("nd").alias("n_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def q_acf_daily_counts(spark, sf):
+    """Autocorrelation of the daily event-count series at lags 1–7:
+    Pearson corr(c_t, c_{t−k}) per lag, with the pair count. The
+    standard seasonality probe (a weekly cycle shows as a lag-7
+    peak).
+
+    Scale: the series is the daily rollup; the lag alignment is a
+    7-row lag grid × day-grid equi-join on (day − k) — linear in the
+    number of days, never touching the fact table twice."""
+    e = load_events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    cur = daily.alias("cur")
+    prev = daily.alias("prev")
+    pairs = cur.crossJoin(F.broadcast(lags)).join(
+        prev, F.col("prev.day") == F.col("cur.day") - F.col("lag")
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.round(F.corr(F.col("cur.c"), F.col("prev.c")), 6).alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+QUERIES = {
+    "rfm_segments": q_rfm_segments,
+    "pareto_abc_parts": q_pareto_abc_parts,
+    "benford_first_digit": q_benford_first_digit,
+    "ewma_daily_revenue": q_ewma_daily_revenue,
+    "cusum_changepoint": q_cusum_changepoint,
+    "acf_daily_counts": q_acf_daily_counts,
+}
+
+ORACLES = {
+    "rfm_segments": f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', DATE '{_RFM_EPOCH}',
+                      max(CAST(o_orderdate AS DATE))) AS DOUBLE) AS last_day,
+                 CAST(count(*) AS DOUBLE) AS fre,
+                 CAST({decimal_sum_sql("o_totalprice")} AS DOUBLE) AS mon
+          FROM orders GROUP BY o_custkey
+        ),
+        with_rec AS (
+          SELECT *, (SELECT max(last_day) FROM per_cust) - last_day AS rec
+          FROM per_cust
+        ),
+        cuts AS (
+          SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rc,
+                 quantile_cont(fre, [0.25, 0.5, 0.75]) AS fc,
+                 quantile_cont(mon, [0.25, 0.5, 0.75]) AS mc
+          FROM with_rec
+        ),
+        scored AS (
+          SELECT
+            1 + list_sum(list_transform(c.rc,
+                  b -> CASE WHEN w.rec > b THEN 1 ELSE 0 END)) AS r_score,
+            1 + list_sum(list_transform(c.fc,
+                  b -> CASE WHEN w.fre > b THEN 1 ELSE 0 END)) AS f_score,
+            1 + list_sum(list_transform(c.mc,
+                  b -> CASE WHEN w.mon > b THEN 1 ELSE 0 END)) AS m_score,
+            w.mon
+          FROM with_rec w CROSS JOIN cuts c
+        )
+        SELECT CAST(r_score AS INTEGER) AS r_score,
+               CAST(f_score AS INTEGER) AS f_score,
+               CAST(m_score AS INTEGER) AS m_score,
+               count(*) AS n_customers,
+               round(avg(mon), 2) AS avg_monetary
+        FROM scored GROUP BY 1, 2, 3
+    """,
+    "pareto_abc_parts": f"""
+        WITH rev AS (
+          SELECT l_partkey,
+                 CAST({decimal_sum_sql("l_extendedprice")} AS DOUBLE) AS rev
+          FROM lineitem GROUP BY l_partkey
+        ),
+        classed AS (
+          SELECT rev,
+                 (SELECT sum(rev) FROM rev) AS tot,
+                 sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM rev
+        )
+        SELECT CASE WHEN cum / tot <= 0.80 THEN 'A'
+                    WHEN cum / tot <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               count(*) AS n_parts,
+               round(sum(rev), 2) AS revenue,
+               round(sum(rev) / max(tot), 6) AS rev_share
+        FROM classed GROUP BY 1
+    """,
+    "benford_first_digit": """
+        WITH counts AS (
+          SELECT CAST(floor(o_totalprice
+                   / power(10.0, floor(log10(o_totalprice))))
+                 AS INTEGER) AS digit,
+                 count(*) AS n
+          FROM orders WHERE o_totalprice > 0
+          GROUP BY 1
+        ),
+        tot AS (SELECT sum(n) AS tot FROM counts)
+        SELECT digit, n,
+               round(n / tot, 6) AS obs_share,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+               round(power(n - log10(1.0 + 1.0 / digit) * tot, 2.0)
+                     / (log10(1.0 + 1.0 / digit) * tot), 6) AS chi2_part
+        FROM counts CROSS JOIN tot
+    """,
+    "ewma_daily_revenue": f"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '{_RFM_EPOCH}',
+                           CAST(o_orderdate AS DATE)) AS day,
+                 CAST({decimal_sum_sql("o_totalprice")} AS DOUBLE) AS rev
+          FROM orders GROUP BY 1
+        )
+        SELECT d1.day AS day,
+               round(max(CASE WHEN d1.day = d2.day THEN d2.rev END), 2)
+                 AS rev,
+               round(sum(power({1.0 - _EWMA_ALPHA}, d1.day - d2.day) * d2.rev)
+                     / sum(power({1.0 - _EWMA_ALPHA}, d1.day - d2.day)), 2)
+                 AS ewma_rev,
+               count(*) AS n_days_in_window
+        FROM daily d1 JOIN daily d2
+          ON d2.day <= d1.day AND d2.day > d1.day - {_EWMA_SPAN}
+        GROUP BY d1.day
+    """,
+    "cusum_changepoint": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS c
+          FROM events GROUP BY 1
+        ),
+        m AS (SELECT avg(c) AS mu, count(*) AS nd FROM daily),
+        cusum AS (
+          SELECT day, mu, nd,
+                 sum(c - mu) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+          FROM daily CROSS JOIN m
+        ),
+        picked AS (
+          SELECT *, row_number() OVER (ORDER BY abs(s) DESC, day) AS rn
+          FROM cusum
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+               round(s, 4) AS cusum,
+               round(mu, 4) AS daily_mean,
+               nd AS n_days
+        FROM picked WHERE rn = 1
+    """,
+    "acf_daily_counts": f"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS day,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM events GROUP BY 1
+        ),
+        lags AS (
+          SELECT CAST(range AS INTEGER) AS lag
+          FROM range(1, {_ACF_MAX_LAG + 1})
+        )
+        SELECT lag,
+               round(corr(cur.c, prev.c), 6) AS acf,
+               count(*) AS n_pairs
+        FROM daily cur CROSS JOIN lags
+        JOIN daily prev ON prev.day = cur.day - lag
+        GROUP BY lag
+    """,
+}
