@@ -44,6 +44,7 @@ from datafusion_archive_spark.queries import (
     pipeline13,
     pipeline14,
     pipeline15,
+    pipeline16,
     registry_udf,
     relational,
     sources_io,
@@ -85,6 +86,7 @@ QUERY_MODULES = (
     pipeline13,
     pipeline14,
     pipeline15,
+    pipeline16,
     sql2,
 )
 
