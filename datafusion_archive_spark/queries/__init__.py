@@ -45,6 +45,7 @@ from datafusion_archive_spark.queries import (
     pipeline14,
     pipeline15,
     pipeline16,
+    pipeline17,
     registry_udf,
     relational,
     sources_io,
@@ -87,6 +88,7 @@ QUERY_MODULES = (
     pipeline14,
     pipeline15,
     pipeline16,
+    pipeline17,
     sql2,
 )
 
