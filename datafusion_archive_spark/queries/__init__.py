@@ -46,6 +46,7 @@ from datafusion_archive_spark.queries import (
     pipeline15,
     pipeline16,
     pipeline17,
+    pipeline18,
     registry_udf,
     relational,
     sources_io,
@@ -89,6 +90,7 @@ QUERY_MODULES = (
     pipeline15,
     pipeline16,
     pipeline17,
+    pipeline18,
     sql2,
 )
 
