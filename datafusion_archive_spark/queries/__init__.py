@@ -47,6 +47,7 @@ from datafusion_archive_spark.queries import (
     pipeline16,
     pipeline17,
     pipeline18,
+    pipeline19,
     registry_udf,
     relational,
     sources_io,
@@ -91,6 +92,7 @@ QUERY_MODULES = (
     pipeline16,
     pipeline17,
     pipeline18,
+    pipeline19,
     sql2,
 )
 
