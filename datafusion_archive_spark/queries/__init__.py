@@ -48,6 +48,7 @@ from datafusion_archive_spark.queries import (
     pipeline17,
     pipeline18,
     pipeline19,
+    pipeline20,
     registry_udf,
     relational,
     sources_io,
@@ -93,6 +94,7 @@ QUERY_MODULES = (
     pipeline17,
     pipeline18,
     pipeline19,
+    pipeline20,
     sql2,
 )
 
