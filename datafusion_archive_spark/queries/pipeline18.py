@@ -63,7 +63,10 @@ def q_mann_whitney_u(spark, sf):
     Scale: the pooled ranking collapses to DISTINCT values first
     (average-rank formula from a running count), so the only ordered
     window runs over the value dictionary; everything else is
-    broadcast scalars."""
+    broadcast scalars. As with ``auc_roc``, a continuous measurement
+    column should be quantized to the decision-relevant precision
+    first — the dictionary, not the corpus, is what the ordered
+    window must hold."""
     e = load_events(spark, sf).filter(
         F.col("event_type").isin(_MW_A, _MW_B)
     )

@@ -66,8 +66,12 @@ def q_auc_roc(spark, sf):
 
     Scale: the only ordered window runs over the DISTINCT-score
     dictionary (average-rank from a running count) — the raw rows are
-    never globally sorted. This is how exact AUC is computed on
-    billions of rows."""
+    never globally sorted. For a model-score column the dictionary is
+    bounded by the score's quantization (scores rounded to 1e-6 →
+    ≤1e6 window rows regardless of corpus size); a truly continuous
+    score should be quantized first or the collapse buys nothing —
+    the window input here is |distinct totalprice|, which the
+    plan-shape test pins as agg-before-window."""
     s = _scored(spark, sf)
     per = s.groupBy("score").agg(
         F.count(F.lit(1)).cast("double").alias("t"),
