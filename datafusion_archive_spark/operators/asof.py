@@ -73,3 +73,64 @@ def asof_join(
         .drop("_is_left")
         .withColumnRenamed("_ts", left_ts)
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row
+    with the same key whose timestamp is ≥ the left timestamp (a
+    same-instant right row is visible). Right columns arrive as
+    ``<col><suffix>`` (NULL when no right row follows).
+
+    The mirror of :func:`asof_join`: identical union-and-carry
+    construction with the window ordered descending, so ``last(...,
+    ignorenulls=True)`` carries the nearest FUTURE right value
+    backward. Same single shuffle on the key, same skew profile."""
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in right_value_cols],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (key, left_ts)],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    merged = l_tag.unionByName(r_tag)
+    # descending time: right rows at the same instant sort first so a
+    # same-instant right row is visible to the left row (>= semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        key,
+        "_ts",
+        "_is_left",
+        *[c for c in left.columns if c not in (key, left_ts)],
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(
+                f"{c}{suffix}"
+            )
+            for c in right_value_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .drop("_is_left")
+        .withColumnRenamed("_ts", left_ts)
+    )

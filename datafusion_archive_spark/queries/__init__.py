@@ -49,6 +49,7 @@ from datafusion_archive_spark.queries import (
     pipeline18,
     pipeline19,
     pipeline20,
+    pipeline21,
     registry_udf,
     relational,
     sources_io,
@@ -95,6 +96,7 @@ QUERY_MODULES = (
     pipeline18,
     pipeline19,
     pipeline20,
+    pipeline21,
     sql2,
 )
 
