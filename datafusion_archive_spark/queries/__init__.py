@@ -50,6 +50,7 @@ from datafusion_archive_spark.queries import (
     pipeline19,
     pipeline20,
     pipeline21,
+    pipeline22,
     registry_udf,
     relational,
     sources_io,
@@ -97,6 +98,7 @@ QUERY_MODULES = (
     pipeline19,
     pipeline20,
     pipeline21,
+    pipeline22,
     sql2,
 )
 
