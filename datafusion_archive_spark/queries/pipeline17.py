@@ -53,12 +53,14 @@ def _t(spark, sf_dir, name):
 
 
 def _jaro(a: str, b: str) -> float:
-    """Classic Jaro similarity (the definition DuckDB implements)."""
-    if a == b:
-        return 1.0
+    """Classic Jaro similarity (the definition DuckDB implements —
+    including jaro('', '') = 0, found by the hypothesis differential
+    in tests/test_properties2.py)."""
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return 0.0
+    if a == b:
+        return 1.0
     window = max(la, lb) // 2 - 1
     match_b = [False] * lb
     matches = 0
