@@ -51,6 +51,7 @@ from datafusion_archive_spark.queries import (
     pipeline20,
     pipeline21,
     pipeline22,
+    pipeline23,
     registry_udf,
     relational,
     sources_io,
@@ -99,6 +100,7 @@ QUERY_MODULES = (
     pipeline20,
     pipeline21,
     pipeline22,
+    pipeline23,
     sql2,
 )
 
