@@ -52,6 +52,7 @@ from datafusion_archive_spark.queries import (
     pipeline21,
     pipeline22,
     pipeline23,
+    pipeline24,
     registry_udf,
     relational,
     sources_io,
@@ -101,6 +102,7 @@ QUERY_MODULES = (
     pipeline21,
     pipeline22,
     pipeline23,
+    pipeline24,
     sql2,
 )
 
