@@ -209,12 +209,22 @@ _FIRST_50 = [
     "histogram_dense",
 ]
 
-# ROUND-6 NOTE (next certification window): head with the 11 round-5
-# names that did not fit this round (window_rolling_median,
-# bitwise_aggs, text_sentences, dedup_sentences_cross_doc,
-# geo_grid_join, vocab_richness, zipf_fit, readability_scores,
-# embedding_centroids, gini_customer_spend, interarrival_stats) and
-# any round-6 additions, then the r1-of-record names oldest-first
+# ROUND-6 NOTE (next certification window): head with the round-5
+# names that did not fit this round — the 11 from waves 9-12
+# (window_rolling_median, bitwise_aggs, text_sentences,
+# dedup_sentences_cross_doc, geo_grid_join, vocab_richness, zipf_fit,
+# readability_scores, embedding_centroids, gini_customer_spend,
+# interarrival_stats) plus EVERYTHING in pipeline15-24 (waves 13-22:
+# RFM/Pareto/Benford/EWMA/CUSUM/ACF, divergences + encodings +
+# feature hashing + Simpson, JW linkage + bootstrap + seasonality +
+# Lorenz, Mann-Whitney/survival/MI/PSI/trigrams/MoM, AUC/gains/
+# calibration/corr-matrix/Theil, stream-static enrichment, asof
+# forward + grouped percentiles + ANOVA + leakage, drawdown/entropy
+# rate/conversion/peaks/Bollinger, cohort LTV/repeat rate/HHI/
+# seasonal outliers/missing days, minhash audit + novelty +
+# embedding QA — ~56 names, locally green under the dtype-strict
+# gate) and any round-6 additions, then the r1-of-record names
+# oldest-first
 # (agg_having, agg_rollup, cast_semantics, date_funcs,
 # events_asof_join, events_distinct_kmv, events_range_join, geo_udt,
 # in_subquery, join_full_outer, join_inner_3way, json_extract,
