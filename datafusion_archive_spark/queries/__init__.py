@@ -53,6 +53,7 @@ from datafusion_archive_spark.queries import (
     pipeline22,
     pipeline23,
     pipeline24,
+    pipeline25,
     registry_udf,
     relational,
     sources_io,
@@ -103,6 +104,7 @@ QUERY_MODULES = (
     pipeline22,
     pipeline23,
     pipeline24,
+    pipeline25,
     sql2,
 )
 
