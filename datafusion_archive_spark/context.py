@@ -149,6 +149,30 @@ class ExecutionContext:
             reader = reader.schema(st)
         return self.register_datasource(name, reader.json(path))
 
+    def register_fixedwidth(
+        self,
+        name: str,
+        path: str,
+        widths: str,
+        schema: T.StructType | Iterable[tuple[str, str]] | None = None,
+    ) -> DataFrame:
+        """Fixed-width text source via the custom Python DataSource
+        (sources/pydatasource.py) — the Spark analog of plugging a new
+        ``trait DataSource`` implementation into the reference engine
+        (``src/execution/datasource.rs:31-43``). ``widths`` is the
+        comma-separated column-width list; with no declared schema all
+        columns arrive as strings c0..cN."""
+        from datafusion_archive_spark.sources import pydatasource
+
+        pydatasource.register(self.spark)
+        reader = self.spark.read.format("fixedwidth").option(
+            "widths", widths
+        ).option("path", path)
+        st = _as_struct_type(schema)
+        if st is not None:
+            reader = reader.schema(st)
+        return self.register_datasource(name, reader.load())
+
     def register_testdata(self, sf_dir: str) -> None:
         """Register the driver's TPC-H-ish parquet tables from a
         scale-factor directory (TESTDATA.md)."""
@@ -206,6 +230,10 @@ class ExecutionContext:
             return self.register_parquet(stmt.name, stmt.location)
         if stmt.file_format == "ORC":
             return self.register_orc(stmt.name, stmt.location)
+        if stmt.file_format == "FIXEDWIDTH":
+            return self.register_fixedwidth(
+                stmt.name, stmt.location, stmt.widths, schema=schema
+            )
         raise ValueError(f"unsupported file format: {stmt.file_format}")
 
     # -- write path (reference PhysicalPlan::Write, physicalplan.rs:25-29,

@@ -5,11 +5,14 @@ The reference extends ANSI SQL with one custom statement
 
     CREATE EXTERNAL TABLE name (col TYPE, ...)
     STORED AS {CSV [WITH HEADER ROW | WITHOUT HEADER ROW] | NDJSON
-               | PARQUET | ORC}
+               | PARQUET | ORC | FIXEDWIDTH WIDTHS 'w1,w2,...'}
     LOCATION 'path'
 
-(ORC is our extension beyond the reference grammar — same
-self-describing-schema treatment as parquet.)
+(ORC and FIXEDWIDTH are our extensions beyond the reference grammar —
+ORC gets the same self-describing-schema treatment as parquet;
+FIXEDWIDTH routes to the custom Python DataSource in
+sources/pydatasource.py, the Spark analog of plugging a new
+``trait DataSource`` implementation into the reference engine.)
 
 In the reference the execution of this DDL is commented out
 (``src/execution/context.rs:48-76``); here it is fully functional: we
@@ -29,8 +32,9 @@ from dataclasses import dataclass, field
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\((?P<cols>.*?)\)\s*)?"
-    r"STORED\s+AS\s+(?P<format>CSV|NDJSON|PARQUET|ORC)\s*"
+    r"STORED\s+AS\s+(?P<format>CSV|NDJSON|PARQUET|ORC|FIXEDWIDTH)\s*"
     r"(?P<header>WITH\s+HEADER\s+ROW|WITHOUT\s+HEADER\s+ROW)?\s*"
+    r"(?:WIDTHS\s+'(?P<widths>[0-9, ]+)'\s*)?"
     r"LOCATION\s+'(?P<location>[^']*)'\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -50,6 +54,10 @@ class CreateExternalTable:
     file_format: str = "CSV"
     header_row: bool = True
     location: str = ""
+    #: FIXEDWIDTH only: column widths from the ``WIDTHS '6,12,8'``
+    #: clause (our grammar extension for the custom Python
+    #: DataSource — see sources/pydatasource.py)
+    widths: str | None = None
 
 
 def is_create_external_table(sql: str) -> bool:
@@ -70,12 +78,19 @@ def parse_create_external_table(sql: str) -> CreateExternalTable:
                 raise ValueError(f"malformed column definition: {raw!r}")
             cols.append((cm.group("name"), cm.group("type")))
     header_clause = (m.group("header") or "").upper()
+    fmt = m.group("format").upper()
+    widths = m.group("widths")
+    if fmt == "FIXEDWIDTH" and not widths:
+        raise ValueError(
+            "STORED AS FIXEDWIDTH requires a WIDTHS '…' clause"
+        )
     return CreateExternalTable(
         name=m.group("name"),
         columns=cols,
-        file_format=m.group("format").upper(),
+        file_format=fmt,
         header_row=not header_clause.startswith("WITHOUT"),
         location=m.group("location"),
+        widths=widths.replace(" ", "") if widths else None,
     )
 
 

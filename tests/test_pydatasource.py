@@ -1,0 +1,112 @@
+"""Custom Python DataSource (fixed-width text): the Spark analog of
+implementing the reference's ``trait DataSource``
+(sources/pydatasource.py; DDL extension STORED AS FIXEDWIDTH)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_archive_spark.context import ExecutionContext
+from datafusion_archive_spark import ddl
+
+
+ROWS = [
+    (1, "london", 51.5),
+    (2, "paris", 48.9),
+    (3, "berlin", 52.5),
+    (4, "madrid", 40.4),
+    (None, "oslo", None),  # blank fields → NULL
+]
+
+
+def _write_files(tmp_path, n_files=3):
+    d = tmp_path / "fw"
+    d.mkdir()
+    # widths: id=4, city=8, lat=6
+    for i in range(n_files):
+        lines = []
+        for rid, city, lat in ROWS[i::n_files]:
+            sid = "" if rid is None else str(rid)
+            slat = "" if lat is None else f"{lat}"
+            lines.append(f"{sid:<4}{city:<8}{slat:<6}")
+        (d / f"part{i}.txt").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_read_with_schema_and_types(spark, tmp_path):
+    path = _write_files(tmp_path)
+    from datafusion_archive_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("fixedwidth")
+        .schema("id int, city string, lat double")
+        .option("widths", "4,8,6")
+        .option("path", path)
+        .load()
+    )
+    got = {(r.id, r.city, r.lat) for r in df.collect()}
+    assert got == set(ROWS)
+
+
+def test_default_schema_all_strings(spark, tmp_path):
+    path = _write_files(tmp_path)
+    from datafusion_archive_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("fixedwidth")
+        .option("widths", "4,8,6")
+        .option("path", path)
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["c0", "c1", "c2"]
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+    cities = {r.c1 for r in df.collect()}
+    assert cities == {c for _, c, _ in ROWS}
+
+
+def test_one_partition_per_file(spark, tmp_path):
+    """The split unit is the file — per-file parallelism, the same
+    fallback Spark's own unsplittable text formats use."""
+    path = _write_files(tmp_path, n_files=3)
+    from datafusion_archive_spark.sources.pydatasource import (
+        FixedWidthReader,
+    )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id int, city string, lat double")
+    reader = FixedWidthReader(schema, {"path": path, "widths": "4,8,6"})
+    assert len(reader.partitions()) == 3
+
+
+def test_ddl_fixedwidth_end_to_end(spark, tmp_path):
+    path = _write_files(tmp_path)
+    ctx = ExecutionContext(spark)
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE fw (id INT, city VARCHAR, lat DOUBLE) "
+        f"STORED AS FIXEDWIDTH WIDTHS '4,8,6' LOCATION '{path}'"
+    )
+    out = ctx.sql(
+        "SELECT city FROM fw WHERE lat > 50 ORDER BY city"
+    ).collect()
+    assert [r.city for r in out] == ["berlin", "london"]
+
+
+def test_ddl_fixedwidth_requires_widths():
+    with pytest.raises(ValueError, match="WIDTHS"):
+        ddl.parse_create_external_table(
+            "CREATE EXTERNAL TABLE t (a INT) STORED AS FIXEDWIDTH "
+            "LOCATION '/tmp/x'"
+        )
+
+
+def test_reader_rejects_width_mismatch(spark, tmp_path):
+    from datafusion_archive_spark.sources.pydatasource import (
+        FixedWidthReader,
+    )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id int, city string")
+    with pytest.raises(ValueError, match="widths"):
+        FixedWidthReader(schema, {"path": "/tmp/x", "widths": "4,8,6"})
