@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -95,6 +96,49 @@ class FixedWidthReader(DataSourceReader):
                 )
 
 
+class FixedWidthStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the format: micro-batches are NEW FILES in
+    the directory (offset = how many of the sorted listing have been
+    consumed — files must arrive append-only with increasing names,
+    the standard file-stream contract). ``readBetweenOffsets`` replays
+    a committed range deterministically from the same listing, which
+    is what makes checkpoint recovery exactly-once."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._batch = FixedWidthReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def _rows_for(self, files):
+        # a LIST, not a generator: Spark pickles the returned batch
+        # to cache it for commit/replay, and generators can't pickle.
+        # Bounded by design — the simple stream-reader API reads on
+        # the driver and is for small per-trigger volumes (its
+        # documented contract); high-rate sources belong on the
+        # partition-planning DataSourceStreamReader instead.
+        out = []
+        for f in files:
+            out.extend(self._batch.read(_FixedWidthPartition(f)))
+        return out
+
+    def read(self, start: dict):
+        files = _list_files(self._batch.path)
+        k = start.get("n_files", 0)
+        # iter(): the runner drives the batch with next() and also
+        # pickles it for the prefetch cache — a plain list satisfies
+        # the pickling but not the iterator protocol
+        return iter(self._rows_for(files[k:])), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_files(self._batch.path)
+        return iter(
+            self._rows_for(
+                files[start.get("n_files", 0) : end.get("n_files", 0)]
+            )
+        )
+
+
 class FixedWidthDataSource(DataSource):
     """``spark.read.format("fixedwidth").schema(...)
     .option("widths", "6,12,8").load(path)``."""
@@ -114,6 +158,9 @@ class FixedWidthDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return FixedWidthReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType):
+        return FixedWidthStreamReader(schema, dict(self.options))
 
 
 def register(spark) -> None:

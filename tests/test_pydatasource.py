@@ -110,3 +110,41 @@ def test_reader_rejects_width_mismatch(spark, tmp_path):
     schema = StructType.fromDDL("id int, city string")
     with pytest.raises(ValueError, match="widths"):
         FixedWidthReader(schema, {"path": "/tmp/x", "widths": "4,8,6"})
+
+
+def test_streaming_new_files_arrive_exactly_once(spark, tmp_path):
+    """The streaming half: each micro-batch is the newly arrived
+    files; appending a file after the first drain delivers ONLY the
+    new rows (offset bookkeeping, no re-reads)."""
+    from datafusion_archive_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    d = tmp_path / "fw_stream"
+    d.mkdir()
+    (d / "a.txt").write_text("1   london  51.5  \n")
+    (d / "b.txt").write_text("2   paris   48.9  \n")
+    stream = (
+        spark.readStream.format("fixedwidth")
+        .schema("id int, city string, lat double")
+        .option("widths", "4,8,6")
+        .option("path", str(d))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fw_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.city for r in spark.sql("SELECT * FROM fw_out").collect()}
+        assert first == {"london", "paris"}
+        (d / "c.txt").write_text("3   berlin  52.5  \n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM fw_out").collect()
+        assert {r.city for r in rows} == {"london", "paris", "berlin"}
+        assert len(rows) == 3  # exactly once — no replays
+    finally:
+        q.stop()
