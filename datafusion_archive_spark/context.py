@@ -149,6 +149,23 @@ class ExecutionContext:
             reader = reader.schema(st)
         return self.register_datasource(name, reader.json(path))
 
+    def register_xml(
+        self,
+        name: str,
+        path: str,
+        row_tag: str = "row",
+        schema: T.StructType | Iterable[tuple[str, str]] | None = None,
+    ) -> DataFrame:
+        """XML source (Spark 4 native reader) — beyond the reference
+        grammar, same declared-schema treatment as CSV. ``row_tag``
+        names the repeating element (``STORED AS XML ROWTAG 'row'``
+        in the DDL extension)."""
+        reader = self.spark.read.format("xml").option("rowTag", row_tag)
+        st = _as_struct_type(schema)
+        if st is not None:
+            reader = reader.schema(st)
+        return self.register_datasource(name, reader.load(path))
+
     def register_fixedwidth(
         self,
         name: str,
@@ -233,6 +250,13 @@ class ExecutionContext:
         if stmt.file_format == "FIXEDWIDTH":
             return self.register_fixedwidth(
                 stmt.name, stmt.location, stmt.widths, schema=schema
+            )
+        if stmt.file_format == "XML":
+            return self.register_xml(
+                stmt.name,
+                stmt.location,
+                row_tag=stmt.row_tag or "row",
+                schema=schema,
             )
         raise ValueError(f"unsupported file format: {stmt.file_format}")
 

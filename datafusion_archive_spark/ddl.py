@@ -32,9 +32,10 @@ from dataclasses import dataclass, field
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\((?P<cols>.*?)\)\s*)?"
-    r"STORED\s+AS\s+(?P<format>CSV|NDJSON|PARQUET|ORC|FIXEDWIDTH)\s*"
+    r"STORED\s+AS\s+(?P<format>CSV|NDJSON|PARQUET|ORC|FIXEDWIDTH|XML)\s*"
     r"(?P<header>WITH\s+HEADER\s+ROW|WITHOUT\s+HEADER\s+ROW)?\s*"
     r"(?:WIDTHS\s+'(?P<widths>[0-9, ]+)'\s*)?"
+    r"(?:ROWTAG\s+'(?P<rowtag>[A-Za-z_][A-Za-z0-9_]*)'\s*)?"
     r"LOCATION\s+'(?P<location>[^']*)'\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -58,6 +59,8 @@ class CreateExternalTable:
     #: clause (our grammar extension for the custom Python
     #: DataSource — see sources/pydatasource.py)
     widths: str | None = None
+    #: XML only: repeating-element name from ``ROWTAG 'row'``
+    row_tag: str | None = None
 
 
 def is_create_external_table(sql: str) -> bool:
@@ -91,6 +94,7 @@ def parse_create_external_table(sql: str) -> CreateExternalTable:
         header_row=not header_clause.startswith("WITHOUT"),
         location=m.group("location"),
         widths=widths.replace(" ", "") if widths else None,
+        row_tag=m.group("rowtag"),
     )
 
 

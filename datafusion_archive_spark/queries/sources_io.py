@@ -261,3 +261,55 @@ ORACLES = {
         LIMIT 10
     """,
 }
+
+
+def q_xml_roundtrip(spark, sf):
+    """XML write→DDL→scan round-trip (Spark 4 native XML, our
+    ``STORED AS XML ROWTAG`` grammar extension): the customer slice is
+    written as XML, re-registered, joined to nation, and aggregated;
+    the oracle computes the same aggregate from the original parquet,
+    so any fidelity loss in the XML path breaks the hash.
+
+    Scale: the XML codec is the per-file cost; the aggregate plan is
+    the standard broadcast-dim join + one Exchange."""
+    base = f"{_IO_BASE}/{os.path.basename(sf.rstrip('/'))}_xml"
+    ctx = ExecutionContext(spark)
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    (
+        customer.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "customer")
+        .save(f"{base}/customer_xml")
+    )
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE customer_xml_rt ("
+        f"c_custkey BIGINT, c_name VARCHAR, c_nationkey INT, "
+        f"c_acctbal DOUBLE, c_mktsegment VARCHAR) "
+        f"STORED AS XML ROWTAG 'customer' LOCATION '{base}/customer_xml'"
+    )
+    ctx.register_parquet("nation_pq", f"{sf}/nation.parquet")
+    return ctx.sql(
+        """
+        SELECT n.n_name AS nation,
+               c.c_mktsegment AS segment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer_xml_rt c
+        JOIN nation_pq n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_mktsegment
+        """
+    )
+
+
+QUERIES["xml_roundtrip"] = q_xml_roundtrip
+ORACLES["xml_roundtrip"] = """
+    SELECT n.n_name AS nation,
+           c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, c.c_mktsegment
+"""

@@ -85,3 +85,35 @@ def test_orc_roundtrip_via_ddl(spark, sf_dir, tmp_path_factory):
     ).collect()
     want = src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
     assert got == want
+
+
+def test_parse_xml_with_rowtag():
+    from datafusion_archive_spark import ddl
+
+    stmt = ddl.parse_create_external_table(
+        "CREATE EXTERNAL TABLE t (a INT, b VARCHAR) "
+        "STORED AS XML ROWTAG 'item' LOCATION '/tmp/t_xml'"
+    )
+    assert stmt.file_format == "XML"
+    assert stmt.row_tag == "item"
+    assert stmt.columns == [("a", "INT"), ("b", "VARCHAR")]
+
+
+def test_xml_roundtrip_via_ddl(spark, sf_dir, tmp_path_factory):
+    from datafusion_archive_spark.context import ExecutionContext
+
+    path = str(tmp_path_factory.mktemp("xml") / "region_xml")
+    ctx = ExecutionContext(spark)
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    src.write.format("xml").option("rowTag", "region").save(path)
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE region_xml_t (r_regionkey BIGINT, "
+        f"r_name VARCHAR) STORED AS XML ROWTAG 'region' LOCATION '{path}'"
+    )
+    got = ctx.sql(
+        "SELECT r_regionkey, r_name FROM region_xml_t ORDER BY r_regionkey"
+    ).collect()
+    want = src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+    assert [(r.r_regionkey, r.r_name) for r in got] == [
+        (r.r_regionkey, r.r_name) for r in want
+    ]
