@@ -166,6 +166,24 @@ class ExecutionContext:
             reader = reader.schema(st)
         return self.register_datasource(name, reader.load(path))
 
+    def register_binary(
+        self,
+        name: str,
+        path: str,
+        path_glob: str | None = None,
+    ) -> DataFrame:
+        """Binary-file source (Spark's built-in ``binaryFile``
+        format) — the ingestion path for the multimodal family
+        (operators/multimodal.py): each file becomes a row of (path,
+        modificationTime, length, content BINARY). ``path_glob``
+        filters by filename pattern (e.g. ``'*.png'``). Metadata-only
+        queries prune the ``content`` column at the scan, so listings
+        never read payload bytes."""
+        reader = self.spark.read.format("binaryFile")
+        if path_glob:
+            reader = reader.option("pathGlobFilter", path_glob)
+        return self.register_datasource(name, reader.load(path))
+
     def register_fixedwidth(
         self,
         name: str,

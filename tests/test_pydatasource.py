@@ -148,3 +148,48 @@ def test_streaming_new_files_arrive_exactly_once(spark, tmp_path):
         assert len(rows) == 3  # exactly once — no replays
     finally:
         q.stop()
+
+
+def test_binary_file_ingestion_to_multimodal(spark, tmp_path):
+    """binaryFile source → multimodal decode plumbing end-to-end:
+    payload bytes arrive as BINARY and flow through the stubbed
+    Arrow-batched decoder; a metadata-only projection must prune the
+    content column at the scan."""
+    from datafusion_archive_spark.context import ExecutionContext
+    from datafusion_archive_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+    )
+    from datafusion_archive_spark.plans import summarize
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {f"img{i}.png": bytes([i]) * (16 + i) for i in range(4)}
+    (d / "skip.txt").write_text("not media")
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+
+    ctx = ExecutionContext(spark)
+    media = ctx.register_binary("media", str(d), path_glob="*.png")
+    rows = media.select("path", "length", "content").collect()
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == set(payloads)
+    for r in rows:
+        assert bytes(r.content) == payloads[r.path.rsplit("/", 1)[-1]]
+        assert r.length == len(payloads[r.path.rsplit("/", 1)[-1]])
+
+    # metadata-only projection prunes the payload at the scan
+    s = summarize(media.select("path", "length"))
+    assert all("content" not in rs for rs in s.read_schemas), s.read_schemas
+
+    # stubbed decode over the ingested binary column (attach the
+    # JVM-side metadata struct first — the decode contract)
+    with_id = attach_media(
+        media.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("content").alias("payload"),
+        ),
+        "payload",
+    )
+    decoded = decode_media(with_id, "payload")
+    assert decoded.count() == len(payloads)
