@@ -54,6 +54,7 @@ from datafusion_archive_spark.queries import (
     pipeline23,
     pipeline24,
     pipeline25,
+    pipeline26,
     registry_udf,
     relational,
     sources_io,
@@ -105,6 +106,7 @@ QUERY_MODULES = (
     pipeline23,
     pipeline24,
     pipeline25,
+    pipeline26,
     sql2,
 )
 

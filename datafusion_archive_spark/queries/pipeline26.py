@@ -1,0 +1,195 @@
+"""Pipeline wave 26 (round 5, twenty-fourth wave): array higher-order
+functions, weighted quartiles, and bivariate histograms.
+
+- ``array_hof_ops`` — the higher-order-function surface over the
+  embedding arrays in one certified pass: ``filter`` (positive-dim
+  count), ``forall`` (range check), ``sort+slice+aggregate`` (top-3
+  energy), ``zip_with`` (dot with the reversed self). Arrays are the
+  reference's biggest type-system gap (no array/map types anywhere —
+  ``src/logicalplan.rs:95-111``); this row certifies the lambda
+  algebra end to end against DuckDB's list kernels.
+- ``weighted_quartiles`` — the general weighted-percentile sweep
+  (p25/p50/p75 of price weighted by quantity, per return flag):
+  generalizes the certified ``weighted_median`` from one probe point
+  to a percentile vector on the SAME single cumulative pass.
+- ``histogram_2d`` — the bivariate (quantity × price-band) count
+  grid: the hexbin/heatmap backend, all bucketing scan-side codegen.
+
+All scan-side or value-collapsed; no new shuffle shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions
+# ---------------------------------------------------------------------------
+
+
+def q_array_hof_ops(spark, sf):
+    """Per embedding vector: positive-dim count (filter), bounded-
+    range check (forall), top-3 energy (sort desc → slice → sum), and
+    the dot product with the reversed self (zip_with). Pure lambda
+    algebra — zero Python, zero explode, zero shuffle besides the
+    scan.
+
+    Scale: every column is whole-stage-codegen over the array cells;
+    the operator is map-only."""
+    e = _t(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n_pos = F.size(F.filter(v, lambda x: x > 0))
+    in_range = F.forall(v, lambda x: (x >= -1.0) & (x <= 1.0))
+    top3 = F.aggregate(
+        F.slice(F.sort_array(v, asc=False), 1, 3),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(v, F.reverse(v), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        n_pos.alias("n_pos"),
+        in_range.alias("in_unit_range"),
+        F.round(top3, 6).alias("top3_sum"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted quartiles
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_quartiles(spark, sf):
+    """Quantity-weighted lower quartiles of extended price per return
+    flag: the smallest price whose cumulative weight reaches 25 / 50 /
+    75 % of the group total — the full percentile vector from ONE
+    cumulative sweep (the certified ``weighted_median`` machinery,
+    generalized). Exact integer weight arithmetic on both engines.
+
+    Scale: values collapse per (group, price) first; one Exchange on
+    the group key shared by the sweep and the totals."""
+    l = _t(spark, sf, "lineitem")
+    by_price = l.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    w = Window.partitionBy("l_returnflag").orderBy("price")
+    cum = by_price.withColumn(
+        "_cum",
+        F.sum("wt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "_total", F.sum("wt").over(Window.partitionBy("l_returnflag"))
+    )
+    quart = lambda q_num, q_den: F.min(
+        F.when(F.col("_cum") * q_den >= F.col("_total") * q_num, F.col("price"))
+    )
+    return cum.groupBy("l_returnflag").agg(
+        quart(1, 4).alias("p25"),
+        quart(2, 4).alias("p50"),
+        quart(3, 4).alias("p75"),
+        F.max("_total").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram
+# ---------------------------------------------------------------------------
+
+_H2_PRICE_LO, _H2_PRICE_HI, _H2_PRICE_BINS = 0.0, 120000.0, 12
+
+
+def q_histogram_2d(spark, sf):
+    """Bivariate count grid: integer quantity × 12 equal price bands
+    — the heatmap/hexbin backend. Out-of-range prices clamp to the
+    edge bands; only observed cells appear (the dense join is
+    ``histogram_dense``'s pattern if needed).
+
+    Scale: both bucketings are scan-side codegen; the rollup is ≤
+    |quantities|×12 cells with map-side combine."""
+    l = _t(spark, sf, "lineitem")
+    width = (_H2_PRICE_HI - _H2_PRICE_LO) / _H2_PRICE_BINS
+    band = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - _H2_PRICE_LO) / width).cast(
+                "int"
+            ),
+            F.lit(0),
+        ),
+        F.lit(_H2_PRICE_BINS - 1),
+    )
+    return l.groupBy(
+        F.col("l_quantity").cast("int").alias("quantity"),
+        band.alias("price_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+QUERIES = {
+    "array_hof_ops": q_array_hof_ops,
+    "weighted_quartiles": q_weighted_quartiles,
+    "histogram_2d": q_histogram_2d,
+}
+
+ORACLES = {
+    "array_hof_ops": """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER)
+                 AS n_pos,
+               coalesce(list_reduce(
+                 list_transform(emb,
+                   x -> x >= -1.0 AND x <= 1.0),
+                 (a, b) -> a AND b), TRUE) AS in_unit_range,
+               round(list_sum(
+                 list_reverse(list_sort(emb))[1:3]), 6) AS top3_sum,
+               round(list_sum(list_transform(range(1, len(emb) + 1),
+                 i -> emb[i] * emb[len(emb) + 1 - i])), 6)
+                 AS dot_reversed
+        FROM v
+    """,
+    "weighted_quartiles": """
+        WITH by_price AS (
+          SELECT l_returnflag, l_extendedprice AS price,
+                 sum(CAST(l_quantity AS BIGINT)) AS wt
+          FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT l_returnflag, price, wt,
+                 sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+                 sum(wt) OVER (PARTITION BY l_returnflag) AS t
+          FROM by_price
+        )
+        SELECT l_returnflag,
+               min(CASE WHEN c * 4 >= t * 1 THEN price END) AS p25,
+               min(CASE WHEN c * 4 >= t * 2 THEN price END) AS p50,
+               min(CASE WHEN c * 4 >= t * 3 THEN price END) AS p75,
+               CAST(max(t) AS BIGINT) AS total_weight
+        FROM cum GROUP BY 1
+    """,
+    "histogram_2d": f"""
+        SELECT CAST(l_quantity AS INTEGER) AS quantity,
+               least(greatest(CAST(floor((l_extendedprice - {_H2_PRICE_LO})
+                 / {(_H2_PRICE_HI - _H2_PRICE_LO) / _H2_PRICE_BINS})
+                 AS INTEGER), 0), {_H2_PRICE_BINS - 1}) AS price_band,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+}
