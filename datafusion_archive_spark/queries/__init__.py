@@ -55,6 +55,7 @@ from datafusion_archive_spark.queries import (
     pipeline24,
     pipeline25,
     pipeline26,
+    pipeline27,
     registry_udf,
     relational,
     sources_io,
@@ -107,6 +108,7 @@ QUERY_MODULES = (
     pipeline24,
     pipeline25,
     pipeline26,
+    pipeline27,
     sql2,
 )
 
