@@ -56,6 +56,7 @@ from datafusion_archive_spark.queries import (
     pipeline25,
     pipeline26,
     pipeline27,
+    pipeline28,
     registry_udf,
     relational,
     sources_io,
@@ -109,6 +110,7 @@ QUERY_MODULES = (
     pipeline25,
     pipeline26,
     pipeline27,
+    pipeline28,
     sql2,
 )
 
