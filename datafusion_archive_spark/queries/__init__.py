@@ -57,6 +57,7 @@ from datafusion_archive_spark.queries import (
     pipeline26,
     pipeline27,
     pipeline28,
+    pipeline29,
     registry_udf,
     relational,
     sources_io,
@@ -111,6 +112,7 @@ QUERY_MODULES = (
     pipeline26,
     pipeline27,
     pipeline28,
+    pipeline29,
     sql2,
 )
 
