@@ -232,9 +232,12 @@ _FIRST_50 = [
 # forward + grouped percentiles + ANOVA + leakage, drawdown/entropy
 # rate/conversion/peaks/Bollinger, cohort LTV/repeat rate/HHI/
 # seasonal outliers/missing days, minhash audit + novelty +
-# embedding QA — ~56 names, locally green under the dtype-strict
-# gate) and any round-6 additions, then the r1-of-record names
-# oldest-first
+# embedding QA, any-order funnel + abandonment, array HOFs +
+# weighted quartiles + 2-D histogram, SPRT + decile migration +
+# new-vs-returning, LSH tuning curve, integrity audit + exponential
+# fit + Hill index, xml_roundtrip — ~59 names, locally green under
+# the dtype-strict gate) and any round-6 additions, then the
+# r1-of-record names oldest-first
 # (agg_having, agg_rollup, cast_semantics, date_funcs,
 # events_asof_join, events_distinct_kmv, events_range_join, geo_udt,
 # in_subquery, join_full_outer, join_inner_3way, json_extract,
