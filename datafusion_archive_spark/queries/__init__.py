@@ -58,6 +58,7 @@ from datafusion_archive_spark.queries import (
     pipeline27,
     pipeline28,
     pipeline29,
+    pipeline30,
     registry_udf,
     relational,
     sources_io,
@@ -113,6 +114,7 @@ QUERY_MODULES = (
     pipeline27,
     pipeline28,
     pipeline29,
+    pipeline30,
     sql2,
 )
 
