@@ -59,6 +59,7 @@ from datafusion_archive_spark.queries import (
     pipeline28,
     pipeline29,
     pipeline30,
+    pipeline31,
     registry_udf,
     relational,
     sources_io,
@@ -115,6 +116,7 @@ QUERY_MODULES = (
     pipeline28,
     pipeline29,
     pipeline30,
+    pipeline31,
     sql2,
 )
 
