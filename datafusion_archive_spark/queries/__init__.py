@@ -60,6 +60,7 @@ from datafusion_archive_spark.queries import (
     pipeline29,
     pipeline30,
     pipeline31,
+    pipeline32,
     registry_udf,
     relational,
     sources_io,
@@ -117,6 +118,7 @@ QUERY_MODULES = (
     pipeline29,
     pipeline30,
     pipeline31,
+    pipeline32,
     sql2,
 )
 
