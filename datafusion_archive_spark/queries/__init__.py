@@ -61,6 +61,7 @@ from datafusion_archive_spark.queries import (
     pipeline30,
     pipeline31,
     pipeline32,
+    pipeline33,
     registry_udf,
     relational,
     sources_io,
@@ -119,6 +120,7 @@ QUERY_MODULES = (
     pipeline30,
     pipeline31,
     pipeline32,
+    pipeline33,
     sql2,
 )
 
