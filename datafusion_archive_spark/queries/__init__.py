@@ -62,6 +62,7 @@ from datafusion_archive_spark.queries import (
     pipeline31,
     pipeline32,
     pipeline33,
+    pipeline34,
     registry_udf,
     relational,
     sources_io,
@@ -121,6 +122,7 @@ QUERY_MODULES = (
     pipeline31,
     pipeline32,
     pipeline33,
+    pipeline34,
     sql2,
 )
 
