@@ -63,6 +63,7 @@ from datafusion_archive_spark.queries import (
     pipeline32,
     pipeline33,
     pipeline34,
+    pipeline35,
     registry_udf,
     relational,
     sources_io,
@@ -123,6 +124,7 @@ QUERY_MODULES = (
     pipeline32,
     pipeline33,
     pipeline34,
+    pipeline35,
     sql2,
 )
 
