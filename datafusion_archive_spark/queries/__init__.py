@@ -64,6 +64,7 @@ from datafusion_archive_spark.queries import (
     pipeline33,
     pipeline34,
     pipeline35,
+    pipeline36,
     registry_udf,
     relational,
     sources_io,
@@ -125,6 +126,7 @@ QUERY_MODULES = (
     pipeline33,
     pipeline34,
     pipeline35,
+    pipeline36,
     sql2,
 )
 

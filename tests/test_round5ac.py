@@ -97,3 +97,50 @@ class TestCaptureRecapture:
         # high-activity synthetic users: the estimate must land near
         # the truth (captures ≈ independent near-complete samples)
         assert abs(row.lincoln_petersen - row.true_users) < 0.2 * row.true_users
+
+
+class TestVariant:
+    """Wave-34 addendum: Spark 4 VARIANT semantics
+    (datafusion_archive_spark/queries/pipeline36.py)."""
+
+    def test_matches_python(self, spark):
+        import json
+
+        from datafusion_archive_spark.queries import pipeline36 as P36
+
+        agg = defaultdict(list)
+        missing = defaultdict(int)
+        for r in load_events(spark, SF).collect():
+            try:
+                k = json.loads(r.props)["k"] if r.props else None
+            except (json.JSONDecodeError, KeyError, TypeError):
+                k = None
+            if k is None:
+                missing[r.event_type] += 1
+            else:
+                agg[r.event_type].append(k)
+        got = {r.event_type: r for r in P36.q_variant_extraction(spark, SF).collect()}
+        assert set(got) == set(agg) | set(missing)
+        for et, ks in agg.items():
+            r = got[et]
+            assert r.n_with_k == len(ks)
+            assert r.n_missing == missing.get(et, 0)
+            assert r.min_k == min(ks)
+            assert r.max_k == max(ks)
+            assert math.isclose(r.avg_k, sum(ks) / len(ks), abs_tol=1e-3)
+
+    def test_variant_handles_malformed_payloads(self, spark):
+        """try_parse_json + variant_get must NULL (not fail) on junk,
+        missing keys, and NULL payloads."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("{not json",), ('{"other": 1}',), (None,), ('{"k": 7}',)],
+            "props string",
+        )
+        out = df.select(
+            F.variant_get(
+                F.try_parse_json(F.col("props")), "$.k", "int"
+            ).alias("k")
+        ).collect()
+        assert [r.k for r in out] == [None, None, None, 7]
