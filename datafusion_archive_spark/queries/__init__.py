@@ -65,6 +65,8 @@ from datafusion_archive_spark.queries import (
     pipeline34,
     pipeline35,
     pipeline36,
+    pipeline37,
+    pipeline38,
     registry_udf,
     relational,
     sources_io,
@@ -127,6 +129,8 @@ QUERY_MODULES = (
     pipeline34,
     pipeline35,
     pipeline36,
+    pipeline37,
+    pipeline38,
     sql2,
 )
 
