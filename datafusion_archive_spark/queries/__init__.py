@@ -67,6 +67,7 @@ from datafusion_archive_spark.queries import (
     pipeline36,
     pipeline37,
     pipeline38,
+    pipeline39,
     registry_udf,
     relational,
     sources_io,
@@ -131,6 +132,7 @@ QUERY_MODULES = (
     pipeline36,
     pipeline37,
     pipeline38,
+    pipeline39,
     sql2,
 )
 
