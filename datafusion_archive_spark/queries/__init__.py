@@ -68,6 +68,7 @@ from datafusion_archive_spark.queries import (
     pipeline37,
     pipeline38,
     pipeline39,
+    pipeline40,
     registry_udf,
     relational,
     sources_io,
@@ -133,6 +134,7 @@ QUERY_MODULES = (
     pipeline37,
     pipeline38,
     pipeline39,
+    pipeline40,
     sql2,
 )
 

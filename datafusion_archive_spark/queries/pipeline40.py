@@ -1,0 +1,163 @@
+"""Pipeline wave 40 (round 5, thirty-eighth wave): rank correlation —
+the monotone-association complement to the already-certified Pearson
+``corr_matrix``.
+
+- ``spearman_rank_corr`` — Spearman's ρ between per-customer order
+  count and total spend: Pearson correlation of tie-aware AVERAGE
+  ranks (avg rank = rank() + (tie_count − 1)/2 — the fractional-rank
+  convention every stats package uses). Linear work: two window
+  ranks + one corr aggregate.
+- ``kendall_tau_daily`` — Kendall's τ-b between daily order count
+  and daily average order value, with the full tie correction
+  τ_b = (P − Q) / √((n₀−n₁)(n₀−n₂)). Counted by a pairwise
+  self-join over the AGGREGATED day grid (~2.4k days → ~3M pairs,
+  broadcast), never over fact rows, so the cost is scale-invariant
+  in SF.
+
+The reference has no window functions or correlation aggregates
+(``/root/reference/ROADMAP.md``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _avg_rank(col):
+    """Fractional (average) rank of ``col`` over the whole frame."""
+    return (
+        F.rank().over(Window.orderBy(col))
+        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - 1) / 2.0
+    )
+
+
+def q_spearman_rank_corr(spark, sf):
+    """Spearman ρ(order count, total spend) per customer.
+
+    Scale: the per-customer aggregate map-side combines; the two
+    global rank windows are the only single-partition stages and run
+    over one row per customer — at extreme cardinality ρ would switch
+    to range-partitioned rank stitching, same algebra."""
+    per_cust = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    ranked = per_cust.select(
+        _avg_rank(F.col("n_orders")).alias("rx"),
+        _avg_rank(F.col("spend")).alias("ry"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+    )
+
+
+def q_kendall_tau_daily(spark, sf):
+    """Kendall τ-b between daily order count and daily mean value."""
+    daily = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.round(
+                F.avg(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn_x = F.signum(F.col("b.x") - F.col("a.x"))
+    sgn_y = F.signum(F.col("b.y") - F.col("a.y"))
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        (sgn_x * sgn_y).alias("prod"),
+        (sgn_x == 0).cast("long").alias("tie_x"),
+        (sgn_y == 0).cast("long").alias("tie_y"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((F.col("prod") > 0).cast("long")).alias("concordant"),
+        F.sum((F.col("prod") < 0).cast("long")).alias("discordant"),
+        F.sum("tie_x").alias("n1"),
+        F.sum("tie_y").alias("n2"),
+    )
+    return agg.select(
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(
+                (F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n2")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+QUERIES = {
+    "spearman_rank_corr": q_spearman_rank_corr,
+    "kendall_tau_daily": q_kendall_tau_daily,
+}
+
+ORACLES = {
+    "spearman_rank_corr": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend
+          FROM orders GROUP BY 1
+        ),
+        ranked AS (
+          SELECT rank() OVER (ORDER BY n_orders)
+                   + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0
+                   AS rx,
+                 rank() OVER (ORDER BY spend)
+                   + (count(*) OVER (PARTITION BY spend) - 1) / 2.0
+                   AS ry
+          FROM per_cust
+        )
+        SELECT count(*) AS n_customers,
+               round(corr(rx, ry), 6) AS spearman_rho
+        FROM ranked
+    """,
+    "kendall_tau_daily": """
+        WITH daily AS (
+          SELECT o_orderdate AS d,
+                 CAST(count(*) AS DOUBLE) AS x,
+                 CAST(round(avg(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                      AS DOUBLE) AS y
+          FROM orders GROUP BY 1
+        ),
+        pairs AS (
+          SELECT sign(b.x - a.x) * sign(b.y - a.y) AS prod,
+                 CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tie_x,
+                 CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS tie_y
+          FROM daily a JOIN daily b ON a.d < b.d
+        ),
+        agg AS (
+          SELECT count(*) AS n0,
+                 CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS concordant,
+                 CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS discordant,
+                 CAST(sum(tie_x) AS BIGINT) AS n1,
+                 CAST(sum(tie_y) AS BIGINT) AS n2
+          FROM pairs
+        )
+        SELECT concordant, discordant,
+               round((concordant - discordant)
+                 / sqrt(CAST(n0 - n1 AS DOUBLE)
+                        * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
+        FROM agg
+    """,
+}
