@@ -69,6 +69,7 @@ from datafusion_archive_spark.queries import (
     pipeline38,
     pipeline39,
     pipeline40,
+    pipeline41,
     registry_udf,
     relational,
     sources_io,
@@ -135,6 +136,7 @@ QUERY_MODULES = (
     pipeline38,
     pipeline39,
     pipeline40,
+    pipeline41,
     sql2,
 )
 
