@@ -70,6 +70,7 @@ from datafusion_archive_spark.queries import (
     pipeline39,
     pipeline40,
     pipeline41,
+    pipeline42,
     registry_udf,
     relational,
     sources_io,
@@ -137,6 +138,7 @@ QUERY_MODULES = (
     pipeline39,
     pipeline40,
     pipeline41,
+    pipeline42,
     sql2,
 )
 
