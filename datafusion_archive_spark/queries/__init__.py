@@ -71,6 +71,7 @@ from datafusion_archive_spark.queries import (
     pipeline40,
     pipeline41,
     pipeline42,
+    pipeline43,
     registry_udf,
     relational,
     sources_io,
@@ -139,6 +140,7 @@ QUERY_MODULES = (
     pipeline40,
     pipeline41,
     pipeline42,
+    pipeline43,
     sql2,
 )
 
