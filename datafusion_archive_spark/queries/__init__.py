@@ -72,6 +72,7 @@ from datafusion_archive_spark.queries import (
     pipeline41,
     pipeline42,
     pipeline43,
+    pipeline44,
     registry_udf,
     relational,
     sources_io,
@@ -141,6 +142,7 @@ QUERY_MODULES = (
     pipeline41,
     pipeline42,
     pipeline43,
+    pipeline44,
     sql2,
 )
 
