@@ -73,6 +73,7 @@ from datafusion_archive_spark.queries import (
     pipeline42,
     pipeline43,
     pipeline44,
+    pipeline45,
     registry_udf,
     relational,
     sources_io,
@@ -143,6 +144,7 @@ QUERY_MODULES = (
     pipeline42,
     pipeline43,
     pipeline44,
+    pipeline45,
     sql2,
 )
 
