@@ -74,6 +74,7 @@ from datafusion_archive_spark.queries import (
     pipeline43,
     pipeline44,
     pipeline45,
+    pipeline46,
     registry_udf,
     relational,
     sources_io,
@@ -145,6 +146,7 @@ QUERY_MODULES = (
     pipeline43,
     pipeline44,
     pipeline45,
+    pipeline46,
     sql2,
 )
 
