@@ -75,6 +75,7 @@ from datafusion_archive_spark.queries import (
     pipeline44,
     pipeline45,
     pipeline46,
+    pipeline47,
     registry_udf,
     relational,
     sources_io,
@@ -147,6 +148,7 @@ QUERY_MODULES = (
     pipeline44,
     pipeline45,
     pipeline46,
+    pipeline47,
     sql2,
 )
 
