@@ -76,6 +76,7 @@ from datafusion_archive_spark.queries import (
     pipeline45,
     pipeline46,
     pipeline47,
+    pipeline48,
     registry_udf,
     relational,
     sources_io,
@@ -149,6 +150,7 @@ QUERY_MODULES = (
     pipeline45,
     pipeline46,
     pipeline47,
+    pipeline48,
     sql2,
 )
 
