@@ -77,6 +77,7 @@ from datafusion_archive_spark.queries import (
     pipeline46,
     pipeline47,
     pipeline48,
+    pipeline49,
     registry_udf,
     relational,
     sources_io,
@@ -151,6 +152,7 @@ QUERY_MODULES = (
     pipeline46,
     pipeline47,
     pipeline48,
+    pipeline49,
     sql2,
 )
 
@@ -273,9 +275,18 @@ _FIRST_50 = [
 # embedding QA, any-order funnel + abandonment, array HOFs +
 # weighted quartiles + 2-D histogram, SPRT + decile migration +
 # new-vs-returning, LSH tuning curve, integrity audit + exponential
-# fit + Hill index, xml_roundtrip — ~59 names, locally green under
-# the dtype-strict gate) and any round-6 additions, then the
-# r1-of-record names oldest-first
+# fit + Hill index, xml_roundtrip, PLUS the late-round-5 waves 35-46
+# (pipeline37-48: assoc_triples, surrogate_keys_hash,
+# hierarchy_closure_rollup, apportion_largest_remainder,
+# theil_sen_slope, pettitt_changepoint, spearman_rank_corr,
+# kendall_tau_daily, jackknife_ratio_se, pattern_rise_drop,
+# segment_overlap_venn, trend_test_ca, species_richness_chao1,
+# mann_kendall_trend, inventory_clamped_scan, shapley_attribution,
+# isotonic_calibration, diff_in_diff, periodogram_dft,
+# runs_test_random, pca_power_iteration,
+# embedding_quantization_audit, holt_winters_weekly) — all locally
+# green under the dtype-strict gate) and any round-6 additions, then
+# the r1-of-record names oldest-first
 # (agg_having, agg_rollup, cast_semantics, date_funcs,
 # events_asof_join, events_distinct_kmv, events_range_join, geo_udt,
 # in_subquery, join_full_outer, join_inner_3way, json_extract,
