@@ -78,6 +78,7 @@ from datafusion_archive_spark.queries import (
     pipeline47,
     pipeline48,
     pipeline49,
+    pipeline50,
     registry_udf,
     relational,
     sources_io,
@@ -153,6 +154,7 @@ QUERY_MODULES = (
     pipeline47,
     pipeline48,
     pipeline49,
+    pipeline50,
     sql2,
 )
 
