@@ -79,6 +79,7 @@ from datafusion_archive_spark.queries import (
     pipeline48,
     pipeline49,
     pipeline50,
+    pipeline51,
     registry_udf,
     relational,
     sources_io,
@@ -155,6 +156,7 @@ QUERY_MODULES = (
     pipeline48,
     pipeline49,
     pipeline50,
+    pipeline51,
     sql2,
 )
 
