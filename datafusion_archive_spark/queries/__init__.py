@@ -80,6 +80,7 @@ from datafusion_archive_spark.queries import (
     pipeline49,
     pipeline50,
     pipeline51,
+    pipeline52,
     registry_udf,
     relational,
     sources_io,
@@ -157,6 +158,7 @@ QUERY_MODULES = (
     pipeline49,
     pipeline50,
     pipeline51,
+    pipeline52,
     sql2,
 )
 
