@@ -81,6 +81,7 @@ from datafusion_archive_spark.queries import (
     pipeline50,
     pipeline51,
     pipeline52,
+    pipeline53,
     registry_udf,
     relational,
     sources_io,
@@ -159,6 +160,7 @@ QUERY_MODULES = (
     pipeline50,
     pipeline51,
     pipeline52,
+    pipeline53,
     sql2,
 )
 
