@@ -292,7 +292,11 @@ _FIRST_50 = [
 # mann_kendall_trend, inventory_clamped_scan, shapley_attribution,
 # isotonic_calibration, diff_in_diff, periodogram_dft,
 # runs_test_random, pca_power_iteration,
-# embedding_quantization_audit, holt_winters_weekly) — all locally
+# embedding_quantization_audit, holt_winters_weekly,
+# eb_shrinkage_rates, cuped_adjustment, quantile_treatment_effects,
+# grouped_ols_elasticity, fixed_effects_within, shuffle_skew_audit,
+# retrieval_metrics_truncation, conformal_interval_coverage,
+# wasserstein_drift, newsvendor_stocking) — all locally
 # green under the dtype-strict gate) and any round-6 additions, then
 # the r1-of-record names oldest-first
 # (agg_having, agg_rollup, cast_semantics, date_funcs,
