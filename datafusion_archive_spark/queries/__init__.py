@@ -82,6 +82,7 @@ from datafusion_archive_spark.queries import (
     pipeline51,
     pipeline52,
     pipeline53,
+    pipeline54,
     registry_udf,
     relational,
     sources_io,
@@ -161,6 +162,7 @@ QUERY_MODULES = (
     pipeline51,
     pipeline52,
     pipeline53,
+    pipeline54,
     sql2,
 )
 
