@@ -83,6 +83,7 @@ from datafusion_archive_spark.queries import (
     pipeline52,
     pipeline53,
     pipeline54,
+    pipeline55,
     registry_udf,
     relational,
     sources_io,
@@ -163,6 +164,7 @@ QUERY_MODULES = (
     pipeline52,
     pipeline53,
     pipeline54,
+    pipeline55,
     sql2,
 )
 
