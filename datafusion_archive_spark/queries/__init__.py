@@ -84,6 +84,7 @@ from datafusion_archive_spark.queries import (
     pipeline53,
     pipeline54,
     pipeline55,
+    pipeline56,
     registry_udf,
     relational,
     sources_io,
@@ -165,6 +166,7 @@ QUERY_MODULES = (
     pipeline53,
     pipeline54,
     pipeline55,
+    pipeline56,
     sql2,
 )
 
