@@ -85,6 +85,7 @@ from datafusion_archive_spark.queries import (
     pipeline54,
     pipeline55,
     pipeline56,
+    pipeline57,
     registry_udf,
     relational,
     sources_io,
@@ -167,6 +168,7 @@ QUERY_MODULES = (
     pipeline54,
     pipeline55,
     pipeline56,
+    pipeline57,
     sql2,
 )
 
