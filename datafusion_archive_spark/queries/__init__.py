@@ -86,6 +86,7 @@ from datafusion_archive_spark.queries import (
     pipeline55,
     pipeline56,
     pipeline57,
+    pipeline58,
     registry_udf,
     relational,
     sources_io,
@@ -169,6 +170,7 @@ QUERY_MODULES = (
     pipeline55,
     pipeline56,
     pipeline57,
+    pipeline58,
     sql2,
 )
 
