@@ -87,6 +87,7 @@ from datafusion_archive_spark.queries import (
     pipeline56,
     pipeline57,
     pipeline58,
+    pipeline59,
     registry_udf,
     relational,
     sources_io,
@@ -171,6 +172,7 @@ QUERY_MODULES = (
     pipeline56,
     pipeline57,
     pipeline58,
+    pipeline59,
     sql2,
 )
 
