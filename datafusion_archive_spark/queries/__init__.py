@@ -88,6 +88,7 @@ from datafusion_archive_spark.queries import (
     pipeline57,
     pipeline58,
     pipeline59,
+    pipeline60,
     registry_udf,
     relational,
     sources_io,
@@ -173,6 +174,7 @@ QUERY_MODULES = (
     pipeline57,
     pipeline58,
     pipeline59,
+    pipeline60,
     sql2,
 )
 
