@@ -89,6 +89,7 @@ from datafusion_archive_spark.queries import (
     pipeline58,
     pipeline59,
     pipeline60,
+    pipeline61,
     registry_udf,
     relational,
     sources_io,
@@ -175,6 +176,7 @@ QUERY_MODULES = (
     pipeline58,
     pipeline59,
     pipeline60,
+    pipeline61,
     sql2,
 )
 
