@@ -90,6 +90,7 @@ from datafusion_archive_spark.queries import (
     pipeline59,
     pipeline60,
     pipeline61,
+    pipeline62,
     registry_udf,
     relational,
     sources_io,
@@ -177,6 +178,7 @@ QUERY_MODULES = (
     pipeline59,
     pipeline60,
     pipeline61,
+    pipeline62,
     sql2,
 )
 
