@@ -91,6 +91,7 @@ from datafusion_archive_spark.queries import (
     pipeline60,
     pipeline61,
     pipeline62,
+    pipeline63,
     registry_udf,
     relational,
     sources_io,
@@ -179,6 +180,7 @@ QUERY_MODULES = (
     pipeline60,
     pipeline61,
     pipeline62,
+    pipeline63,
     sql2,
 )
 
