@@ -92,6 +92,7 @@ from datafusion_archive_spark.queries import (
     pipeline61,
     pipeline62,
     pipeline63,
+    pipeline64,
     registry_udf,
     relational,
     sources_io,
@@ -181,6 +182,7 @@ QUERY_MODULES = (
     pipeline61,
     pipeline62,
     pipeline63,
+    pipeline64,
     sql2,
 )
 

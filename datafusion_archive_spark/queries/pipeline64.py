@@ -1,0 +1,216 @@
+"""Pipeline wave 64 (round 5, sixty-second wave): winnowing — the
+MOSS local fingerprinting algorithm, the guarantee-bearing member of
+the dedup family.
+
+Construction shared by both queries: normalized text → all
+_K-character gram positions → portable 60-bit hash per gram → for
+every window of _WIN consecutive positions select the minimal
+(hash, position) key (lexicographic on the zero-padded key string —
+identical tie-breaking in any engine) → the DISTINCT selected keys
+are the document's fingerprints. Winnowing's guarantee: any shared
+substring of length ≥ _K + _WIN − 1 yields at least one shared
+fingerprint, with expected density 2/(_WIN+1) — unlike the certified
+MinHash/SimHash waves (global similarity), winnowing finds LOCAL
+copies.
+
+- ``winnowing_fingerprints`` — per-source fingerprint statistics:
+  positions, selected fingerprints, observed density (tests pin it
+  near 2/(w+1)).
+- ``moss_shared_fingerprints`` — the plagiarism readout: top-10
+  document pairs by count of shared selected fingerprint hashes.
+
+The reference has no string functions (``/root/reference/ROADMAP.md``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.queries.llm import _hash64_sql, _NORM
+
+_K = 8
+_WIN = 4
+_SEED = 5
+_TOP = 10
+
+
+def _selected(spark, sf):
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            TX.normalize_text(F.col("text")).alias("t"),
+        )
+        .filter(F.length("t") >= _K + _WIN - 1)
+    )
+    pos = d.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - (_K - 1))
+        ).alias("p"),
+    )
+    keyed = pos.select(
+        "doc_id",
+        "source",
+        "p",
+        F.concat(
+            F.lpad(
+                TX.hash64(
+                    F.expr(f"substr(t, p, {_K})"), _SEED
+                ).cast("string"),
+                19,
+                "0",
+            ),
+            F.lpad(F.col("p").cast("string"), 7, "0"),
+        ).alias("key"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        0, _WIN - 1
+    )
+    w_cnt = Window.partitionBy("doc_id")
+    mins = keyed.select(
+        "doc_id",
+        "source",
+        "p",
+        F.min("key").over(w).alias("sel"),
+        F.max("p").over(w_cnt).alias("max_p"),
+    ).filter(F.col("p") <= F.col("max_p") - (_WIN - 1))
+    return mins.select("doc_id", "source", "sel").distinct()
+
+
+def q_winnowing_fingerprints(spark, sf):
+    """Per-source winnowing density statistics."""
+    sel = _selected(spark, sf)
+    per_doc = sel.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_sel")
+    )
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (
+                F.length(TX.normalize_text(F.col("text"))) - (_K - 1)
+            ).alias("n_pos"),
+        )
+        .filter(F.col("n_pos") >= _WIN)
+    )
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pos").alias("n_positions"),
+            F.sum("n_sel").alias("n_fingerprints"),
+            F.round(
+                F.sum("n_sel") / F.sum("n_pos").cast("double"), 6
+            ).alias("density"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_moss_shared_fingerprints(spark, sf):
+    """Top-10 doc pairs by shared winnowing fingerprint hashes."""
+    sel = _selected(spark, sf).select(
+        "doc_id", F.substring("sel", 1, 19).alias("h")
+    ).distinct()
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .orderBy(F.desc("shared"), "doc_a", "doc_b")
+        .limit(_TOP)
+    )
+
+
+QUERIES = {
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "moss_shared_fingerprints": q_moss_shared_fingerprints,
+}
+
+_SEL_SQL = f"""
+        norm AS (
+          SELECT doc_id, source, {_NORM} AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND length({_NORM}) >= {_K + _WIN - 1}
+        ),
+        pos AS (
+          SELECT doc_id, source, t,
+                 unnest(range(1, length(t) - {_K - 2})) AS p
+          FROM norm
+        ),
+        keyed AS (
+          SELECT doc_id, source, p,
+                 lpad(CAST(
+                   {_hash64_sql(f"substr(t, CAST(p AS INT), {_K})", _SEED)}
+                   AS VARCHAR), 19, '0')
+                 || lpad(CAST(p AS VARCHAR), 7, '0') AS key
+          FROM pos
+        ),
+        mins AS (
+          SELECT doc_id, source, p,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND {_WIN - 1} FOLLOWING)
+                   AS sel,
+                 max(p) OVER (PARTITION BY doc_id) AS max_p
+          FROM keyed
+        ),
+        selected AS (
+          SELECT DISTINCT doc_id, source, sel
+          FROM mins WHERE p <= max_p - {_WIN - 1}
+        )
+"""
+
+ORACLES = {
+    "winnowing_fingerprints": f"""
+        WITH {_SEL_SQL},
+        per_doc AS (
+          SELECT doc_id, source, count(*) AS n_sel
+          FROM selected GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT doc_id, length(t) - {_K - 1} AS n_pos FROM norm
+          WHERE length(t) - {_K - 1} >= {_WIN}
+        )
+        SELECT p.source,
+               count(*) AS n_docs,
+               CAST(sum(s.n_pos) AS BIGINT) AS n_positions,
+               CAST(sum(p.n_sel) AS BIGINT) AS n_fingerprints,
+               round(CAST(sum(p.n_sel) AS DOUBLE) / sum(s.n_pos), 6)
+                 AS density
+        FROM per_doc p JOIN sizes s ON p.doc_id = s.doc_id
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "moss_shared_fingerprints": f"""
+        WITH {_SEL_SQL},
+        hashes AS (
+          SELECT DISTINCT doc_id, substr(sel, 1, 19) AS h
+          FROM selected
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared
+        FROM hashes a JOIN hashes b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY shared DESC, doc_a, doc_b
+        LIMIT {_TOP}
+    """,
+}
