@@ -93,6 +93,7 @@ from datafusion_archive_spark.queries import (
     pipeline62,
     pipeline63,
     pipeline64,
+    pipeline65,
     registry_udf,
     relational,
     sources_io,
@@ -183,6 +184,7 @@ QUERY_MODULES = (
     pipeline62,
     pipeline63,
     pipeline64,
+    pipeline65,
     sql2,
 )
 
