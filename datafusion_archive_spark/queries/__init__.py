@@ -94,6 +94,7 @@ from datafusion_archive_spark.queries import (
     pipeline63,
     pipeline64,
     pipeline65,
+    pipeline66,
     registry_udf,
     relational,
     sources_io,
@@ -185,6 +186,7 @@ QUERY_MODULES = (
     pipeline63,
     pipeline64,
     pipeline65,
+    pipeline66,
     sql2,
 )
 
