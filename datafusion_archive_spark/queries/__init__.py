@@ -95,6 +95,7 @@ from datafusion_archive_spark.queries import (
     pipeline64,
     pipeline65,
     pipeline66,
+    pipeline67,
     registry_udf,
     relational,
     sources_io,
@@ -187,6 +188,7 @@ QUERY_MODULES = (
     pipeline64,
     pipeline65,
     pipeline66,
+    pipeline67,
     sql2,
 )
 
