@@ -96,6 +96,7 @@ from datafusion_archive_spark.queries import (
     pipeline65,
     pipeline66,
     pipeline67,
+    pipeline68,
     registry_udf,
     relational,
     sources_io,
@@ -189,6 +190,7 @@ QUERY_MODULES = (
     pipeline65,
     pipeline66,
     pipeline67,
+    pipeline68,
     sql2,
 )
 
