@@ -326,7 +326,19 @@ _FIRST_50 = [
 # eb_shrinkage_rates, cuped_adjustment, quantile_treatment_effects,
 # grouped_ols_elasticity, fixed_effects_within, shuffle_skew_audit,
 # retrieval_metrics_truncation, conformal_interval_coverage,
-# wasserstein_drift, newsvendor_stocking) — all locally
+# wasserstein_drift, newsvendor_stocking, logistic_newton,
+# covariate_balance_smd, cem_stratified_ate, raking_ipf,
+# ips_policy_eval, gpd_pot_fit, k_anonymity_audit,
+# point_in_polygon_tag, ar1_durbin_watson, ccf_leadlag,
+# classical_decomposition, atkinson_index, dbscan_clusters,
+# silhouette_simplified, huber_irls_regression,
+# langid_confusion_audit, kmeans_lloyd, ab_srm_check,
+# matrix_profile_motifs, matrix_profile_discords,
+# winnowing_fingerprints, moss_shared_fingerprints,
+# markov_transition_matrix, markov_attribution_removal,
+# kde_gaussian_grid, anderson_darling_2sample, cox_ph_newton,
+# logrank_test, spatial_clark_evans, em_exponential_mixture) —
+# all locally
 # green under the dtype-strict gate) and any round-6 additions, then
 # the r1-of-record names oldest-first
 # (agg_having, agg_rollup, cast_semantics, date_funcs,
