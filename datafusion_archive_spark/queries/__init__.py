@@ -97,6 +97,7 @@ from datafusion_archive_spark.queries import (
     pipeline66,
     pipeline67,
     pipeline68,
+    pipeline69,
     registry_udf,
     relational,
     sources_io,
@@ -191,6 +192,7 @@ QUERY_MODULES = (
     pipeline66,
     pipeline67,
     pipeline68,
+    pipeline69,
     sql2,
 )
 
