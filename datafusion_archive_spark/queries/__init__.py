@@ -98,6 +98,7 @@ from datafusion_archive_spark.queries import (
     pipeline67,
     pipeline68,
     pipeline69,
+    pipeline70,
     registry_udf,
     relational,
     sources_io,
@@ -193,6 +194,7 @@ QUERY_MODULES = (
     pipeline67,
     pipeline68,
     pipeline69,
+    pipeline70,
     sql2,
 )
 
