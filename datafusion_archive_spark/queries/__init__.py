@@ -99,6 +99,7 @@ from datafusion_archive_spark.queries import (
     pipeline68,
     pipeline69,
     pipeline70,
+    pipeline71,
     registry_udf,
     relational,
     sources_io,
@@ -195,6 +196,7 @@ QUERY_MODULES = (
     pipeline68,
     pipeline69,
     pipeline70,
+    pipeline71,
     sql2,
 )
 
