@@ -83,10 +83,31 @@ def parse_create_external_table(sql: str) -> CreateExternalTable:
     header_clause = (m.group("header") or "").upper()
     fmt = m.group("format").upper()
     widths = m.group("widths")
-    if fmt == "FIXEDWIDTH" and not widths:
+    row_tag = m.group("rowtag")
+    # format-clause cross-validation: the grammar is one regex, so a
+    # clause that only makes sense for one format would otherwise
+    # parse for any format and be silently ignored at scan time
+    if widths is not None and fmt != "FIXEDWIDTH":
         raise ValueError(
-            "STORED AS FIXEDWIDTH requires a WIDTHS '…' clause"
+            f"WIDTHS clause is only valid with STORED AS FIXEDWIDTH, "
+            f"not {fmt}"
         )
+    if row_tag is not None and fmt != "XML":
+        raise ValueError(
+            f"ROWTAG clause is only valid with STORED AS XML, not {fmt}"
+        )
+    if fmt == "FIXEDWIDTH":
+        if not widths:
+            raise ValueError(
+                "STORED AS FIXEDWIDTH requires a WIDTHS '…' clause"
+            )
+        # fail at parse time, not with int('') deep inside the scan
+        for tok in widths.replace(" ", "").split(","):
+            if not tok.isdigit() or int(tok) <= 0:
+                raise ValueError(
+                    f"malformed WIDTHS clause {widths!r}: each width "
+                    "must be a positive integer"
+                )
     return CreateExternalTable(
         name=m.group("name"),
         columns=cols,
@@ -94,7 +115,7 @@ def parse_create_external_table(sql: str) -> CreateExternalTable:
         header_row=not header_clause.startswith("WITHOUT"),
         location=m.group("location"),
         widths=widths.replace(" ", "") if widths else None,
-        row_tag=m.group("rowtag"),
+        row_tag=row_tag,
     )
 
 

@@ -50,10 +50,17 @@ def asof_join(
     )
     merged = l_tag.unionByName(r_tag)
     # right rows sort before left rows at identical timestamps so a
-    # same-instant right row is visible to the left row (<= semantics)
+    # same-instant right row is visible to the left row (<= semantics);
+    # the value columns are a deterministic final tiebreaker — several
+    # right rows sharing (key, ts) would otherwise carry whichever one
+    # the shuffle happened to order last (the greatest value tuple wins)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .orderBy(
+            F.col("_ts"),
+            F.col("_is_left"),
+            *[F.col(f"{c}{suffix}") for c in right_value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(
@@ -111,10 +118,16 @@ def asof_join_forward(
     )
     merged = l_tag.unionByName(r_tag)
     # descending time: right rows at the same instant sort first so a
-    # same-instant right row is visible to the left row (>= semantics)
+    # same-instant right row is visible to the left row (>= semantics);
+    # value columns break (key, ts) ties deterministically — matching
+    # the backward join's contract, the greatest value tuple wins
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").desc(), F.col("_is_left"))
+        .orderBy(
+            F.col("_ts").desc(),
+            F.col("_is_left"),
+            *[F.col(f"{c}{suffix}") for c in right_value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(

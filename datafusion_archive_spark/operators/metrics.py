@@ -37,13 +37,19 @@ def observe_quality(
     zero shuffle, zero extra pass; the only cost is the per-row
     counter updates inside the already-running stages."""
     metrics = [F.count(F.lit(1)).alias("n_rows")]
+    # coalesce: SUM over zero rows is NULL, and callers compare these
+    # counters numerically — an empty input must report 0, not None
     for c in null_cols or []:
         metrics.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"n_null_{c}")
         )
     if violation is not None:
         metrics.append(
-            F.sum(violation.cast("long")).alias("n_violations")
+            F.coalesce(
+                F.sum(violation.cast("long")), F.lit(0)
+            ).alias("n_violations")
         )
     obs = Observation(name)
     return df.observe(obs, *metrics), obs

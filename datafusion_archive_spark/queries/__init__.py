@@ -226,140 +226,103 @@ ROWS_ONLY = {
     "bpe_encode_tokens",
 }
 
-#: The round-5 certification window (driver checks entries [:50]).
+#: The certification window (driver checks entries [:50]).
 #: Policy: a query with NO driver row ever is weaker evidence than one
 #: whose row is merely old, so never-certified names outrank
-#: re-certification. This round added 59 queries (waves 1-9) on top of
-#: the 143 with an r1-r4 row of record; the window holds the two
-#: round-4 dtype-only red rows (console_script_sql,
-#: histogram_equi_depth — oracles now CAST to the Spark dtype;
-#: re-certifying closes the last red rows) plus 48 never-certified
-#: round-5 names. The 11 round-5 names that don't fit
-#: (window_rolling_median, bitwise_aggs, text_sentences,
-#: dedup_sentences_cross_doc, geo_grid_join, vocab_richness, zipf_fit,
-#: readability_scores, embedding_centroids, gini_customer_spend,
-#: interarrival_stats) each have a same-machinery sibling inside the
-#: window (weighted_median / histogram_dense for percentile-free
-#: quantiles; regression_aggs for numeric agg folds; dedup_passages
-#: for sentence splitting; collocations_pmi for token-pair analytics;
-#: ks_test_two_sample for distribution stats) and head the round-6
-#: window. Round-1-of-record re-certification resumes in round 6; the
-#: local dtype-strict gate (tools/check_oracle.py) reproduces the
-#: driver hash semantics, so old rows are additionally re-proven
-#: locally every round.
+#: re-certification. After round 5 the registry holds 342 names with
+#: 191 ever driver-certified (188 ever green); the round-6 window
+#: below drains the never-certified backlog oldest-first, exactly as
+#: the round-5 ROUND-6 NOTE scheduled and VERDICT r5 #1 prescribed.
+#: The local dtype-strict gate (tools/check_oracle.py) reproduces the
+#: driver hash semantics, so out-of-window names are additionally
+#: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # --- new this round (never certified)
-    "weighted_sample_per_lang_salted",
-    "heavy_hitters_topk",
-    "schema_evolution_merge",
-    "quarantine_corrupt_rows",
-    "collocations_pmi",
-    "dedup_containment",
-    "outliers_mad",
-    "tfidf_topk_terms",
-    "quality_filter_pipeline",
-    "events_transitions",
-    "mixture_weights",
-    "pii_redact",
-    "dedup_passages",
-    "perplexity_bigram",
-    "curation_funnel",
-    "quality_quantile_norm",
-    "snapshot_diff",
-    "bpe_merges",  # rows-only by design (iterative; differential pytest)
-    "semantic_dedup_clusters",
-    "skyline_orders",
-    "scd2_event_state",
-    "time_decay_agg",
-    "shard_manifest",
-    "events_anomaly_zscore",
-    "window_range_1h",
-    "bpe_encode_tokens",  # rows-only (consumes the iterative trainer)
-    "class_rebalance",
-    "temporal_split_last_k",
-    "events_hopping_distinct_users",
-    "sales_share_shift",
-    # --- round-4 dtype-only failures, oracles fixed
-    "console_script_sql",
-    "histogram_equi_depth",
-    # --- round-5 waves 5-9 (never certified)
-    "regression_aggs",
-    "data_quality_checks",
-    "assoc_rules_pairs",
-    "gaps_islands",
-    "bloom_prefilter_semi_join",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "rrf_fusion",
-    "median_mode_aggs",
-    "window_running_distinct",
-    "interval_union_time",
-    "weighted_median",
-    "moving_corr",
-    "ab_test_ztest",
-    "contingency_stats",
-    "ks_test_two_sample",
-    "phrase_search_inverted",
-    "histogram_dense",
+    # ROUND-6 WINDOW — registry frozen per VERDICT r5 #1: zero new
+    # query waves this round; the window is the 50 oldest
+    # never-certified oracle-backed names in registry order (the 11
+    # wave-9-12 spillovers, then pipeline15-24 oldest-first, headed
+    # by xml_roundtrip). Rows-only entries (bpe_*) are deliberately
+    # excluded — their evidence is the differential pytest, and a
+    # window slot spent on a no_oracle row certifies nothing.
+    "xml_roundtrip",
+    "window_rolling_median",
+    "bitwise_aggs",
+    "text_sentences",
+    "dedup_sentences_cross_doc",
+    "geo_grid_join",
+    "vocab_richness",
+    "zipf_fit",
+    "readability_scores",
+    "embedding_centroids",
+    "gini_customer_spend",
+    "interarrival_stats",
+    "rfm_segments",
+    "pareto_abc_parts",
+    "benford_first_digit",
+    "ewma_daily_revenue",
+    "cusum_changepoint",
+    "acf_daily_counts",
+    "kl_divergence_lang",
+    "js_divergence_langs",
+    "target_encoding_nation",
+    "woe_iv_price_bins",
+    "feature_hash_counts",
+    "simpson_slopes",
+    "jaro_winkler_linkage",
+    "bootstrap_ci_mean",
+    "seasonal_profile_dow",
+    "lorenz_curve_deciles",
+    "mann_whitney_u",
+    "survival_curve",
+    "mutual_information_lang_source",
+    "psi_price_drift",
+    "event_trigrams",
+    "percent_change_mom",
+    "auc_roc",
+    "cumulative_gains",
+    "calibration_curve",
+    "corr_matrix",
+    "theil_index",
+    "events_enriched_segment",
+    "events_asof_forward",
+    "percentiles_by_month",
+    "anova_weekday_revenue",
+    "leakage_traintest_overlap",
+    "max_drawdown_daily",
+    "entropy_rate_transitions",
+    "conversion_time_percentiles",
+    "local_peaks_daily",
+    "bollinger_breaches",
+    "cohort_ltv_cumulative",
 ]
 
-# ROUND-6 NOTE (next certification window): head with the round-5
-# names that did not fit this round — the 11 from waves 9-12
-# (window_rolling_median, bitwise_aggs, text_sentences,
-# dedup_sentences_cross_doc, geo_grid_join, vocab_richness, zipf_fit,
-# readability_scores, embedding_centroids, gini_customer_spend,
-# interarrival_stats) plus EVERYTHING in pipeline15-24 (waves 13-22:
-# RFM/Pareto/Benford/EWMA/CUSUM/ACF, divergences + encodings +
-# feature hashing + Simpson, JW linkage + bootstrap + seasonality +
-# Lorenz, Mann-Whitney/survival/MI/PSI/trigrams/MoM, AUC/gains/
-# calibration/corr-matrix/Theil, stream-static enrichment, asof
-# forward + grouped percentiles + ANOVA + leakage, drawdown/entropy
-# rate/conversion/peaks/Bollinger, cohort LTV/repeat rate/HHI/
-# seasonal outliers/missing days, minhash audit + novelty +
-# embedding QA, any-order funnel + abandonment, array HOFs +
-# weighted quartiles + 2-D histogram, SPRT + decile migration +
-# new-vs-returning, LSH tuning curve, integrity audit + exponential
-# fit + Hill index, xml_roundtrip, PLUS the late-round-5 waves 35-46
-# (pipeline37-48: assoc_triples, surrogate_keys_hash,
-# hierarchy_closure_rollup, apportion_largest_remainder,
-# theil_sen_slope, pettitt_changepoint, spearman_rank_corr,
-# kendall_tau_daily, jackknife_ratio_se, pattern_rise_drop,
-# segment_overlap_venn, trend_test_ca, species_richness_chao1,
-# mann_kendall_trend, inventory_clamped_scan, shapley_attribution,
-# isotonic_calibration, diff_in_diff, periodogram_dft,
-# runs_test_random, pca_power_iteration,
-# embedding_quantization_audit, holt_winters_weekly,
-# eb_shrinkage_rates, cuped_adjustment, quantile_treatment_effects,
-# grouped_ols_elasticity, fixed_effects_within, shuffle_skew_audit,
-# retrieval_metrics_truncation, conformal_interval_coverage,
-# wasserstein_drift, newsvendor_stocking, logistic_newton,
-# covariate_balance_smd, cem_stratified_ate, raking_ipf,
-# ips_policy_eval, gpd_pot_fit, k_anonymity_audit,
-# point_in_polygon_tag, ar1_durbin_watson, ccf_leadlag,
-# classical_decomposition, atkinson_index, dbscan_clusters,
-# silhouette_simplified, huber_irls_regression,
-# langid_confusion_audit, kmeans_lloyd, ab_srm_check,
-# matrix_profile_motifs, matrix_profile_discords,
-# winnowing_fingerprints, moss_shared_fingerprints,
-# markov_transition_matrix, markov_attribution_removal,
-# kde_gaussian_grid, anderson_darling_2sample, cox_ph_newton,
-# logrank_test, spatial_clark_evans, em_exponential_mixture) —
-# all locally
-# green under the dtype-strict gate) and any round-6 additions, then
-# the r1-of-record names oldest-first
-# (agg_having, agg_rollup, cast_semantics, date_funcs,
-# events_asof_join, events_distinct_kmv, events_range_join, geo_udt,
-# in_subquery, join_full_outer, join_inner_3way, json_extract,
-# predicate_between_in, string_funcs, text_fingerprint, text_lang_id,
-# text_stats, window_topk_per_group, setop_*, join_left_outer,
-# join_semi, events_multi_rollup, events_time_bucket, try_cast_nulls,
-# try_divide_nulls, literals_no_from, sqrt_fn, agg_cube,
-# agg_grouping_sets, cte_scalar_subquery, distinct_pairs, percentiles,
-# pivot_linestatus, sort_limit_topk, filter_like, window_running,
-# agg_count_distinct_group, arithmetic_ops, case_when,
-# null_predicates), so no query's certification-of-record falls more
-# than a few rounds behind.
-
+# ROUND-7 NOTE (next certification window): 101 oracle-backed names
+# remain never-certified after this window; fill round 7 with the
+# next 50 in registry order:
+#   repeat_purchase_rate, supplier_share_hhi, seasonal_adjusted_outliers,
+#   missing_days_report, minhash_estimate_audit, ngram_novelty_rate,
+#   embedding_norm_outliers, embedding_dim_variance, anyorder_funnel_1h,
+#   session_abandonment_rate, array_hof_ops, weighted_quartiles, histogram_2d,
+#   sprt_ab_sequential, decile_migration_matrix, monthly_new_vs_returning,
+#   lsh_tuning_curve, referential_integrity_audit, exponential_fit_gaps,
+#   hill_tail_index, hard_negatives_topk, contrastive_random_negatives,
+#   token_dispersion, price_index_laspeyres, heaps_law_fit,
+#   double_smoothing_forecast, active_users_stickiness,
+#   daily_growth_accounting, revenue_bridge_mom, haversine_nearest_hub,
+#   fdr_bh_nation_tests, capture_recapture_users, variant_extraction,
+#   assoc_triples, surrogate_keys_hash, hierarchy_closure_rollup,
+#   apportion_largest_remainder, theil_sen_slope, pettitt_changepoint,
+#   spearman_rank_corr, kendall_tau_daily, jackknife_ratio_se,
+#   pattern_rise_drop, segment_overlap_venn, trend_test_ca,
+#   species_richness_chao1, mann_kendall_trend, inventory_clamped_scan,
+#   shapley_attribution, isotonic_calibration
+# then round 8 takes the remaining ~51 plus the r1-of-record
+# re-certifications (agg_having, cast_semantics, date_funcs,
+# events_*, setop_*, join_*, string/scalar families) so the oldest
+# certification-of-record is <= round 4 by end of round 8. The full
+# local sweep log (tools/check_oracle.py over every registered
+# query) is committed per-round as tools/oracle_sweep_r{N}.log to
+# make the backlog's locally-green claim auditable.
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before

@@ -391,7 +391,9 @@ def q_bpe_encode_tokens(spark, sf):
     return enc.select(
         "doc_id",
         "n_tokens",
-        F.slice(F.col("tokens"), 1, 8).alias("head_tokens"),
+        # stringified so every driver-visible column is scalar — the
+        # driver's rows-only canonicalization cannot sort ARRAY columns
+        F.concat_ws("|", F.slice(F.col("tokens"), 1, 8)).alias("head_tokens"),
     )
 
 

@@ -108,7 +108,7 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
         self._batch = FixedWidthReader(schema, options)
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"n_files": 0, "last": ""}
 
     def _rows_for(self, files):
         # a LIST, not a generator: Spark pickles the returned batch
@@ -122,19 +122,44 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
             out.extend(self._batch.read(_FixedWidthPartition(f)))
         return out
 
+    @staticmethod
+    def _consumed_prefix(files, start: dict):
+        """Split the listing at the committed offset BY NAME, not by
+        position: offsets are (count, max-consumed-name) so a late
+        file that sorts before already-consumed names is detected as
+        a contract violation instead of silently shifting the index
+        space (which would replay or skip rows)."""
+        last = start.get("last", "")
+        k = start.get("n_files", 0)
+        prefix = [f for f in files if os.path.basename(f) <= last]
+        if len(prefix) != k:
+            raise RuntimeError(
+                "fixedwidth stream: directory is not append-only — "
+                f"{len(prefix)} files sort at or before the committed "
+                f"offset {last!r} but {k} were consumed; a file "
+                "arrived late with an out-of-order name"
+            )
+        return [f for f in files if os.path.basename(f) > last]
+
     def read(self, start: dict):
         files = _list_files(self._batch.path)
-        k = start.get("n_files", 0)
+        new = self._consumed_prefix(files, start)
+        end = {
+            "n_files": len(files),
+            "last": os.path.basename(files[-1]) if files else "",
+        }
         # iter(): the runner drives the batch with next() and also
         # pickles it for the prefetch cache — a plain list satisfies
         # the pickling but not the iterator protocol
-        return iter(self._rows_for(files[k:])), {"n_files": len(files)}
+        return iter(self._rows_for(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_files(self._batch.path)
+        unconsumed = self._consumed_prefix(files, start)
+        last_end = end.get("last", "")
         return iter(
             self._rows_for(
-                files[start.get("n_files", 0) : end.get("n_files", 0)]
+                [f for f in unconsumed if os.path.basename(f) <= last_end]
             )
         )
 

@@ -95,13 +95,33 @@ class IncrementalRollupSink:
             (F.col("sum_v") / F.col("n")).cast("double").alias("avg_value"),
         )
 
+    def _last_applied(self) -> int:
+        """batch_id folded into the current state (-1 if none). Stored
+        as an underscore-prefixed file INSIDE the state directory so
+        it swaps atomically with the state it describes (Spark's
+        parquet reader ignores `_`-prefixed files)."""
+        marker = os.path.join(self.path, "_last_batch_id")
+        if not os.path.isfile(marker):
+            return -1
+        with open(marker) as fh:
+            return int(fh.read().strip() or -1)
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         with self._lock:
+            # foreachBatch is at-least-once: a micro-batch replayed
+            # after a crash between the parquet swap and the
+            # checkpoint commit must NOT be folded in twice (addition
+            # is not idempotent). The marker travels inside the state
+            # dir, so state and watermark swap as one unit.
+            if batch_id <= self._last_applied():
+                return
             part = partial_state(batch, self.keys, self.value_col)
             cur = self.read_state()
             merged = part if cur is None else merge_states(cur, part, self.keys)
             tmp = self.path.rstrip("/") + "__tmp"
             merged.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+                fh.write(str(batch_id))
             old = self.path.rstrip("/") + "__old"
             import shutil
 

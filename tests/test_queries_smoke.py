@@ -50,10 +50,28 @@ def test_entry_runs(spark):
     assert "sum_qty" in df.columns
 
 
+# queries allowed to expose non-scalar top-level columns (none today:
+# round 5's bpe_encode_tokens ARRAY column crashed the driver's
+# rows-only canonicalization — VERDICT r5 "what's wrong" #1)
+COMPLEX_COLUMN_WHITELIST: set[str] = set()
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs(spark, sf_dir, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = entrymod.queries()[name](spark, sf_dir)
     assert df.columns  # stable, non-empty schema
+    if name not in COMPLEX_COLUMN_WHITELIST:
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (ArrayType, MapType, StructType)
+            ), (
+                f"{name}.{f.name} is {f.dataType.simpleString()}: the "
+                "driver canonicalizes results through pandas sort, "
+                "which cannot handle array/map/struct top-level "
+                "columns — stringify (concat_ws/to_json) or explode"
+            )
     assert df.count() >= 0
 
 

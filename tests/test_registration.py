@@ -75,6 +75,17 @@ def test_certification_window_is_valid():
         assert name in _ALL_QUERIES, name
 
 
+def test_rows_only_entries_stay_out_of_window():
+    """A rows-only entry in the 50-slot certification window wastes
+    the slot — the driver records it as a `no_oracle` err row while
+    its real evidence is the differential pytest (VERDICT r5 #2)."""
+    burned = set(_FIRST_50) & set(ROWS_ONLY)
+    assert not burned, (
+        f"rows-only entries {sorted(burned)} occupy certification "
+        "slots — move them out of _FIRST_50"
+    )
+
+
 def test_oracles_have_no_orphans():
     for name in ORACLES:
         assert name in _ALL_QUERIES, f"oracle {name} has no query"
