@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 
 class TestSprt:
     def test_matches_python(self, spark):
+        """Per-arm (user_id parity) SPRT replayed imperatively — one
+        independent sequential test per experiment arm."""
         ev = sorted(
             (
                 r
@@ -26,33 +28,43 @@ class TestSprt:
         )
         inc_s = math.log(P27._SPRT_P1 / P27._SPRT_P0)
         inc_f = math.log((1 - P27._SPRT_P1) / (1 - P27._SPRT_P0))
-        llr, crossing, up_i, dn_i = 0.0, None, None, None
-        for i, r in enumerate(ev, 1):
-            llr += inc_s if r.event_type == "purchase" else inc_f
-            if crossing is None and abs(llr) >= P27._SPRT_A:
-                crossing = i
-            if up_i is None and llr >= P27._SPRT_A:
-                up_i = i
-            if dn_i is None and llr <= -P27._SPRT_A:
-                dn_i = i
-        row = P27.q_sprt_ab_sequential(spark, SF).collect()[0]
-        assert row.n_trials == len(ev)
-        assert math.isclose(row.final_llr, llr, abs_tol=1e-4)
-        assert row.crossing_i == crossing
-        if crossing is None:
-            assert row.decision == "continue"
-        else:
-            big = 2**62
-            want = (
-                "accept_h1"
-                if (up_i or big) < (dn_i or big)
-                else "accept_h0"
-            )
-            assert row.decision == want
-        # coherence: a 'continue' verdict means the LLR never left
-        # the corridor — including at the end
-        if row.decision == "continue":
-            assert abs(row.final_llr) < P27._SPRT_A
+        want = {}
+        for arm in ("A", "B"):
+            trials = [
+                r
+                for r in ev
+                if ("A" if r.user_id % 2 == 0 else "B") == arm
+            ]
+            llr, crossing, up_i, dn_i = 0.0, None, None, None
+            for i, r in enumerate(trials, 1):
+                llr += inc_s if r.event_type == "purchase" else inc_f
+                if crossing is None and abs(llr) >= P27._SPRT_A:
+                    crossing = i
+                if up_i is None and llr >= P27._SPRT_A:
+                    up_i = i
+                if dn_i is None and llr <= -P27._SPRT_A:
+                    dn_i = i
+            want[arm] = (len(trials), llr, crossing, up_i, dn_i)
+
+        rows = {r.arm: r for r in P27.q_sprt_ab_sequential(spark, SF).collect()}
+        assert set(rows) == {"A", "B"}
+        for arm, (n, llr, crossing, up_i, dn_i) in want.items():
+            row = rows[arm]
+            assert row.n_trials == n
+            assert math.isclose(row.final_llr, llr, abs_tol=1e-4)
+            assert row.crossing_i == crossing
+            if crossing is None:
+                assert row.decision == "continue"
+                # coherence: 'continue' means the LLR never left the
+                # corridor — including at the end
+                assert abs(row.final_llr) < P27._SPRT_A
+            else:
+                big = 2**62
+                assert row.decision == (
+                    "accept_h1"
+                    if (up_i or big) < (dn_i or big)
+                    else "accept_h0"
+                )
 
 
 class TestDecileMigration:

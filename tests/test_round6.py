@@ -234,3 +234,24 @@ def test_asof_backward_tie_is_deterministic(spark):
             left, right.repartition(8), "key", "t", "t", ["v"]
         ).collect()
         assert [r.v_asof for r in out] == [7.0]
+
+
+# ---------------------------------------------------------------------------
+# SPRT partitioned-window plan (VERDICT r5 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_windows_partition_by_arm(spark, sf_dir):
+    """Every window in the SPRT plan must partition by the experiment
+    arm — the certified row may not run a full-stream global window
+    (which funnels the entire trial stream through one task)."""
+    import re
+
+    from datafusion_archive_spark.plans.inspect import plan_string
+    from datafusion_archive_spark.queries import QUERIES
+
+    raw = plan_string(QUERIES["sprt_ab_sequential"](spark, sf_dir))
+    windows = re.findall(r"(?:Window|RunningWindowFunction)\s*\[.*", raw)
+    assert windows, raw
+    for w in windows:
+        assert "arm" in w, f"unpartitioned window in SPRT plan: {w}"
