@@ -21,6 +21,7 @@ from datafusion_archive_spark.operators import (
     similarity,
     splits,
 )
+from datafusion_archive_spark.operators.util import load_table
 
 # -- shared SQL fragments (DuckDB) ------------------------------------------
 
@@ -48,7 +49,7 @@ _SIMHASH_BANDS = 4
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

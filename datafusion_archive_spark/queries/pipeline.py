@@ -15,10 +15,11 @@ from pyspark.sql import Window, functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.functions.rounding import decimal_sum, round_half_up
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def q_pipeline_clean_corpus(spark, sf):

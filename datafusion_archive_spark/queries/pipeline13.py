@@ -28,10 +28,11 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.llm import _NORM, _WORDS
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def _tokens(spark, sf):

@@ -42,10 +42,11 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -41,10 +41,11 @@ from datafusion_archive_spark.queries.llm import (
     _minhash_pair_ctes,
     _shingles_sql,
 )
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from datafusion_archive_spark.queries.llm import (
     _MINHASH_SIG_CTE,
     _N_MINHASH,
 )
+from datafusion_archive_spark.operators.util import load_table
 
 _CONFIGS = [2, 4, 8]  # bands; rows_per_band = 16 / bands
 _VERIFY_T = 0.25
@@ -74,7 +75,7 @@ def q_lsh_tuning_curve(spark, sf):
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def _pairs_sql(bands: int) -> str:

@@ -50,12 +50,13 @@ from datafusion_archive_spark.queries.pipeline2 import (
     _weighted_sample_per_lang_oracle,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.util import load_table
 
 _IO_BASE = "/root/repo/.tmp_io"
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ import math
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.operators.util import load_table
 
 _TWO60 = float(2**60)
 _EARTH_KM = 6371.0
@@ -36,7 +37,7 @@ _HUBS = [
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def _coord(key_col, seed, lo, hi):

@@ -24,10 +24,11 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.llm import _hash64_sql
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 _TRI_MIN_ITEM = 20  # baskets an item must appear in before pairing

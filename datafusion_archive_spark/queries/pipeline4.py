@@ -51,10 +51,11 @@ from datafusion_archive_spark.functions.rounding import (
 )
 from datafusion_archive_spark.operators.util import cached
 from datafusion_archive_spark.queries import llm as _llm
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -50,10 +50,11 @@ from datafusion_archive_spark.queries.pipeline3 import (
     _QF_MIN_QUALITY,
     _QF_MIN_TOKENS,
 )
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

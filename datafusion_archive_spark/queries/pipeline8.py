@@ -54,10 +54,11 @@ from datafusion_archive_spark.functions.rounding import (
     round_half_up_sql,
 )
 from datafusion_archive_spark.queries.llm import _hash64_sql
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -27,10 +27,11 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import geo
 from datafusion_archive_spark.functions.rounding import decimal_sum, round_half_up
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -21,10 +21,11 @@ from datafusion_archive_spark.streaming.events import (
     sessionize_batch,
     windowed_event_counts,
 )
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def load_events(spark, sf_dir):

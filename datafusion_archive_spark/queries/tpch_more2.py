@@ -12,10 +12,11 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum,
     round_half_up,
 )
+from datafusion_archive_spark.operators.util import load_table
 
 
 def _t(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def q13_customer_distribution(spark, sf):
