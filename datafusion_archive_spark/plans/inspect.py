@@ -53,7 +53,12 @@ def summarize(df: DataFrame) -> PlanSummary:
     return PlanSummary(
         joins=[j for j in re.findall("|".join(_JOIN_KINDS), plan)],
         n_hash_exchanges=len(re.findall(r"Exchange hashpartitioning", plan)),
-        n_scans=len(re.findall(r"Scan parquet|Scan csv|Scan json", detail)),
+        # numbered tree nodes only: formatted mode prints each scan
+        # twice (once in the tree, once in the detail section), so a
+        # bare substring count reports 2x the real scan count
+        n_scans=len(
+            re.findall(r"\(\d+\) Scan (?:parquet|csv|json)", detail)
+        ),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", detail),
         partition_filters=re.findall(
             r"PartitionFilters: \[([^\]]*)\]", detail

@@ -40,7 +40,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -68,12 +68,17 @@ def q_rfm_segments(spark, sf):
     fold (the equi-depth formulation) — no global-order window
     anywhere. Segment rollup is ≤ 64 groups."""
     o = _t(spark, sf, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.datediff(
-            F.max(F.to_date("o_orderdate")), F.lit(_RFM_EPOCH).cast("date")
-        ).cast("double").alias("last_day"),
-        F.count(F.lit(1)).cast("double").alias("fre"),
-        decimal_sum(F.col("o_totalprice")).cast("double").alias("mon"),
+    # cached: the customer rollup fans out to the max-date scalar,
+    # the quartile cutpoints, and the scored join — uncached, the
+    # orders Exchange would re-run for each branch
+    per_cust = cached(
+        o.groupBy("o_custkey").agg(
+            F.datediff(
+                F.max(F.to_date("o_orderdate")), F.lit(_RFM_EPOCH).cast("date")
+            ).cast("double").alias("last_day"),
+            F.count(F.lit(1)).cast("double").alias("fre"),
+            decimal_sum(F.col("o_totalprice")).cast("double").alias("mon"),
+        )
     )
     maxday = per_cust.agg(F.max("last_day").alias("corpus_max"))
     per_cust = per_cust.join(F.broadcast(maxday)).withColumn(

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.llm import _WORDS, _hash64_sql
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -74,7 +74,11 @@ def q_kl_divergence_lang(spark, sf):
     combined); the corpus distribution joins back on token (vocab-
     sized); lang totals broadcast."""
     toks = _tokens(spark, sf)
-    lt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    # cached: the (lang, token) rollup fans out to several consumers;
+    # uncached, each branch re-runs the corpus tokenization
+    lt = cached(
+        toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    )
     lang_tot = lt.groupBy("lang").agg(F.sum("n").alias("lt_tot"))
     corpus = lt.groupBy("token").agg(F.sum("n").alias("cn"))
     corpus_tot = corpus.agg(F.sum("cn").alias("c_tot"))
@@ -108,7 +112,11 @@ def q_js_divergence_langs(spark, sf):
     grid is |langs|² (broadcast); token alignment is one hash agg on
     (pair, token) — never a per-pair full-outer join."""
     toks = _tokens(spark, sf)
-    lt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    # cached: the (lang, token) rollup fans out to several consumers;
+    # uncached, each branch re-runs the corpus tokenization
+    lt = cached(
+        toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    )
     lang_tot = lt.groupBy("lang").agg(F.sum("n").alias("tot"))
     dist = lt.join(F.broadcast(lang_tot), "lang").select(
         "lang", "token", (F.col("n") / F.col("tot")).alias("prob")
@@ -173,7 +181,9 @@ def q_target_encoding_nation(spark, sf):
     )
     c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
-    per_nation = (
+    # cached: the 25-row rollup feeds both the prior and the final
+    # select; uncached, the orders-customer join runs twice
+    per_nation = cached(
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

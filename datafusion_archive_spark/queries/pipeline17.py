@@ -41,7 +41,7 @@ from datafusion_archive_spark.functions.rounding import (
 from datafusion_archive_spark.queries.llm import _hash64_sql
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -169,14 +169,19 @@ def q_bootstrap_ci_mean(spark, sf):
     indexed grid — linear in days, never touching the fact table;
     the final percentile runs over 200 rep-means."""
     o = _t(spark, sf, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.to_date("o_orderdate"), F.lit(_BOOT_EPOCH).cast("date")
-        ).alias("day")
-    ).agg(decimal_sum(F.col("o_totalprice")).cast("double").alias("rev"))
+    # cached: the day grid feeds the indexed resample base AND the
+    # point estimate; the indexed grid feeds three consumers — both
+    # are |days|-sized, and uncached each branch re-runs the fact scan
+    daily = cached(
+        o.groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit(_BOOT_EPOCH).cast("date")
+            ).alias("day")
+        ).agg(decimal_sum(F.col("o_totalprice")).cast("double").alias("rev"))
+    )
     idx_w = Window.orderBy("day")
-    indexed = daily.select(
-        (F.row_number().over(idx_w) - 1).alias("idx"), "rev"
+    indexed = cached(
+        daily.select((F.row_number().over(idx_w) - 1).alias("idx"), "rev")
     )
     n = indexed.agg(F.count(F.lit(1)).alias("n_days"))
     reps = spark.range(_BOOT_REPS).select(F.col("id").alias("rep"))
@@ -261,8 +266,12 @@ def q_lorenz_curve_deciles(spark, sf):
     aggregate pass broadcast back; the cumulative window runs over 10
     decile rows."""
     o = _t(spark, sf, "orders")
-    spend = o.groupBy("o_custkey").agg(
-        decimal_sum(F.col("o_totalprice")).cast("double").alias("x")
+    # cached: the customer-spend rollup feeds both the cutpoint pass
+    # and the bucketing join — uncached, the orders Exchange runs twice
+    spend = cached(
+        o.groupBy("o_custkey").agg(
+            decimal_sum(F.col("o_totalprice")).cast("double").alias("x")
+        )
     )
     pcts = ", ".join(str(p) for p in _LORENZ_PCTS)
     cuts = spend.agg(F.expr(f"percentile(x, array({pcts}))").alias("bs"))

@@ -42,7 +42,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -175,8 +175,12 @@ def q_mutual_information_lang_source(spark, sf):
     marginals and total derive from the cells — the corpus is
     scanned once."""
     d = _t(spark, sf, "documents")
-    cells = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("double").alias("n")
+    # cached: the contingency cells feed both marginals, the total,
+    # and the join — uncached, the corpus scan re-runs per branch
+    cells = cached(
+        d.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
     )
     lm = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
     sm = cells.groupBy("source").agg(F.sum("n").alias("ns"))
@@ -244,13 +248,17 @@ def q_psi_price_drift(spark, sf):
             "aggregate(bs, 0, (acc, b) -> acc + IF(o_totalprice > b, 1, 0))"
         ).alias("bin"),
     )
-    cells = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("double").alias(
-            "n_ref"
-        ),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("double").alias(
-            "n_cur"
-        ),
+    # cached: the 10-cell rollup feeds the totals and the final
+    # select — uncached, the binning scan re-runs per branch
+    cells = cached(
+        binned.groupBy("bin").agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("double").alias(
+                "n_ref"
+            ),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("double").alias(
+                "n_cur"
+            ),
+        )
     )
     tot = cells.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")

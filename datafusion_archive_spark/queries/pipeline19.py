@@ -38,7 +38,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum,
     decimal_sum_sql,
 )
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -124,9 +124,13 @@ def q_cumulative_gains(spark, sf):
             "aggregate(bs, 0, (acc, b) -> acc + IF(score <= b, 1, 0))"
         ).alias("decile"),
     )
-    per = binned.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("y").cast("double").alias("pos"),
+    # cached: the 10-row rollup feeds the totals and the window —
+    # uncached, the decile binning scan re-runs per branch
+    per = cached(
+        binned.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("y").cast("double").alias("pos"),
+        )
     )
     tot = per.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
     w = Window.orderBy("decile").rowsBetween(
@@ -171,8 +175,12 @@ def q_calibration_curve(spark, sf):
     )
     c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     labeled = o.join(c, o.o_custkey == c.c_custkey).select("c_nationkey", "y")
-    enc = labeled.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("ny")
+    # cached: the 25-row encoding rollup feeds the prior and the
+    # smoothed map — uncached, the orders-customer join runs again
+    enc = cached(
+        labeled.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("ny")
+        )
     )
     prior = enc.agg((F.sum("ny") / F.sum("n")).alias("prior"))
     enc = enc.join(F.broadcast(prior)).select(

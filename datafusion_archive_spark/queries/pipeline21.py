@@ -37,7 +37,7 @@ from datafusion_archive_spark.functions.rounding import (
 from datafusion_archive_spark.operators.asof import asof_join_forward
 from datafusion_archive_spark.queries.llm import _NORM
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -190,13 +190,18 @@ def q_leakage_traintest_overlap(spark, sf):
         *[c for c in base.columns if c != "doc_id"],
     )
     d = base.unionByName(twins)
-    fp = d.select(
-        "doc_id",
-        TX.fingerprint(F.col("text")).alias("fp"),
-        (
-            TX.hash64(F.col("doc_id").cast("string")) % _LEAK_BUCKETS
-            < _LEAK_TRAIN_CUT
-        ).alias("is_train"),
+    # cached: the compact (doc_id, fp, split) projection feeds both
+    # the train rollup and the test side — uncached, the corpus would
+    # be fingerprinted twice; text itself never leaves the scan
+    fp = cached(
+        d.select(
+            "doc_id",
+            TX.fingerprint(F.col("text")).alias("fp"),
+            (
+                TX.hash64(F.col("doc_id").cast("string")) % _LEAK_BUCKETS
+                < _LEAK_TRAIN_CUT
+            ).alias("is_train"),
+        )
     )
     train = fp.filter("is_train").groupBy("fp").agg(
         F.count(F.lit(1)).alias("n_train_dups"),

@@ -40,7 +40,7 @@ from datafusion_archive_spark.functions.rounding import (
 )
 from datafusion_archive_spark.operators.asof import asof_join
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -106,10 +106,14 @@ def q_entropy_rate_transitions(spark, sf):
     H_cond/H_marg (1 ⇒ memoryless). One row.
 
     Scale: one user Exchange for the lag; the entropy sums run over
-    the |types|² transition cells."""
+    the |types|² transition cells. The transition rollup is cached —
+    it fans out to four consumers (row/column marginals, total,
+    join), and without the cache each branch would re-run the
+    corpus-sized lag-window pipeline (4 scans + 4 user shuffles
+    instead of 1, confirmed in the round-6 plan audit)."""
     e = load_events(spark, sf).select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    pairs = cached(
         e.withColumn("prev", F.lag("event_type").over(w))
         .filter(F.col("prev").isNotNull())
         .groupBy("prev", "event_type")

