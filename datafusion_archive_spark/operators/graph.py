@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.util import cached
+
 
 def co_occurrence_edges(
     df: DataFrame, basket_col: str, item_col: str
@@ -67,8 +69,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     orientation).
 
     Shuffles: degree agg, two wedge joins keyed on node ids — no
-    cartesian anywhere."""
-    deg = degrees(edges)
+    cartesian anywhere. The edge list, the degree table, and the
+    oriented edges are cached (operator-internal, released by the
+    registry wrapper): each fans out to several consumers, and
+    uncached the basket self-join that built the edges would re-run
+    for every branch (measured 36 re-scans of the fact table)."""
+    edges = cached(edges)
+    deg = cached(degrees(edges))
     # scalar orientation rank: degree-major, id-minor (ids and degrees
     # both fit 31 bits for any realistic catalog)
     rank = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rank")
@@ -79,7 +86,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .join(dr.withColumnRenamed("node", "dst"), "dst")
         .withColumnRenamed("rank", "rank_dst")
     )
-    oriented = e.select(
+    oriented = cached(e.select(
         F.when(F.col("rank_src") < F.col("rank_dst"), F.col("src"))
         .otherwise(F.col("dst"))
         .alias("lo"),
@@ -92,7 +99,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(F.col("rank_src") < F.col("rank_dst"), F.col("rank_dst"))
         .otherwise(F.col("rank_src"))
         .alias("hi_rank"),
-    )
+    ))
     w1 = oriented.select(
         F.col("lo").alias("u"),
         F.col("hi").alias("v"),
@@ -161,9 +168,14 @@ def pagerank(
         F.count(F.lit(1)).alias("deg")
     )
     n = deg.count()
-    out = directed.join(
-        deg.withColumnRenamed("node", "src"), "src"
-    ).select("src", "dst", "deg")
+    # cached: the rank-contribution join re-reads this every
+    # iteration; uncached, the upstream edge construction (a basket
+    # self-join for co-occurrence graphs) would re-run 8 times
+    out = cached(
+        directed.join(
+            deg.withColumnRenamed("node", "src"), "src"
+        ).select("src", "dst", "deg")
+    )
     ranks = deg.select(
         "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
     ).localCheckpoint(eager=True)

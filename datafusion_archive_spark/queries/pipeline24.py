@@ -41,7 +41,7 @@ from datafusion_archive_spark.queries.llm import (
     _minhash_pair_ctes,
     _shingles_sql,
 )
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -63,9 +63,14 @@ def q_minhash_estimate_audit(spark, sf):
     semi-joins BEFORE intersecting, so the quadratic kernel touches
     only audited documents."""
     docs = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, num_hashes=_N_MINHASH, bands=_MINHASH_BANDS, k=3,
-        threshold=0.25,
+    # cached: the candidate pairs feed the id set (twice) and the
+    # final join — uncached, the whole minhash+banding pipeline would
+    # re-run three times
+    pairs = cached(
+        dedup.minhash_lsh_pairs(
+            docs, num_hashes=_N_MINHASH, bands=_MINHASH_BANDS, k=3,
+            threshold=0.25,
+        )
     )
     ex = (
         docs.filter(F.col("text").isNotNull())
@@ -80,7 +85,9 @@ def q_minhash_estimate_audit(spark, sf):
     ids = pairs.select(F.col("id_a").alias("id")).union(
         pairs.select("id_b")
     ).distinct()
-    exf = ex.join(ids, "id", "left_semi")
+    # cached: the restricted shingle set feeds the sizes and both
+    # sides of the intersection self-join
+    exf = cached(ex.join(ids, "id", "left_semi"))
     sizes = exf.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = exf.alias("a")
     b = exf.alias("b")

@@ -27,7 +27,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -54,6 +54,9 @@ def q_double_smoothing_forecast(spark, sf):
             F.to_date("o_orderdate"), F.lit(_DS_EPOCH).cast("date")
         ).alias("day")
     ).agg(decimal_sum(F.col("o_totalprice")).cast("double").alias("rev"))
+    # cached: the day grid feeds both sides of each band self-join
+    # and the backtest join — uncached, the fact rollup re-runs 3x
+    daily = cached(daily)
     d1, d2 = daily.alias("d1"), daily.alias("d2")
     k = F.col("d1.day") - F.col("d2.day")
     wgt = F.pow(F.lit(1.0 - _DS_ALPHA), k)
@@ -66,6 +69,7 @@ def q_double_smoothing_forecast(spark, sf):
         .groupBy(F.col("d1.day").alias("day"))
         .agg((F.sum(wgt * F.col("d2.rev")) / F.sum(wgt)).alias("s1"))
     )
+    s1 = cached(s1)
     e1, e2 = s1.alias("e1"), s1.alias("e2")
     k2 = F.col("e1.day") - F.col("e2.day")
     wgt2 = F.pow(F.lit(1.0 - _DS_ALPHA), k2)
@@ -113,6 +117,9 @@ def q_active_users_stickiness(spark, sf):
             F.to_date("ts"), F.lit(_AU_EPOCH).cast("date")
         ).alias("day"),
     ).distinct()
+    # cached: the activity grid feeds the day list, both trailing
+    # band joins, and the DAU rollup
+    act = cached(act)
     days = act.select("day").distinct()
 
     def trailing(width, name):

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -40,10 +40,14 @@ def q_daily_growth_accounting(spark, sf):
     user's broadcast-joined first day — every shuffle keys on
     user_id."""
     e = load_events(spark, sf)
-    weeks = e.select(
-        "user_id",
-        F.to_date("ts").alias("week"),
-    ).distinct()
+    # cached: the (user, day) grid feeds the first-day rollup, the
+    # prev-day self-join, the classifier, and the active counts
+    weeks = cached(
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("week"),
+        ).distinct()
+    )
     first = weeks.groupBy("user_id").agg(F.min("week").alias("w0"))
     prev = weeks.select(
         "user_id", F.date_add("week", 1).alias("week"), F.lit(1).alias("was_prev")
@@ -59,7 +63,7 @@ def q_daily_growth_accounting(spark, sf):
             .alias("cls"),
         )
     )
-    counts = classified.groupBy("week").agg(
+    counts = cached(classified.groupBy("week").agg(
         F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).alias("n_new"),
         F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0)).alias(
             "n_retained"
@@ -67,7 +71,7 @@ def q_daily_growth_accounting(spark, sf):
         F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0)).alias(
             "n_resurrected"
         ),
-    )
+    ))
     active = weeks.groupBy("week").agg(
         F.count(F.lit(1)).alias("n_active")
     )

@@ -26,7 +26,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -70,7 +70,10 @@ def q_fdr_bh_nation_tests(spark, sf):
     )
     c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
-    per = (
+    # cached: the 25-row rollup fans out to the totals and the test
+    # join, and the ranked table fans out again for the BH cutoff —
+    # uncached, the orders-customer join would run up to four times
+    per = cached(
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -95,7 +98,7 @@ def q_fdr_bh_nation_tests(spark, sf):
         "m",
     )
     w = Window.orderBy("_p", "nation")
-    ranked = tested.withColumn("bh_rank", F.row_number().over(w))
+    ranked = cached(tested.withColumn("bh_rank", F.row_number().over(w)))
     passes = F.when(
         F.col("_p") <= _FDR_Q * F.col("bh_rank") / F.col("m"),
         F.col("bh_rank"),

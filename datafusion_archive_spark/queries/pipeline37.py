@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.llm import _hash64_sql
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -53,8 +53,10 @@ def q_assoc_triples(spark, sf):
         .filter(F.col("n") >= _TRI_MIN_ITEM)
         .select("l_partkey")
     )
-    pruned = items.join(freq, "l_partkey").select(
-        "l_orderkey", "l_partkey"
+    # cached: the pruned basket rows are read three co-partitioned
+    # ways (a, b, c) — uncached, the distinct+prune re-runs per side
+    pruned = cached(
+        items.join(freq, "l_partkey").select("l_orderkey", "l_partkey")
     )
     a = pruned.alias("a")
     b = pruned.alias("b")
@@ -65,7 +67,7 @@ def q_assoc_triples(spark, sf):
     # carries an explicit orderkey equi-key (never an
     # inequality-only pairing that a reordering optimizer could
     # explode into |items|² rows).
-    pair_rows = a.join(
+    pair_rows = cached(a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
@@ -73,7 +75,7 @@ def q_assoc_triples(spark, sf):
         F.col("a.l_orderkey").alias("l_orderkey"),
         F.col("a.l_partkey").alias("pa"),
         F.col("b.l_partkey").alias("pb"),
-    )
+    ))
     triples = (
         pair_rows.alias("p")
         .join(

@@ -27,6 +27,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.util import cached
+
 _PCA_ITERS = 8
 _PCA_TOP = 8
 _DIM = 64
@@ -112,7 +114,10 @@ def q_pca_power_iteration(spark, sf):
 
 def q_embedding_quantization_audit(spark, sf):
     """4-bit uniform scalar quantization: MSE + used-bits entropy."""
-    cells = _exploded(spark, sf)
+    # cached: the exploded cells feed the range rollup and the
+    # coding pass; the reconstruction feeds the MSE and the code
+    # histogram — uncached, each branch re-explodes the corpus
+    cells = cached(_exploded(spark, sf))
     rng = cells.groupBy("i").agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
     )
@@ -143,6 +148,7 @@ def q_embedding_quantization_audit(spark, sf):
             )
         ).alias("err"),
     )
+    recon = cached(recon)
     mse = recon.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.avg(F.col("err") * F.col("err")).alias("mse"),

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.util import cached
+
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.llm import _hash64_sql
 
@@ -55,6 +57,10 @@ def q_fixed_effects_within(spark, sf):
             ).alias("y"),
         )
     )
+    # cached: the (nation, month) cells feed both fixed-effect
+    # marginals, the grand mean, and the within transform — uncached,
+    # the orders-customer join would run four times
+    cells = cached(cells)
     mi = cells.groupBy("i").agg(
         F.avg("x").alias("xi"), F.avg("y").alias("yi")
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.llm import _hash64_sql
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.util import cached
 
 _N_QUERIES = 50
 _TOPK = 10
@@ -79,7 +80,9 @@ def q_retrieval_metrics_truncation(spark, sf):
     w = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.col("cid")
     )
-    exact = (
+    # cached: the exact top-10 feeds the hit join and the query
+    # universe — uncached, the 64-dim scoring pipeline runs twice
+    exact = cached(
         _scores(spark, sf, 64)
         .select("qid", "cid", F.row_number().over(w).alias("erank"))
         .filter(F.col("erank") <= _TOPK)

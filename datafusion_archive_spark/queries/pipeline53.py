@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.util import cached
+
 _CU = 9.0
 _CO = 1.0
 _CR = _CU / (_CU + _CO)
@@ -96,6 +98,9 @@ def q_newsvendor_stocking(spark, sf):
         )
         .agg(F.count(F.lit(1)).alias("dem"))
     )
+    # cached: the (nation, day) demand grid feeds the cume-dist pass
+    # and the service-level join — uncached, the fact join runs twice
+    demand = cached(demand)
     w_cd = Window.partitionBy("nation").orderBy("dem")
     with_cd = demand.select(
         "nation", "dem", F.cume_dist().over(w_cd).alias("cd")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.operators import dedup
+from datafusion_archive_spark.operators.util import cached
 from datafusion_archive_spark.queries.pipeline10 import _synth_point
 
 _EPS = 0.25
@@ -88,11 +89,14 @@ def _neighbor_pairs(spark, sf):
 
 def q_dbscan_clusters(spark, sf):
     """DBSCAN summary: clusters, core/border/noise, max size."""
-    pairs = _neighbor_pairs(spark, sf).persist()
+    # cached (registry-released, not a bare persist that would leak
+    # across driver/bench sessions): pairs feeds the degree, core-core
+    # restriction, and border passes
+    pairs = cached(_neighbor_pairs(spark, sf))
     deg = pairs.groupBy(F.col("ida").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    core = deg.filter(F.col("deg") >= _MIN_PTS).select("id")
+    core = cached(deg.filter(F.col("deg") >= _MIN_PTS).select("id"))
     core_pairs = (
         pairs.join(core.withColumnRenamed("id", "ida"), "ida")
         .join(core.withColumnRenamed("id", "idb"), "idb")
@@ -107,7 +111,7 @@ def q_dbscan_clusters(spark, sf):
     ).select(
         F.col("id").alias("node"), F.col("id").alias("component")
     )
-    labels = comp.unionByName(lonely)
+    labels = cached(comp.unionByName(lonely))
     # border: non-core with >= 1 core neighbor; attach to min cluster
     border = (
         pairs.join(core.withColumnRenamed("id", "idb"), "idb")

@@ -54,7 +54,7 @@ from datafusion_archive_spark.functions.rounding import (
     round_half_up_sql,
 )
 from datafusion_archive_spark.queries.llm import _hash64_sql
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -278,7 +278,11 @@ def q_assoc_rules_pairs(spark, sf):
     basket id (co-partitioned both sides); per-item counts are a
     part-cardinality table joined back by key. Lift/confidence are
     exact integer-count ratios."""
-    items = (
+    # cached: the distinct basket rows feed the item counts, the
+    # frequent restriction, and the basket total; the pruned rows
+    # feed both sides of the pair self-join — uncached, the distinct
+    # shuffle would re-run for every branch
+    items = cached(
         _t(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -286,8 +290,10 @@ def q_assoc_rules_pairs(spark, sf):
     item_n = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("item_n")
     )
-    frequent = items.join(
-        item_n.filter(F.col("item_n") >= _PAIR_MIN_ITEM), "l_partkey"
+    frequent = cached(
+        items.join(
+            item_n.filter(F.col("item_n") >= _PAIR_MIN_ITEM), "l_partkey"
+        )
     )
     a = frequent.select(
         F.col("l_orderkey").alias("ok"),
@@ -391,7 +397,9 @@ def q_bloom_prefilter_semi_join(spark, sf):
     l = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
-    keys = (
+    # cached: the key set feeds the bitmap build and the exact semi
+    # join — uncached, the supplier-nation join runs twice
+    keys = cached(
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .filter(F.col("n_name") == "NATION_9")
         .select("s_suppkey")

@@ -21,7 +21,7 @@ from datafusion_archive_spark.streaming.events import (
     sessionize_batch,
     windowed_event_counts,
 )
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -201,10 +201,15 @@ def q_events_funnel(spark, sf):
     sequential-constraint joins are per-user scalars (O(users)), not
     event-by-event pairings."""
     ev = load_events(spark, sf).select("user_id", "event_type", "ts")
-    s1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
+    # s1/s2 cached: each feeds both the next stage's constraint join
+    # and the final union — uncached, stage k would recompute every
+    # earlier stage's scan+aggregate (O(users) rows pinned, not events)
+    s1 = cached(
+        ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+            F.min("ts").alias("t1")
+        )
     )
-    s2 = (
+    s2 = cached(
         ev.filter(F.col("event_type") == "view")
         .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
