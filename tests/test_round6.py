@@ -255,3 +255,33 @@ def test_sprt_windows_partition_by_arm(spark, sf_dir):
     assert windows, raw
     for w in windows:
         assert "arm" in w, f"unpartitioned window in SPRT plan: {w}"
+
+
+# ---------------------------------------------------------------------------
+# load_table memo semantics (round-6 plan-construction optimization)
+# ---------------------------------------------------------------------------
+
+
+def test_load_table_memoizes_per_session(spark, sf_dir):
+    from datafusion_archive_spark.operators.util import load_table
+
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation")
+    assert a is b, "same (session, dir, table) must return the cached handle"
+    c = load_table(spark, sf_dir, "region")
+    assert c is not a
+    assert a.count() == 25
+
+
+def test_load_table_rebuilds_for_new_session(spark, sf_dir):
+    """A handle from a dead/other session must not leak across — the
+    memo keys on the session object identity."""
+    from datafusion_archive_spark.operators import util
+
+    key = (sf_dir, "nation")
+    df = util.load_table(spark, sf_dir, "nation")
+    # simulate a stale entry from another session object
+    util._TABLE_HANDLES[key] = (object(), df)
+    rebuilt = util.load_table(spark, sf_dir, "nation")
+    assert util._TABLE_HANDLES[key][0] is spark
+    assert rebuilt.count() == 25
