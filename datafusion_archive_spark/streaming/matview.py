@@ -28,16 +28,22 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_archive_spark.functions.rounding import decimal_sum
-
-
 def partial_state(batch: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """The mergeable per-group state of one slice of rows: (n, sum).
-    Sums use exact DECIMAL partials so merge order never changes the
-    result."""
+
+    The sum is kept as EXACT INTEGER MICROS in a LONG — not a double
+    (``decimal_sum`` ends in a double cast, which would let a
+    multi-batch fold drift by an ulp per merge depending on batch
+    order) and not a decimal buffer (BigDecimal aggregation leaves
+    whole-stage codegen). Long addition is exact and associative, so
+    any merge order and any restart replay boundary yields the
+    bit-identical state; overflow needs ~9·10¹² money units per
+    group — and Spark's ANSI mode raises rather than corrupts beyond
+    it. ``read_view`` converts back to units at read time."""
+    micros = F.round(F.col(value_col) * 1_000_000).cast("long")
     return batch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        decimal_sum(F.col(value_col)).alias("sum_v"),
+        F.sum(micros).alias("sum_v"),
     )
 
 
@@ -49,14 +55,14 @@ def merge_states(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     n = new.select(
         *keys, F.col("n").alias("n_n"), F.col("sum_v").alias("s_n")
     )
+    zero = F.lit(0).cast("long")
     return o.join(n, keys, "full_outer").select(
         *keys,
         (F.coalesce("n_o", F.lit(0)) + F.coalesce("n_n", F.lit(0))).alias(
             "n"
         ),
         (
-            F.coalesce(F.col("s_o"), F.lit(0).cast("decimal(27,6)"))
-            + F.coalesce(F.col("s_n"), F.lit(0).cast("decimal(27,6)"))
+            F.coalesce(F.col("s_o"), zero) + F.coalesce(F.col("s_n"), zero)
         ).alias("sum_v"),
     )
 
@@ -91,8 +97,13 @@ class IncrementalRollupSink:
         return st.select(
             *self.keys,
             F.col("n").alias("n_events"),
-            F.col("sum_v").cast("double").alias("sum_value"),
-            (F.col("sum_v") / F.col("n")).cast("double").alias("avg_value"),
+            # micros -> units through an exact decimal, then double
+            (F.col("sum_v").cast("decimal(32,0)") / 1_000_000)
+            .cast("double")
+            .alias("sum_value"),
+            (
+                F.col("sum_v").cast("decimal(32,0)") / 1_000_000 / F.col("n")
+            ).cast("double").alias("avg_value"),
         )
 
     def _last_applied(self) -> int:
