@@ -50,8 +50,8 @@ def q_pca_power_iteration(spark, sf):
     centered = (
         cells.join(F.broadcast(means), "i")
         .select("vec_id", "i", (F.col("x") - F.col("m")).alias("c"))
-        .persist()
     )
+    centered = cached(centered)
     n = centered.select("vec_id").distinct().count()
     v = [1.0 / math.sqrt(_DIM)] * _DIM
     for _ in range(_PCA_ITERS):

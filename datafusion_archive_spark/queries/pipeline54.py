@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
 
+from datafusion_archive_spark.operators.util import cached
+
 _NEWTON_ITERS = 4
 _SPLIT = "2024-01-16"
 
@@ -48,7 +50,7 @@ def _obs(spark, sf):
 
 def q_logistic_newton(spark, sf):
     """Logistic P(urgent | ln value), 4 exact Newton steps."""
-    obs = _obs(spark, sf).persist()
+    obs = cached(_obs(spark, sf))
     a = b = 0.0
     for _ in range(_NEWTON_ITERS):
         p = 1.0 / (1.0 + F.exp(-(F.lit(a) + F.lit(b) * F.col("x"))))

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 
+from datafusion_archive_spark.operators.util import cached
+
 _IRLS_ITERS = 3
 _HUBER_C = 1.345
 _MAD_K = 1.4826
@@ -54,7 +56,7 @@ def _seq(spark, sf):
 
 def q_huber_irls_regression(spark, sf):
     """Huber M-estimate of the daily-revenue trend line."""
-    seq = _seq(spark, sf).persist()
+    seq = cached(_seq(spark, sf))
     ols = seq.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("t").alias("mt"),

@@ -34,6 +34,8 @@ from datafusion_archive_spark.queries.pipeline35 import (
 )
 from datafusion_archive_spark.queries.timeseries import load_events
 
+from datafusion_archive_spark.operators.util import cached
+
 _KM_K = 8
 _KM_ITERS = 2
 _DIM = 64
@@ -51,7 +53,7 @@ def _cells(spark, sf):
 
 def q_kmeans_lloyd(spark, sf):
     """K-means: 2 exact Lloyd iterations, deterministic init."""
-    cells = _cells(spark, sf).persist()
+    cells = cached(_cells(spark, sf))
     assign = cells.select(
         "vec_id", (F.col("vec_id") % _KM_K).alias("k")
     ).distinct()

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
 
+from datafusion_archive_spark.operators.util import cached
+
 _ITERS = 30
 _CHANNELS = ("view", "click", "signup", "error")
 
@@ -94,7 +96,7 @@ def q_markov_transition_matrix(spark, sf):
 
 def q_markov_attribution_removal(spark, sf):
     """Removal-effect attribution over the journey chain."""
-    t = _transitions(spark, sf).persist()
+    t = cached(_transitions(spark, sf))
     w_src = Window.partitionBy("src")
     base = t.select(
         "src",
@@ -135,11 +137,10 @@ def q_markov_attribution_removal(spark, sf):
             F.lit(1.0).alias("p"),
         )
     )
-    edges = (
+    edges = cached(
         edges.groupBy("variant", "src", "dst")
         .agg(F.sum("p").alias("p"))
         .unionByName(absorb)
-        .persist()
     )
     v = (
         edges.select("variant")

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
 
+from datafusion_archive_spark.operators.util import cached
+
 _ITERS = 3
 
 
@@ -70,7 +72,7 @@ def _cohort(spark, sf):
 
 def q_cox_ph_newton(spark, sf):
     """Cox PH beta + hazard ratio, 3 Newton steps (Breslow ties)."""
-    cohort = _cohort(spark, sf).persist()
+    cohort = cached(_cohort(spark, sf))
     beta = 0.0
     for _ in range(_ITERS):
         eb = F.exp(F.lit(beta) * F.col("x"))

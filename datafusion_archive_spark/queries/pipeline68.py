@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from datafusion_archive_spark.queries.pipeline10 import _synth_point
 from datafusion_archive_spark.queries.timeseries import load_events
 
+from datafusion_archive_spark.operators.util import cached
+
 _AREA = 100.0  # the synth coordinate space is [0, 10)^2
 _RADII = (0.25, 0.5, 1.0)
 _EM_ITERS = 3
@@ -116,7 +118,7 @@ def _gaps(spark, sf):
 
 def q_em_exponential_mixture(spark, sf):
     """2-component exponential mixture on inter-arrival gaps."""
-    gaps = _gaps(spark, sf).persist()
+    gaps = cached(_gaps(spark, sf))
     m = gaps.agg(F.avg("x").alias("m")).collect()[0].m
     lam1, lam2, pi1 = 2.0 / m, 0.5 / m, 0.5
     for _ in range(_EM_ITERS):
