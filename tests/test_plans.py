@@ -308,3 +308,55 @@ def test_perplexity_model_joins_are_equi(spark, sf_dir):
     s = summarize(QUERIES["perplexity_bigram"](spark, sf_dir))
     assert "CartesianProduct" not in s.joins
     assert "BroadcastHashJoin" in s.joins or "SortMergeJoin" in s.joins
+
+
+# round-6 recompute-sweep pins: each of these queries had a tiny
+# rollup fanning out uncached, re-running its corpus-sized subtree per
+# branch (PERF.md round-6 section). The ceiling is the post-fix scan
+# count — a regression that drops the cache re-inflates it.
+_SCAN_CEILINGS = {
+    "hierarchy_closure_rollup": 1,
+    "graph_triangle_count": 3,
+    "graph_pagerank": 3,
+    "minhash_estimate_audit": 4,
+    "fdr_bh_nation_tests": 3,
+    "assoc_triples": 2,
+    "assoc_rules_pairs": 2,
+    "dbscan_clusters": 5,
+    "entropy_rate_transitions": 1,
+    "target_encoding_nation": 3,
+    "rfm_segments": 1,
+    "kl_divergence_lang": 1,
+    "js_divergence_langs": 1,
+    "lorenz_curve_deciles": 1,
+    "bootstrap_ci_mean": 1,
+    "mutual_information_lang_source": 1,
+    "psi_price_drift": 2,
+    "cumulative_gains": 2,
+    "calibration_curve": 4,
+    "leakage_traintest_overlap": 2,
+    "cohort_ltv_cumulative": 2,
+    "double_smoothing_forecast": 1,
+    "active_users_stickiness": 1,
+    "daily_growth_accounting": 1,
+    "newsvendor_stocking": 3,
+    "events_funnel": 3,
+    "retrieval_metrics_truncation": 4,
+    "embedding_quantization_audit": 2,
+    "fixed_effects_within": 2,
+    "bloom_prefilter_semi_join": 5,
+}
+
+
+def test_recompute_sweep_scan_ceilings(spark, sf_dir):
+    import pytest as _pytest
+
+    failures = []
+    for name, ceiling in _SCAN_CEILINGS.items():
+        s = summarize(QUERIES[name](spark, sf_dir))
+        if s.n_scans > ceiling:
+            failures.append(f"{name}: {s.n_scans} scans > {ceiling}")
+    assert not failures, (
+        "fan-out recompute regressed (a shared rollup lost its cache):\n"
+        + "\n".join(failures)
+    )
