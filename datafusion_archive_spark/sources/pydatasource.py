@@ -122,8 +122,14 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
             out.extend(self._batch.read(_FixedWidthPartition(f)))
         return out
 
-    @staticmethod
-    def _consumed_prefix(files, start: dict):
+    def _rel(self, f: str) -> str:
+        """Offset key of a listed file: its path relative to the
+        source root — NOT the basename, which would sort differently
+        from the full-path-sorted listing once files live in
+        subdirectories."""
+        return os.path.relpath(f, self._batch.path)
+
+    def _consumed_prefix(self, files, start: dict):
         """Split the listing at the committed offset BY NAME, not by
         position: offsets are (count, max-consumed-name) so a late
         file that sorts before already-consumed names is detected as
@@ -131,7 +137,7 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
         space (which would replay or skip rows)."""
         last = start.get("last", "")
         k = start.get("n_files", 0)
-        prefix = [f for f in files if os.path.basename(f) <= last]
+        prefix = [f for f in files if self._rel(f) <= last]
         if len(prefix) != k:
             raise RuntimeError(
                 "fixedwidth stream: directory is not append-only — "
@@ -139,14 +145,14 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
                 f"offset {last!r} but {k} were consumed; a file "
                 "arrived late with an out-of-order name"
             )
-        return [f for f in files if os.path.basename(f) > last]
+        return [f for f in files if self._rel(f) > last]
 
     def read(self, start: dict):
         files = _list_files(self._batch.path)
         new = self._consumed_prefix(files, start)
         end = {
             "n_files": len(files),
-            "last": os.path.basename(files[-1]) if files else "",
+            "last": self._rel(files[-1]) if files else "",
         }
         # iter(): the runner drives the batch with next() and also
         # pickles it for the prefetch cache — a plain list satisfies
@@ -159,7 +165,7 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
         last_end = end.get("last", "")
         return iter(
             self._rows_for(
-                [f for f in unconsumed if os.path.basename(f) <= last_end]
+                [f for f in unconsumed if self._rel(f) <= last_end]
             )
         )
 
