@@ -15,6 +15,7 @@ import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_archive_spark.operators.merge import merge_upsert
 
@@ -44,10 +45,19 @@ class ParquetUpsertSink:
         with self._lock:
             current = self.read()
             # within-batch dedup first: a micro-batch may carry several
-            # versions of a key; keep an arbitrary-but-deterministic one
-            # (max by all columns is overkill here — upstream queries
-            # that care order by a version column before the sink)
-            batch = batch.dropDuplicates([self.key])
+            # versions of a key. dropDuplicates keeps whichever row a
+            # partition happens to deliver first — a REPLAYED batch
+            # could then converge to a different row per key, silently
+            # violating the idempotence contract. The lexicographic
+            # struct-max is deterministic under any partitioning
+            # (upstream queries that care still order by a real
+            # version column before the sink).
+            value_cols = [c for c in batch.columns if c != self.key]
+            batch = (
+                batch.groupBy(self.key)
+                .agg(F.max(F.struct(*value_cols)).alias("_r"))
+                .select(self.key, "_r.*")
+            )
             merged = (
                 merge_upsert(current, batch, self.key)
                 if current is not None

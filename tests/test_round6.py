@@ -285,3 +285,27 @@ def test_load_table_rebuilds_for_new_session(spark, sf_dir):
     rebuilt = util.load_table(spark, sf_dir, "nation")
     assert util._TABLE_HANDLES[key][0] is spark
     assert rebuilt.count() == 25
+
+
+# ---------------------------------------------------------------------------
+# upsert sink within-batch dedup determinism
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_sink_batch_dedup_is_deterministic(spark, tmp_path):
+    """A batch carrying several versions of a key must converge to
+    the SAME row whatever the partitioning — dropDuplicates would keep
+    a partition-order-dependent row, so a replayed batch could differ."""
+    from datafusion_archive_spark.streaming.sinks import ParquetUpsertSink
+
+    rows = [(1, "a"), (1, "c"), (1, "b"), (2, "x")]
+    picked = set()
+    for i in range(3):
+        target = str(tmp_path / f"t{i}")
+        sink = ParquetUpsertSink(spark, target, key="k")
+        sink(
+            spark.createDataFrame(rows, "k int, v string").repartition(7),
+            0,
+        )
+        picked.add(tuple(sorted((r.k, r.v) for r in sink.read().collect())))
+    assert picked == {((1, "c"), (2, "x"))}, picked
