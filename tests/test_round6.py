@@ -309,3 +309,37 @@ def test_upsert_sink_batch_dedup_is_deterministic(spark, tmp_path):
         )
         picked.add(tuple(sorted((r.k, r.v) for r in sink.read().collect())))
     assert picked == {((1, "c"), (2, "x"))}, picked
+
+
+# ---------------------------------------------------------------------------
+# compact() rollback under a rename failure (same contract as the sinks)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_rolls_back_when_second_rename_dies(
+    spark, tmp_path, monkeypatch
+):
+    from datafusion_archive_spark.sources.layout import compact
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).repartition(8).write.parquet(path)
+    before = set(r.id for r in spark.read.parquet(path).collect())
+
+    real_rename = os.rename
+
+    def dying_rename(src, dst):
+        if src.endswith("__compact_tmp"):
+            raise OSError("injected: crash between the two renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", dying_rename)
+    with pytest.raises(OSError, match="injected"):
+        compact(spark, path, target_files=1)
+    monkeypatch.undo()
+
+    # rollback restored the original table in place, fully readable
+    assert set(r.id for r in spark.read.parquet(path).collect()) == before
+
+    # and compaction succeeds after recovery
+    compact(spark, path, target_files=1)
+    assert set(r.id for r in spark.read.parquet(path).collect()) == before
