@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.util import cached
+
 
 def _daily_revenue(spark, sf):
     return (
@@ -46,9 +48,13 @@ def q_theil_sen_slope(spark, sf):
     Scale: one map-side-combined aggregate to the day grid, then an
     n_days² self-join (broadcast — the day grid is tiny) feeding one
     exact-percentile aggregate."""
-    daily = _daily_revenue(spark, sf).select(
-        F.datediff(F.col("d"), F.lit("1992-01-01")).alias("x"),
-        F.col("rev").alias("y"),
+    # cached: the day grid feeds both sides of the pair join and the
+    # residual pass — uncached, the orders rollup runs three times
+    daily = cached(
+        _daily_revenue(spark, sf).select(
+            F.datediff(F.col("d"), F.lit("1992-01-01")).alias("x"),
+            F.col("rev").alias("y"),
+        )
     )
     a = daily.alias("a")
     b = daily.alias("b")
