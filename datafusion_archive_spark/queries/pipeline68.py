@@ -56,6 +56,11 @@ def q_spatial_clark_evans(spark, sf):
     )
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
+    # deliberately NOT cached: the pair table is data-heavy but
+    # compute-light (one subtract/sqrt per row), so re-running the
+    # broadcast join for the second consumer beats materializing the
+    # ~4M-row table (measured warm at sf0.01: ~3.9 s uncached vs
+    # slower with the cache — the same trade outliers_mad documents)
     pairs = (
         a.join(b, F.col("ida") != F.col("idb"))
         .select(
