@@ -1,0 +1,129 @@
+"""Exact distributed quantiles by histogram pruning.
+
+Spark's exact ``percentile`` aggregate funnels EVERY value of the
+group into one task's in-memory buffer for the final merge — a global
+median over millions of rows serializes the whole column through one
+executor (measured 9.4 s for 2.9M doubles at sf0.01, vs 0.8 s to
+produce them). The classic scale-out alternative computes the exact
+k-th order statistic with a driver-guided bucket search:
+
+1. one aggregate pass builds a B-bucket histogram of the remaining
+   range (map-side combined; B counts to the driver),
+2. the driver locates the bucket containing rank k and recurses into
+   it (the bucket-membership FILTER reuses the same floor expression
+   as the histogram, so float boundary semantics can't drift),
+3. once the remaining set is small, a TakeOrdered(limit k) + MAX
+   finishes exactly — only a scalar ever reaches the driver.
+
+Each round shrinks the candidate set by ~B×, so 2 rounds cover 10^7
+rows and 3 cover 10^10; every pass is an ordinary distributed
+aggregate over the (cached) input. Exactness: bucket counts are
+integers, rank bookkeeping is integer, and the final step is an exact
+sort — the result is the same double ``percentile`` would return
+(interpolated median = mean of the two middle order statistics).
+
+The reference has no quantile surface at all (ROADMAP.md stops at
+min/max/sum); this is scale infrastructure for the statistics family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: buckets per refinement round — 4096 counts is a trivial driver
+#: payload and shrinks 2.9M rows to ~700 in one round
+_BUCKETS = 4096
+#: below this many remaining rows, finish with TakeOrdered + MAX
+_TAIL = 65536
+#: hard cap on refinement rounds (4096^4 ≈ 2.8e14 rows); beyond it
+#: the value range has stopped shrinking (mass concentrated on one
+#: float value) and the tail path is forced
+_MAX_ROUNDS = 4
+
+
+def exact_order_statistics(
+    df: DataFrame, col: str, k1: int, k2: int
+) -> tuple[float, float]:
+    """The (k1-th, k2-th) smallest values (1-based, k1 <= k2 with a
+    small gap — e.g. the two middle ranks of a median) in ONE bucket
+    search: each round keeps the bucket span covering [k1, k2] (at
+    most adjacent buckets for a gap of 1), so both order statistics
+    cost the same passes as one.
+
+    Driver-side bucket search (see module docstring); the input is
+    scanned once per round, so cache ``df`` when it is cheap to hold.
+    NULLs are ignored, matching SQL ``percentile`` semantics.
+    """
+    if k1 > k2:
+        raise ValueError(f"k1 {k1} > k2 {k2}")
+    remaining = df.select(F.col(col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    for _ in range(_MAX_ROUNDS):
+        stats = remaining.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_x").alias("lo"),
+            F.max("_x").alias("hi"),
+        ).first()
+        n, lo, hi = stats.n, stats.lo, stats.hi
+        if n == 0 or not 1 <= k1 <= k2 <= n:
+            raise ValueError(f"ranks ({k1}, {k2}) out of range for {n} rows")
+        if n <= _TAIL or lo == hi:
+            break
+        width = (hi - lo) / _BUCKETS
+        bucket = F.least(
+            F.lit(_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        hist = dict(
+            remaining.groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        cum, b_lo, b_hi, below = 0, None, None, 0
+        for b in range(_BUCKETS):
+            c = hist.get(b, 0)
+            if b_lo is None and cum + c >= k1:
+                b_lo, below = b, cum
+            if cum + c >= k2:
+                b_hi = b
+                break
+            cum += c
+        # reuse the EXACT bucket expression for membership so the
+        # filter and the histogram agree bit-for-bit
+        remaining = remaining.filter(bucket.between(b_lo, b_hi))
+        k1 -= below
+        k2 -= below
+    # exact finish on the (small) remaining set: k-th smallest =
+    # max of the k smallest; TakeOrderedAndProject keeps it
+    # distributed and only scalars reach the driver
+    head = remaining.orderBy("_x").limit(k2)
+    if k1 == k2:
+        v = head.agg(F.max("_x").alias("v")).first().v
+        return v, v
+    row = (
+        head.orderBy(F.desc("_x"))
+        .limit(k2 - k1 + 1)
+        .agg(F.max("_x").alias("v2"), F.min("_x").alias("v1"))
+        .first()
+    )
+    return row.v1, row.v2
+
+
+def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float:
+    """The k-th smallest value (1-based) of a numeric column, exact."""
+    return exact_order_statistics(df, col, k, k)[0]
+
+
+def exact_median(df: DataFrame, col: str) -> float:
+    """Interpolated exact median (== SQL ``percentile(col, 0.5)``):
+    the mean of the two middle order statistics for even counts."""
+    n = df.filter(F.col(col).isNotNull()).count()
+    if n == 0:
+        return None
+    v1, v2 = exact_order_statistics(df, col, (n + 1) // 2, (n + 2) // 2)
+    return (v1 + v2) / 2.0

@@ -343,3 +343,49 @@ def test_compact_rolls_back_when_second_rename_dies(
     # and compaction succeeds after recovery
     compact(spark, path, target_files=1)
     assert set(r.id for r in spark.read.parquet(path).collect()) == before
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (operators/quantiles.py)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_order_statistics_differential(spark):
+    """Histogram-pruned selection == sorted-list indexing on random
+    data with duplicates, constants, and mixed magnitudes."""
+    import random
+    import statistics
+
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_kth_smallest,
+        exact_median,
+        exact_order_statistics,
+    )
+
+    rng = random.Random(13)
+    for _ in range(4):
+        n = rng.randint(1, 3000)
+        vals = [
+            rng.choice(
+                [rng.uniform(-1e6, 1e6), rng.gauss(0, 1), 0.0, 7.25]
+            )
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        s = sorted(vals)
+        assert exact_median(df, "x") == statistics.median(vals)
+        k = rng.randint(1, n)
+        assert exact_kth_smallest(df, "x", k) == s[k - 1]
+        k2 = min(n, k + 1)
+        assert exact_order_statistics(df, "x", k, k2) == (s[k - 1], s[k2 - 1])
+
+
+def test_exact_median_constant_and_null_columns(spark):
+    from datafusion_archive_spark.operators.quantiles import exact_median
+
+    const = spark.createDataFrame([(3.5,)] * 7, "x double")
+    assert exact_median(const, "x") == 3.5
+    withnull = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,)], "x double"
+    )
+    assert exact_median(withnull, "x") == 1.5
