@@ -127,3 +127,108 @@ def exact_median(df: DataFrame, col: str) -> float:
         return None
     v1, v2 = exact_order_statistics(df, col, (n + 1) // 2, (n + 2) // 2)
     return (v1 + v2) / 2.0
+
+
+def exact_quantiles_cont(
+    df: DataFrame, col: str, probs: list[float]
+) -> list[float]:
+    """Exact interpolated quantiles (== SQL ``percentile(col,
+    array(...))`` / DuckDB ``quantile_cont``) for MANY probabilities in
+    one histogram pass.
+
+    Decile cutpoints need ranks spread across the whole distribution,
+    so the single-span search of :func:`exact_order_statistics` does
+    not apply; instead one histogram locates every needed rank's
+    bucket, ONE filter keeps the union of those buckets, and a
+    row_number window PARTITIONED BY BUCKET (each bucket holds ~n/B
+    rows, independent of how many quantiles are asked) selects all
+    order statistics in a single distributed pass. Only the <=2·|probs|
+    selected values reach the driver; interpolation uses Spark's
+    ``lower·(1-d) + higher·d`` formula so results are bit-identical
+    to the ``percentile`` aggregate. A bucket that is
+    still huge (pathological value concentration) falls back to the
+    recursive single-rank search just for its ranks.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_x").alias("lo"),
+        F.max("_x").alias("hi"),
+    ).first()
+    n, lo, hi = stats.n, stats.lo, stats.hi
+    if n == 0:
+        return [None] * len(probs)
+    # interpolation positions (0-based, Spark Percentile semantics)
+    needed: dict[int, float] = {}  # 1-based rank -> value (filled below)
+    plan = []
+    for q in probs:
+        pos = (n - 1) * q
+        lo_r, hi_r = int(pos) + 1, min(int(pos) + 2, n)
+        if pos == int(pos):
+            hi_r = lo_r
+        plan.append((lo_r, hi_r, pos - int(pos)))
+        needed[lo_r] = None
+        needed[hi_r] = None
+    if n == 1 or lo == hi:
+        for r in needed:
+            needed[r] = lo
+    else:
+        width = (hi - lo) / _BUCKETS
+        bucket = F.least(
+            F.lit(_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        hist = dict(
+            vals.groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        # map each needed global rank to (bucket, local rank); the
+        # linear scan over B buckets is trivial driver work
+        by_bucket: dict[int, dict[int, int]] = {}
+        for r in sorted(needed):
+            cm = 0
+            for b in range(_BUCKETS):
+                c = hist.get(b, 0)
+                if cm + c >= r:
+                    by_bucket.setdefault(b, {})[r - cm] = r
+                    break
+                cm += c
+        big = {b for b in by_bucket if hist.get(b, 0) > 4 * _TAIL}
+        small = [b for b in by_bucket if b not in big]
+        if small:
+            sel = vals.select("_x", bucket.alias("_b")).filter(
+                F.col("_b").isin(small)
+            )
+            w = Window.partitionBy("_b").orderBy("_x")
+            picked = sel.select(
+                "_x", "_b", F.row_number().over(w).alias("_rn")
+            ).filter(
+                F.concat_ws(":", "_b", "_rn").isin(
+                    [f"{b}:{lr}" for b in small for lr in by_bucket[b]]
+                )
+            ).collect()
+            for row in picked:
+                needed[by_bucket[row._b][row._rn]] = row._x
+        for b in big:
+            sub = vals.filter(bucket == b)
+            for lr, r in by_bucket[b].items():
+                needed[r] = exact_kth_smallest(sub, "_x", lr)
+    out = []
+    for lo_r, hi_r, frac in plan:
+        v_lo, v_hi = needed[lo_r], needed[hi_r]
+        # Spark's Percentile interpolates as lower·(1-d) + higher·d —
+        # NOT floating-point-equivalent to lower+(higher-lower)·d
+        # (1-ulp differences), and bit-parity with the aggregate is
+        # the contract here
+        out.append(
+            v_lo if lo_r == hi_r else v_lo * (1.0 - frac) + v_hi * frac
+        )
+    return out

@@ -32,7 +32,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -137,7 +137,15 @@ def q_decile_migration_matrix(spark, sf):
     NULL. Each period's deciles are fitted on its own distribution.
 
     Scale: two customer-level rollups share the o_custkey Exchange;
-    cutpoints broadcast; the matrix is ≤ 11×11 cells."""
+    cutpoints come from the histogram-pruned exact quantile search
+    (operators/quantiles.py) rather than the ``percentile`` aggregate,
+    whose final merge would funnel every customer's spend into ONE
+    task's buffer at 10^8+ customers; the 9 cut values are then plain
+    literals in the bucketing fold. The matrix is ≤ 11×11 cells."""
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_quantiles_cont,
+    )
+
     o = _t(spark, sf, "orders").select(
         "o_custkey",
         "o_totalprice",
@@ -145,19 +153,22 @@ def q_decile_migration_matrix(spark, sf):
             "early"
         ),
     )
-    pcts = ", ".join(str(p) for p in _MIG_PCTS)
 
     def deciled(df, label):
-        spend = df.groupBy("o_custkey").agg(
-            decimal_sum(F.col("o_totalprice")).cast("double").alias("x")
+        spend = cached(
+            df.groupBy("o_custkey").agg(
+                decimal_sum(F.col("o_totalprice")).cast("double").alias("x")
+            )
         )
-        cuts = spend.agg(
-            F.expr(f"percentile(x, array({pcts}))").alias("bs")
-        )
-        return spend.join(F.broadcast(cuts)).select(
+        cuts = exact_quantiles_cont(spend, "x", _MIG_PCTS)
+        bs = F.array(*[F.lit(c) for c in cuts])
+        return spend.select(
             "o_custkey",
-            F.expr(
-                "aggregate(bs, 0, (acc, b) -> acc + IF(x > b, 1, 0))"
+            F.aggregate(
+                bs,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("x") > b, 1).otherwise(0),
             ).alias(label),
         )
 

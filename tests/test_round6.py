@@ -389,3 +389,30 @@ def test_exact_median_constant_and_null_columns(spark):
         [(1.0,), (None,), (2.0,), (None,)], "x double"
     )
     assert exact_median(withnull, "x") == 1.5
+
+
+def test_exact_quantiles_cont_bit_parity_with_percentile(spark):
+    """Multi-rank histogram selection must reproduce Spark's
+    percentile(col, array(...)) bit-for-bit, including interpolation."""
+    import random
+
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_quantiles_cont,
+    )
+
+    rng = random.Random(29)
+    probs = [0.1 * i for i in range(1, 10)] + [0.0, 0.5, 1.0]
+    for _ in range(3):
+        n = rng.randint(1, 2500)
+        vals = [
+            rng.choice([rng.uniform(-9e5, 9e5), rng.gauss(0, 1), 2.5])
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = exact_quantiles_cont(df, "x", probs)
+        want = list(
+            df.agg(
+                F.percentile("x", F.array(*[F.lit(p) for p in probs]))
+            ).first()[0]
+        )
+        assert got == want
