@@ -26,6 +26,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.util import cached
 
 _ARMS = 3
 _RET_N = 100_000
@@ -86,22 +87,31 @@ def q_ips_policy_eval(spark, sf):
 
 
 def q_gpd_pot_fit(spark, sf):
-    """GPD method-of-moments fit over p99 order-value excesses."""
-    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
-        F.col("o_totalprice").cast("double").alias("v")
+    """GPD method-of-moments fit over p99 order-value excesses.
+
+    Scale: the p99 threshold comes from the histogram-pruned exact
+    quantile search (operators/quantiles.py) — the previous
+    partition-less ``percentile().over()`` window funneled EVERY order
+    value through one window partition; now the threshold and total
+    are bounded driver scalars and the excess pass is a plain
+    scan-side filter."""
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_quantiles_cont,
     )
-    w_all = Window.partitionBy()
-    with_u = orders.select(
-        "v",
-        F.percentile("v", F.lit(0.99)).over(w_all).alias("u"),
-        F.count(F.lit(1)).over(w_all).alias("n_total"),
+
+    orders = cached(
+        spark.read.parquet(f"{sf}/orders.parquet").select(
+            F.col("o_totalprice").cast("double").alias("v")
+        )
     )
-    exc = with_u.filter(F.col("v") > F.col("u")).select(
-        (F.col("v") - F.col("u")).alias("e"), "u", "n_total"
+    n_total = orders.count()
+    (u,) = exact_quantiles_cont(orders, "v", [0.99])
+    exc = orders.filter(F.col("v") > u).select(
+        (F.col("v") - F.lit(u)).alias("e")
     )
     agg = exc.agg(
-        F.first("u").alias("u"),
-        F.first("n_total").alias("n_total"),
+        F.lit(u).alias("u"),
+        F.lit(n_total).alias("n_total"),
         F.count(F.lit(1)).alias("n_exc"),
         F.avg("e").alias("m"),
         F.var_samp("e").alias("v"),
