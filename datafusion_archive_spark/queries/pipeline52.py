@@ -139,36 +139,31 @@ def q_conformal_interval_coverage(spark, sf):
         .groupBy("g")
         .agg(F.avg("y").alias("mu"), F.count(F.lit(1)).alias("n_cal"))
     )
-    cal_resid = (
+    cal_resid = cached(
         tagged.filter("is_cal")
         .join(F.broadcast(means), "g")
         .select(F.abs(F.col("y") - F.col("mu")).alias("r"))
     )
-    w_all = Window.partitionBy()
-    # the ceil((n+1)(1-alpha))-th smallest residual
-    ranked = cal_resid.select(
-        "r",
-        F.row_number().over(Window.orderBy("r")).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    # the ceil((n+1)(1-alpha))-th smallest residual, via the
+    # distributed selection (operators/quantiles.py) — a global
+    # row_number window here would sort every calibration residual
+    # in one window partition
+    import math as _math
+
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_kth_smallest,
     )
-    qhat = ranked.filter(
-        F.col("rk")
-        == F.least(
-            F.col("n"),
-            F.ceil((F.col("n") + 1) * F.lit(1.0 - _ALPHA)).cast("int"),
-        )
-    ).select(F.col("r").alias("qhat"))
-    test = (
-        tagged.filter(~F.col("is_cal"))
-        .join(F.broadcast(means), "g")
-        .crossJoin(F.broadcast(qhat))
-    )
+
+    n_cal = cal_resid.count()
+    k = min(n_cal, int(_math.ceil((n_cal + 1) * (1.0 - _ALPHA))))
+    qhat = exact_kth_smallest(cal_resid, "r", k)
+    test = tagged.filter(~F.col("is_cal")).join(F.broadcast(means), "g")
     return test.agg(
         F.count(F.lit(1)).alias("n_test"),
-        F.round(F.first("qhat"), 4).alias("half_width"),
+        F.round(F.lit(qhat), 4).alias("half_width"),
         F.round(
             F.avg(
-                (F.abs(F.col("y") - F.col("mu")) <= F.col("qhat"))
+                (F.abs(F.col("y") - F.col("mu")) <= F.lit(qhat))
                 .cast("double")
             ),
             6,

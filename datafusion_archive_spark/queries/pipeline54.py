@@ -37,14 +37,17 @@ _SPLIT = "2024-01-16"
 
 def _obs(spark, sf):
     orders = spark.read.parquet(f"{sf}/orders.parquet")
-    w_all = Window.partitionBy()
-    return orders.select(
+    raw = orders.select(
         (F.col("o_orderpriority") == "1-URGENT")
         .cast("double")
         .alias("y"),
         F.log(F.col("o_totalprice").cast("double")).alias("lx"),
-    ).select(
-        "y", (F.col("lx") - F.avg("lx").over(w_all)).alias("x")
+    )
+    # broadcast the centering mean — a partition-less window here
+    # would funnel every order through one window partition
+    mu = raw.agg(F.avg("lx").alias("_mu"))
+    return raw.crossJoin(F.broadcast(mu)).select(
+        "y", (F.col("lx") - F.col("_mu")).alias("x")
     )
 
 

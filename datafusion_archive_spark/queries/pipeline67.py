@@ -59,9 +59,11 @@ def _cohort(spark, sf):
         )
         .over(w_u)
         .alias("t_buy"),
-        F.max("us").over(Window.partitionBy()).alias("t_end"),
     ).distinct()
-    return per.select(
+    # broadcast the censoring horizon — the previous partition-less
+    # max() window funneled every event through one window partition
+    t_end = base.agg(F.max("us").alias("t_end"))
+    return per.crossJoin(F.broadcast(t_end)).select(
         (
             F.coalesce("t_buy", "t_end") - F.col("t0")
         ).alias("dur"),
