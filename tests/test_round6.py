@@ -416,3 +416,42 @@ def test_exact_quantiles_cont_bit_parity_with_percentile(spark):
             ).first()[0]
         )
         assert got == want
+
+
+def test_quantile_search_multi_round_and_big_bucket_paths(
+    spark, monkeypatch
+):
+    """Force the refinement paths the defaults never hit on small
+    data: tiny _TAIL/_BUCKETS make the single-rank search recurse
+    through multiple rounds, and the multi-rank path take its
+    big-bucket fallback — results must stay exact."""
+    import random
+    import statistics
+
+    from datafusion_archive_spark.operators import quantiles as Q
+
+    monkeypatch.setattr(Q, "_BUCKETS", 8)
+    monkeypatch.setattr(Q, "_TAIL", 16)
+
+    rng = random.Random(41)
+    # heavy concentration on one value plus a spread tail: buckets
+    # stay unbalanced, so the pruning must handle fat buckets
+    vals = [3.0] * 400 + [rng.uniform(-100, 100) for _ in range(300)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = sorted(vals)
+
+    assert Q.exact_median(df, "x") == statistics.median(vals)
+    for k in (1, 5, 200, 400, 650, len(vals)):
+        assert Q.exact_kth_smallest(df, "x", k) == s[k - 1], k
+
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    got = Q.exact_quantiles_cont(df, "x", probs)
+    from pyspark.sql import functions as SF
+
+    want = list(
+        df.agg(
+            SF.percentile("x", SF.array(*[SF.lit(p) for p in probs]))
+        ).first()[0]
+    )
+    assert got == want
