@@ -28,6 +28,8 @@ min/max/sum); this is scale infrastructure for the statistics family.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,9 +59,29 @@ def exact_order_statistics(
     """
     if k1 > k2:
         raise ValueError(f"k1 {k1} > k2 {k2}")
-    remaining = df.select(F.col(col).cast("double").alias("_x")).filter(
+    # NaN handling (ADVICE r6): NaN poisons the bucket search (hi and
+    # width become NaN, floor(NaN) nulls out and every NaN lands in
+    # bucket 0 — the OPPOSITE end from where Spark's ordering puts
+    # them). Spark sorts NaN greater than any double, so split them
+    # out up front: ranks past the non-NaN count are NaN by
+    # definition; the search itself runs NaN-free.
+    vals = df.select(F.col(col).cast("double").alias("_x")).filter(
         F.col("_x").isNotNull()
     )
+    head = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.isnan("_x").cast("long")).alias("n_nan"),
+    ).first()
+    n_total, n_nan = head.n, head.n_nan or 0
+    if n_total == 0 or not 1 <= k1 <= k2 <= n_total:
+        raise ValueError(f"ranks ({k1}, {k2}) out of range for {n_total} rows")
+    n_fin = n_total - n_nan
+    if k1 > n_fin:
+        return float("nan"), float("nan")
+    nan_hi = k2 > n_fin  # upper rank falls in the NaN tail
+    if nan_hi:
+        k2 = n_fin
+    remaining = vals.filter(~F.isnan("_x")) if n_nan else vals
     for _ in range(_MAX_ROUNDS):
         stats = remaining.agg(
             F.count(F.lit(1)).alias("n"),
@@ -72,6 +94,13 @@ def exact_order_statistics(
         if n <= _TAIL or lo == hi:
             break
         width = (hi - lo) / _BUCKETS
+        if not math.isfinite(width):
+            # hi-lo overflowed double range; halve each side first
+            width = hi / _BUCKETS - lo / _BUCKETS
+        if width == 0.0 or not math.isfinite(width):
+            # subnormal-sized range (or still non-finite): bucketing
+            # can't subdivide further — finish exactly on what's left
+            break
         bucket = F.least(
             F.lit(_BUCKETS - 1),
             F.greatest(
@@ -104,14 +133,14 @@ def exact_order_statistics(
     head = remaining.orderBy("_x").limit(k2)
     if k1 == k2:
         v = head.agg(F.max("_x").alias("v")).first().v
-        return v, v
+        return (v, float("nan")) if nan_hi else (v, v)
     row = (
         head.orderBy(F.desc("_x"))
         .limit(k2 - k1 + 1)
         .agg(F.max("_x").alias("v2"), F.min("_x").alias("v1"))
         .first()
     )
-    return row.v1, row.v2
+    return row.v1, float("nan") if nan_hi else row.v2
 
 
 def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float:
@@ -154,14 +183,20 @@ def exact_quantiles_cont(
     vals = df.select(F.col(col).cast("double").alias("_x")).filter(
         F.col("_x").isNotNull()
     )
+    # NaN-aware stats (ADVICE r6): Spark orders NaN greater than any
+    # double, so NaNs own the TOP ranks; lo/hi for the bucket grid
+    # come from the finite values only (min/max over a NaN-bearing
+    # column return NaN and would poison the bucket width).
     stats = vals.agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("_x").alias("lo"),
-        F.max("_x").alias("hi"),
+        F.sum(F.isnan("_x").cast("long")).alias("n_nan"),
+        F.min(F.when(~F.isnan("_x"), F.col("_x"))).alias("lo"),
+        F.max(F.when(~F.isnan("_x"), F.col("_x"))).alias("hi"),
     ).first()
-    n, lo, hi = stats.n, stats.lo, stats.hi
+    n, n_nan, lo, hi = stats.n, stats.n_nan or 0, stats.lo, stats.hi
     if n == 0:
         return [None] * len(probs)
+    n_fin = n - n_nan
     # interpolation positions (0-based, Spark Percentile semantics)
     needed: dict[int, float] = {}  # 1-based rank -> value (filled below)
     plan = []
@@ -173,11 +208,26 @@ def exact_quantiles_cont(
         plan.append((lo_r, hi_r, pos - int(pos)))
         needed[lo_r] = None
         needed[hi_r] = None
-    if n == 1 or lo == hi:
-        for r in needed:
+    # ranks in the NaN tail resolve to NaN without touching the data
+    for r in needed:
+        if r > n_fin:
+            needed[r] = float("nan")
+    fin_ranks = sorted(r for r in needed if r <= n_fin)
+    fin = vals.filter(~F.isnan("_x")) if n_nan else vals
+    width = (hi - lo) / _BUCKETS if n_fin > 1 and lo != hi else 0.0
+    if not math.isfinite(width):
+        width = hi / _BUCKETS - lo / _BUCKETS
+    if not fin_ranks:
+        pass
+    elif n_fin == 1 or lo == hi:
+        for r in fin_ranks:
             needed[r] = lo
+    elif width == 0.0 or not math.isfinite(width):
+        # subnormal-sized range: the grid can't subdivide — resolve
+        # each needed rank by the (tail-capable) single-rank search
+        for r in fin_ranks:
+            needed[r] = exact_kth_smallest(fin, "_x", r)
     else:
-        width = (hi - lo) / _BUCKETS
         bucket = F.least(
             F.lit(_BUCKETS - 1),
             F.greatest(
@@ -186,14 +236,14 @@ def exact_quantiles_cont(
             ),
         )
         hist = dict(
-            vals.groupBy(bucket.alias("_b"))
+            fin.groupBy(bucket.alias("_b"))
             .agg(F.count(F.lit(1)).alias("_c"))
             .collect()
         )
         # map each needed global rank to (bucket, local rank); the
         # linear scan over B buckets is trivial driver work
         by_bucket: dict[int, dict[int, int]] = {}
-        for r in sorted(needed):
+        for r in fin_ranks:
             cm = 0
             for b in range(_BUCKETS):
                 c = hist.get(b, 0)
@@ -204,7 +254,7 @@ def exact_quantiles_cont(
         big = {b for b in by_bucket if hist.get(b, 0) > 4 * _TAIL}
         small = [b for b in by_bucket if b not in big]
         if small:
-            sel = vals.select("_x", bucket.alias("_b")).filter(
+            sel = fin.select("_x", bucket.alias("_b")).filter(
                 F.col("_b").isin(small)
             )
             w = Window.partitionBy("_b").orderBy("_x")
@@ -218,7 +268,7 @@ def exact_quantiles_cont(
             for row in picked:
                 needed[by_bucket[row._b][row._rn]] = row._x
         for b in big:
-            sub = vals.filter(bucket == b)
+            sub = fin.filter(bucket == b)
             for lr, r in by_bucket[b].items():
                 needed[r] = exact_kth_smallest(sub, "_x", lr)
     out = []

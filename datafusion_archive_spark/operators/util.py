@@ -53,10 +53,15 @@ def load_table(spark, sf_dir: str, name: str) -> DataFrame:
     trips); a multi-table query rebuilt per bench pass re-pays it for
     every table, which profiling showed was 20-40% of measured wall
     time for short queries. The returned DataFrame is an immutable
-    lazy plan, so reusing the handle is safe; the file listing it
-    captured is only re-resolved per *read*, so the memo is keyed on
-    the session and meant for static inputs (the driver/bench/test
-    corpus — at 100 TB a production job builds its scan once anyway).
+    lazy plan, so reusing the handle is safe FOR STATIC INPUTS only:
+    ``spark.read.parquet`` snapshots the file index at DataFrame
+    creation, so files added to (or rewritten under) a memoized path
+    later in the same session are INVISIBLE through the cached handle.
+    The memo is keyed on the session and meant for the driver/bench/
+    test corpus, which never changes mid-session (at 100 TB a
+    production job builds its scan once anyway); anything that
+    regenerates a table directory mid-session must call
+    :func:`invalidate_tables` on that path first.
     """
     key = (sf_dir, name)
     hit = _TABLE_HANDLES.get(key)
@@ -65,6 +70,20 @@ def load_table(spark, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_HANDLES[key] = (spark, df)
     return df
+
+
+def invalidate_tables(sf_dir: str | None = None, name: str | None = None) -> None:
+    """Drop memoized :func:`load_table` handles so the next call
+    re-resolves the file listing — required after rewriting a table
+    directory mid-session (the cached handle's snapshot would
+    otherwise serve a stale file index). ``None`` matches all."""
+    for key in [
+        k
+        for k in _TABLE_HANDLES
+        if (sf_dir is None or k[0] == sf_dir)
+        and (name is None or k[1] == name)
+    ]:
+        del _TABLE_HANDLES[key]
 
 
 _SIZE_SUFFIX = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}

@@ -237,89 +237,72 @@ ROWS_ONLY = {
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-6 WINDOW — registry frozen per VERDICT r5 #1: zero new
-    # query waves this round; the window is the 50 oldest
-    # never-certified oracle-backed names in registry order (the 11
-    # wave-9-12 spillovers, then pipeline15-24 oldest-first, headed
-    # by xml_roundtrip). Rows-only entries (bpe_*) are deliberately
-    # excluded — their evidence is the differential pytest, and a
-    # window slot spent on a no_oracle row certifies nothing.
-    "xml_roundtrip",
-    "window_rolling_median",
-    "bitwise_aggs",
-    "text_sentences",
-    "dedup_sentences_cross_doc",
-    "geo_grid_join",
-    "vocab_richness",
-    "zipf_fit",
-    "readability_scores",
-    "embedding_centroids",
-    "gini_customer_spend",
-    "interarrival_stats",
-    "rfm_segments",
-    "pareto_abc_parts",
-    "benford_first_digit",
-    "ewma_daily_revenue",
-    "cusum_changepoint",
-    "acf_daily_counts",
-    "kl_divergence_lang",
-    "js_divergence_langs",
-    "target_encoding_nation",
-    "woe_iv_price_bins",
-    "feature_hash_counts",
-    "simpson_slopes",
-    "jaro_winkler_linkage",
-    "bootstrap_ci_mean",
-    "seasonal_profile_dow",
-    "lorenz_curve_deciles",
-    "mann_whitney_u",
-    "survival_curve",
-    "mutual_information_lang_source",
-    "psi_price_drift",
-    "event_trigrams",
-    "percent_change_mom",
-    "auc_roc",
-    "cumulative_gains",
-    "calibration_curve",
-    "corr_matrix",
-    "theil_index",
-    "events_enriched_segment",
-    "events_asof_forward",
-    "percentiles_by_month",
-    "anova_weekday_revenue",
-    "leakage_traintest_overlap",
-    "max_drawdown_daily",
-    "entropy_rate_transitions",
-    "conversion_time_percentiles",
-    "local_peaks_daily",
-    "bollinger_breaches",
-    "cohort_ltv_cumulative",
+    # ROUND-7 WINDOW — registry still frozen (VERDICT r5 #1): the
+    # next 50 never-certified oracle-backed names in registry order,
+    # exactly as the round-6 ROUND-7 NOTE scheduled. After this
+    # window lands, ~51 oracle-backed names remain never-certified.
+    # Rows-only entries (approx_aggs, bpe_*) stay excluded — their
+    # evidence is the differential pytest, and a window slot spent on
+    # a no_oracle row certifies nothing.
+    "repeat_purchase_rate",
+    "supplier_share_hhi",
+    "seasonal_adjusted_outliers",
+    "missing_days_report",
+    "minhash_estimate_audit",
+    "ngram_novelty_rate",
+    "embedding_norm_outliers",
+    "embedding_dim_variance",
+    "anyorder_funnel_1h",
+    "session_abandonment_rate",
+    "array_hof_ops",
+    "weighted_quartiles",
+    "histogram_2d",
+    "sprt_ab_sequential",
+    "decile_migration_matrix",
+    "monthly_new_vs_returning",
+    "lsh_tuning_curve",
+    "referential_integrity_audit",
+    "exponential_fit_gaps",
+    "hill_tail_index",
+    "hard_negatives_topk",
+    "contrastive_random_negatives",
+    "token_dispersion",
+    "price_index_laspeyres",
+    "heaps_law_fit",
+    "double_smoothing_forecast",
+    "active_users_stickiness",
+    "daily_growth_accounting",
+    "revenue_bridge_mom",
+    "haversine_nearest_hub",
+    "fdr_bh_nation_tests",
+    "capture_recapture_users",
+    "variant_extraction",
+    "assoc_triples",
+    "surrogate_keys_hash",
+    "hierarchy_closure_rollup",
+    "apportion_largest_remainder",
+    "theil_sen_slope",
+    "pettitt_changepoint",
+    "spearman_rank_corr",
+    "kendall_tau_daily",
+    "jackknife_ratio_se",
+    "pattern_rise_drop",
+    "segment_overlap_venn",
+    "trend_test_ca",
+    "species_richness_chao1",
+    "mann_kendall_trend",
+    "inventory_clamped_scan",
+    "shapley_attribution",
+    "isotonic_calibration",
 ]
 
-# ROUND-7 NOTE (next certification window): 101 oracle-backed names
-# remain never-certified after this window; fill round 7 with the
-# next 50 in registry order:
-#   repeat_purchase_rate, supplier_share_hhi, seasonal_adjusted_outliers,
-#   missing_days_report, minhash_estimate_audit, ngram_novelty_rate,
-#   embedding_norm_outliers, embedding_dim_variance, anyorder_funnel_1h,
-#   session_abandonment_rate, array_hof_ops, weighted_quartiles, histogram_2d,
-#   sprt_ab_sequential, decile_migration_matrix, monthly_new_vs_returning,
-#   lsh_tuning_curve, referential_integrity_audit, exponential_fit_gaps,
-#   hill_tail_index, hard_negatives_topk, contrastive_random_negatives,
-#   token_dispersion, price_index_laspeyres, heaps_law_fit,
-#   double_smoothing_forecast, active_users_stickiness,
-#   daily_growth_accounting, revenue_bridge_mom, haversine_nearest_hub,
-#   fdr_bh_nation_tests, capture_recapture_users, variant_extraction,
-#   assoc_triples, surrogate_keys_hash, hierarchy_closure_rollup,
-#   apportion_largest_remainder, theil_sen_slope, pettitt_changepoint,
-#   spearman_rank_corr, kendall_tau_daily, jackknife_ratio_se,
-#   pattern_rise_drop, segment_overlap_venn, trend_test_ca,
-#   species_richness_chao1, mann_kendall_trend, inventory_clamped_scan,
-#   shapley_attribution, isotonic_calibration
-# then round 8 takes the remaining ~51 plus the r1-of-record
-# re-certifications (agg_having, cast_semantics, date_funcs,
-# events_*, setop_*, join_*, string/scalar families) so the oldest
-# certification-of-record is <= round 4 by end of round 8. The full
+# ROUND-8 NOTE (next certification window): ~51 oracle-backed names
+# remain never-certified after this window — fill round 8 with ALL of
+# them (they fit in one window), topping up any spare slots with the
+# oldest r1-of-record re-certifications (agg_having, cast_semantics,
+# date_funcs, events_*, setop_*, join_*, string/scalar families) so
+# the oldest certification-of-record starts moving toward <= round 4.
+# Round 9+ then rotates purely on re-certification age. The full
 # local sweep log (tools/check_oracle.py over every registered
 # query) is committed per-round as tools/oracle_sweep_r{N}.log to
 # make the backlog's locally-green claim auditable.

@@ -135,8 +135,18 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
         file that sorts before already-consumed names is detected as
         a contract violation instead of silently shifting the index
         space (which would replay or skip rows)."""
-        last = start.get("last", "")
         k = start.get("n_files", 0)
+        if "last" not in start:
+            # v1 offsets were positional-only ({"n_files": k}); a
+            # checkpoint committed before the name-based format was
+            # introduced must keep working — fall back to the old
+            # positional slice for this one transition (read()/
+            # readBetweenOffsets() emit name-based offsets from the
+            # next commit on). Deriving last from files[:k] here would
+            # just re-create the positional assumption with extra
+            # steps, so slice directly.
+            return files[k:]
+        last = start["last"]
         prefix = [f for f in files if self._rel(f) <= last]
         if len(prefix) != k:
             raise RuntimeError(
@@ -162,7 +172,12 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_files(self._batch.path)
         unconsumed = self._consumed_prefix(files, start)
-        last_end = end.get("last", "")
+        if "last" not in end:
+            # v1 end offset (positional-only): the committed batch
+            # covered files[start_k:end_k] of the sorted listing
+            take = end.get("n_files", 0) - start.get("n_files", 0)
+            return iter(self._rows_for(unconsumed[:take]))
+        last_end = end["last"]
         return iter(
             self._rows_for(
                 [f for f in unconsumed if self._rel(f) <= last_end]

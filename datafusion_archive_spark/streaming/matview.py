@@ -27,6 +27,17 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, LongType
+
+#: |value| beyond this exceeds double's 2^53 integer range once
+#: scaled to micros, so round(value*1e6) would silently lose
+#: exactness — the sink refuses such batches up front.
+_MAX_EXACT_UNITS = 9_000_000_000
+#: overflow headroom on the merged long sums when ANSI mode is off
+#: (non-ANSI long addition wraps silently): half the long range
+#: still leaves ~4.6e18 micros of accumulation room.
+_SUM_GUARD = (1 << 62)
+
 
 def partial_state(batch: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """The mergeable per-group state of one slice of rows: (n, sum).
@@ -88,7 +99,29 @@ class IncrementalRollupSink:
     def read_state(self) -> DataFrame | None:
         if not os.path.isdir(self.path):
             return None
-        return self.spark.read.parquet(self.path)
+        st = self.spark.read.parquet(self.path)
+        # State-format migration: the v1 sink stored sum_v as a
+        # decimal(27,6) in MONEY UNITS; the current format is a long
+        # in integer MICROS. A pre-existing v1 directory merged as-is
+        # would add unit-valued sums to micro-valued ones (silently
+        # wrong by 10^6x) — detect the old schema by its dtype and
+        # convert exactly (decimal·1e6 is exact; the long cast is
+        # range-checked by the decimal width) before anything merges
+        # or reads it.
+        dt = st.schema["sum_v"].dataType
+        if isinstance(dt, DecimalType):
+            st = st.withColumn(
+                "sum_v",
+                (F.col("sum_v") * F.lit(1_000_000).cast("decimal(7,0)"))
+                .cast("decimal(33,0)")
+                .cast("long"),
+            )
+        elif not isinstance(dt, LongType):
+            raise RuntimeError(
+                f"matview state at {self.path}: unrecognized sum_v "
+                f"dtype {dt.simpleString()} — refusing to merge"
+            )
+        return st
 
     def read_view(self) -> DataFrame:
         """The user-facing view: derived columns recomputed from the
@@ -126,11 +159,51 @@ class IncrementalRollupSink:
             # dir, so state and watermark swap as one unit.
             if batch_id <= self._last_applied():
                 return
+            # Exactness/overflow guards (ADVICE r6): ANSI mode is off
+            # by default in Spark, so long-sum overflow would WRAP
+            # silently rather than raise, and round(value*1e6) loses
+            # micro exactness past double's 2^53 integer range. Both
+            # are checked explicitly instead of assumed; the ANSI
+            # conf only decides whether the overflow check is
+            # redundant (ANSI addition raises on its own).
+            ansi = (
+                str(self.spark.conf.get("spark.sql.ansi.enabled", "false"))
+                .lower()
+                == "true"
+            )
+            guard = batch.agg(
+                F.max(F.abs(F.col(self.value_col))).alias("m")
+            ).first()
+            if guard.m is not None and guard.m > _MAX_EXACT_UNITS:
+                raise ValueError(
+                    f"matview sink: |{self.value_col}| = {guard.m} exceeds "
+                    f"{_MAX_EXACT_UNITS} units — micros no longer fit "
+                    "double's exact-integer range; rescale the value "
+                    "column or lower the fixed-point scale"
+                )
             part = partial_state(batch, self.keys, self.value_col)
             cur = self.read_state()
             merged = part if cur is None else merge_states(cur, part, self.keys)
+            if not ansi:
+                # the guard is an extra action over merged, so persist
+                # it for the guard+write pair (no double compute of
+                # the state join) and release right after the write
+                merged = merged.persist()
+                top = merged.agg(F.max(F.abs(F.col("sum_v"))).alias("m")).first()
+                if top.m is not None and top.m > _SUM_GUARD:
+                    merged.unpersist()
+                    raise OverflowError(
+                        f"matview sink: merged |sum_v| = {top.m} is past "
+                        f"the {_SUM_GUARD} headroom guard — non-ANSI long "
+                        "addition would soon wrap silently; enable "
+                        "spark.sql.ansi.enabled or re-scale the view"
+                    )
             tmp = self.path.rstrip("/") + "__tmp"
-            merged.write.mode("overwrite").parquet(tmp)
+            try:
+                merged.write.mode("overwrite").parquet(tmp)
+            finally:
+                if not ansi:
+                    merged.unpersist()
             with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
                 fh.write(str(batch_id))
             old = self.path.rstrip("/") + "__old"

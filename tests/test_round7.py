@@ -1,0 +1,209 @@
+"""Round-7 regression pins for the ADVICE r6 fixes:
+
+1. matview v1→v2 state migration (decimal unit sums → long micros)
+2. matview exactness + overflow guards under non-ANSI mode
+3. fixedwidth stream v1 (positional-only) offset backward compat
+4. quantiles NaN routing (parity with Spark's percentile ordering)
+5. quantiles zero-width bucket fallback
+6. load_table invalidation hook (stale file-index snapshot)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators import quantiles as Q
+from datafusion_archive_spark.operators.util import (
+    invalidate_tables,
+    load_table,
+)
+from datafusion_archive_spark.sources.pydatasource import (
+    FixedWidthStreamReader,
+)
+from datafusion_archive_spark.streaming.matview import (
+    _MAX_EXACT_UNITS,
+    _SUM_GUARD,
+    IncrementalRollupSink,
+)
+from pyspark.sql.types import StructType
+
+
+# ---------------------------------------------------------------- matview
+
+
+def _write_v1_state(spark, path: str, rows):
+    """A state directory exactly as the v1 sink wrote it: sum_v is a
+    decimal(27,6) in MONEY UNITS (not micros) plus the batch marker."""
+    spark.createDataFrame(rows, "k string, n long").withColumn(
+        "sum_v", (F.col("n") * 1.5).cast("decimal(27,6)")
+    ).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_last_batch_id"), "w") as fh:
+        fh.write("0")
+
+
+def test_matview_migrates_v1_decimal_state(spark, tmp_path):
+    """A pre-existing v1 (decimal unit-sum) state directory must be
+    converted to long micros before merging — ADVICE r6: merging it
+    as-is silently mixed unit sums with micro sums (10^6x wrong)."""
+    target = str(tmp_path / "state")
+    _write_v1_state(spark, target, [("a", 4), ("b", 2)])  # sums 6.0, 3.0
+    sink = IncrementalRollupSink(spark, target, ["k"], "v")
+    # read_state alone must already present micros
+    st = {r.k: (r.n, r.sum_v) for r in sink.read_state().collect()}
+    assert st == {"a": (4, 6_000_000), "b": (2, 3_000_000)}
+    # and a fold on top must produce unit-correct view values
+    batch = spark.createDataFrame([("a", 1.0), ("c", 2.5)], "k string, v double")
+    sink(batch, 1)
+    view = {r.k: (r.n_events, r.sum_value) for r in sink.read_view().collect()}
+    assert view == {"a": (5, 7.0), "b": (2, 3.0), "c": (1, 2.5)}
+
+
+def test_matview_rejects_unknown_state_dtype(spark, tmp_path):
+    target = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", 1, "oops")], "k string, n long, sum_v string"
+    ).write.mode("overwrite").parquet(target)
+    sink = IncrementalRollupSink(spark, target, ["k"], "v")
+    with pytest.raises(RuntimeError, match="unrecognized sum_v dtype"):
+        sink.read_state()
+
+
+def test_matview_guards_exactness_and_overflow(spark, tmp_path):
+    """ANSI is off by default, so the sink must guard explicitly:
+    |value| past double's exact-integer micro range is refused, and a
+    merged sum near long overflow raises instead of wrapping."""
+    assert spark.conf.get("spark.sql.ansi.enabled", "false") == "false"
+    sink = IncrementalRollupSink(spark, str(tmp_path / "s1"), ["k"], "v")
+    too_big = spark.createDataFrame(
+        [("a", float(_MAX_EXACT_UNITS * 2))], "k string, v double"
+    )
+    with pytest.raises(ValueError, match="exact-integer range"):
+        sink(too_big, 0)
+    # overflow headroom: seed a state whose sum_v is already past the
+    # guard; the next fold must raise OverflowError, not wrap
+    target = str(tmp_path / "s2")
+    spark.createDataFrame(
+        [("a", 1, _SUM_GUARD + 1)], "k string, n long, sum_v long"
+    ).write.mode("overwrite").parquet(target)
+    with open(os.path.join(target, "_last_batch_id"), "w") as fh:
+        fh.write("0")
+    sink2 = IncrementalRollupSink(spark, target, ["k"], "v")
+    ok = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(OverflowError, match="headroom guard"):
+        sink2(ok, 1)
+
+
+# ----------------------------------------------------- fixedwidth offsets
+
+
+def _stream_reader(tmp_path) -> FixedWidthStreamReader:
+    d = tmp_path / "fw"
+    d.mkdir(exist_ok=True)
+    for i in range(4):
+        (d / f"part-{i:03d}.txt").write_text(f"{i:03d}x{i}\n")
+    schema = StructType.fromDDL("a string, b string")
+    return FixedWidthStreamReader(
+        schema, {"path": str(d), "widths": "3,2"}
+    )
+
+
+def test_fixedwidth_resumes_from_v1_positional_offset(tmp_path):
+    """A checkpoint committed by the old positional-only offset format
+    ({'n_files': k}, no 'last') must resume with files[k:], not crash
+    with a bogus append-only violation — ADVICE r6."""
+    r = _stream_reader(tmp_path)
+    rows, end = r.read({"n_files": 2})  # v1 offset: 2 files consumed
+    got = sorted(t[0] for t in rows)
+    assert got == ["002", "003"]
+    # and the emitted offset is the new name-based format
+    assert end == {"n_files": 4, "last": "part-003.txt"}
+
+
+def test_fixedwidth_replays_v1_offset_range(tmp_path):
+    """readBetweenOffsets over a fully-v1 (start, end) pair replays the
+    positional slice files[start_k:end_k]."""
+    r = _stream_reader(tmp_path)
+    rows = list(r.readBetweenOffsets({"n_files": 1}, {"n_files": 3}))
+    assert sorted(t[0] for t in rows) == ["001", "002"]
+    # mixed: v1 start, v2 end
+    rows2 = list(
+        r.readBetweenOffsets({"n_files": 1}, {"n_files": 4, "last": "part-003.txt"})
+    )
+    assert sorted(t[0] for t in rows2) == ["001", "002", "003"]
+
+
+# ------------------------------------------------------------- quantiles
+
+
+def test_quantiles_nan_parity_with_percentile(spark):
+    """NaNs sort GREATER than any double in Spark; the bucket search
+    must route them to the top ranks (ADVICE r6: they used to corrupt
+    the histogram range and land in bucket 0)."""
+    data = [(float(i),) for i in range(1, 10)] + [(float("nan"),)] * 2
+    df = spark.createDataFrame(data, "x double")
+    for p in (0.5, 0.75, 0.9, 1.0):
+        want = df.agg(F.percentile("x", F.lit(p))).first()[0]
+        got = Q.exact_quantiles_cont(df, "x", [p])[0]
+        assert (math.isnan(want) and math.isnan(got)) or want == got, p
+    assert Q.exact_median(df, "x") == 6.0
+    v1, v2 = Q.exact_order_statistics(df, "x", 9, 10)
+    assert v1 == 9.0 and math.isnan(v2)
+    v1, v2 = Q.exact_order_statistics(df, "x", 10, 11)
+    assert math.isnan(v1) and math.isnan(v2)
+
+
+def test_quantiles_nan_routed_in_bucket_rounds(spark, monkeypatch):
+    """Force the refinement loop to actually run (tiny _TAIL) with
+    NaNs present — the search must stay NaN-free internally and still
+    return the exact order statistics."""
+    monkeypatch.setattr(Q, "_TAIL", 4)
+    data = [(float(i),) for i in range(1, 100)] + [(float("nan"),)] * 3
+    df = spark.createDataFrame(data, "x double")
+    assert Q.exact_kth_smallest(df, "x", 50) == 50.0
+    assert Q.exact_order_statistics(df, "x", 99, 100) == pytest.approx(
+        (99.0, float("nan")), nan_ok=True
+    )
+
+
+def test_quantiles_zero_width_range(spark, monkeypatch):
+    """A value range so small that (hi-lo)/_BUCKETS rounds to 0.0 must
+    fall back to the exact finish instead of looping on floor(x/0)."""
+    monkeypatch.setattr(Q, "_TAIL", 2)
+    base = 5e-324  # the smallest subnormal double
+    data = [(base * i,) for i in range(1, 8)]
+    df = spark.createDataFrame(data, "x double")
+    assert Q.exact_kth_smallest(df, "x", 3) == base * 3
+    got = Q.exact_quantiles_cont(df, "x", [0.0, 0.5, 1.0])
+    want = [
+        df.agg(F.percentile("x", F.lit(p))).first()[0] for p in (0.0, 0.5, 1.0)
+    ]
+    assert got == want
+
+
+def test_quantiles_all_nan(spark):
+    df = spark.createDataFrame([(float("nan"),)] * 5, "x double")
+    assert math.isnan(Q.exact_median(df, "x"))
+    assert all(math.isnan(v) for v in Q.exact_quantiles_cont(df, "x", [0.5]))
+
+
+# ------------------------------------------------------------ load_table
+
+
+def test_load_table_invalidation(spark, tmp_path):
+    """spark.read.parquet snapshots the file index at DataFrame
+    creation; after rewriting a table dir the memoized handle is
+    stale by design — invalidate_tables must force re-resolution."""
+    d = str(tmp_path)
+    spark.range(3).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    h1 = load_table(spark, d, "t")
+    assert h1.count() == 3
+    assert load_table(spark, d, "t") is h1  # memo hit
+    spark.range(7).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    invalidate_tables(d, "t")
+    h2 = load_table(spark, d, "t")
+    assert h2 is not h1
+    assert h2.count() == 7
