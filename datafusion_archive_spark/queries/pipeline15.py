@@ -40,6 +40,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -64,13 +65,16 @@ def q_rfm_segments(spark, sf):
     recency a LOW score therefore means a RECENT customer.
 
     Scale: one Exchange collapses orders to customer level; quartile
-    cutpoints come from ONE aggregate pass broadcast back as a 3-array
-    fold (the equi-depth formulation) — no global-order window
-    anywhere. Segment rollup is ≤ 64 groups."""
+    cutpoints come from the histogram-pruned exact order-statistic
+    search (operators/quantiles.py — bit-identical to
+    ``percentile(x, array(...))`` but with no single-task aggregation
+    buffer, the round-6 PERF.md known-cost) and are inlined as literal
+    arrays into a scan-side fold (the equi-depth formulation) — no
+    global-order window anywhere. Segment rollup is ≤ 64 groups."""
     o = _t(spark, sf, "orders")
     # cached: the customer rollup fans out to the max-date scalar,
-    # the quartile cutpoints, and the scored join — uncached, the
-    # orders Exchange would re-run for each branch
+    # the per-column cutpoint searches, and the scoring scan —
+    # uncached, the orders Exchange would re-run for each branch
     per_cust = cached(
         o.groupBy("o_custkey").agg(
             F.datediff(
@@ -84,20 +88,28 @@ def q_rfm_segments(spark, sf):
     per_cust = per_cust.join(F.broadcast(maxday)).withColumn(
         "rec", F.col("corpus_max") - F.col("last_day")
     )
-    cuts = per_cust.agg(
-        F.expr("percentile(rec, array(0.25, 0.5, 0.75))").alias("rc"),
-        F.expr("percentile(fre, array(0.25, 0.5, 0.75))").alias("fc"),
-        F.expr("percentile(mon, array(0.25, 0.5, 0.75))").alias("mc"),
-    )
-    score = (
-        lambda col, cut: F.expr(
-            f"1 + aggregate({cut}, 0, (acc, b) -> acc + IF({col} > b, 1, 0))"
+    quartiles = [0.25, 0.5, 0.75]
+    cuts = {
+        c: exact_quantiles_cont(per_cust, c, quartiles)
+        for c in ("rec", "fre", "mon")
+    }
+
+    def score(col: str):
+        arr = F.array(*[F.lit(float(v)) for v in cuts[col]])
+        return (
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(col) > b, 1).otherwise(0),
+            )
+            + 1
         )
-    )
-    scored = per_cust.join(F.broadcast(cuts)).select(
-        score("rec", "rc").alias("r_score"),
-        score("fre", "fc").alias("f_score"),
-        score("mon", "mc").alias("m_score"),
+
+    scored = per_cust.select(
+        score("rec").alias("r_score"),
+        score("fre").alias("f_score"),
+        score("mon").alias("m_score"),
         "mon",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(

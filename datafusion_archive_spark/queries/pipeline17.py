@@ -41,6 +41,7 @@ from datafusion_archive_spark.functions.rounding import (
 from datafusion_archive_spark.queries.llm import _hash64_sql
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -262,22 +263,32 @@ def q_lorenz_curve_deciles(spark, sf):
     cumulative customer and spend shares per decile. The curve whose
     area deficit is the Gini coefficient.
 
-    Scale: spend collapses per customer; cutpoints come from ONE
-    aggregate pass broadcast back; the cumulative window runs over 10
-    decile rows."""
+    Scale: spend collapses per customer; cutpoints come from the
+    histogram-pruned exact order-statistic search
+    (operators/quantiles.py — bit-identical to ``percentile(x,
+    array(...))`` but with no single-task aggregation buffer over the
+    customer dimension) and are inlined as a literal array into a
+    scan-side fold; the cumulative window runs over 10 decile rows."""
     o = _t(spark, sf, "orders")
-    # cached: the customer-spend rollup feeds both the cutpoint pass
-    # and the bucketing join — uncached, the orders Exchange runs twice
+    # cached: the customer-spend rollup feeds both the cutpoint
+    # search and the bucketing scan — uncached, the orders Exchange
+    # runs once per pass
     spend = cached(
         o.groupBy("o_custkey").agg(
             decimal_sum(F.col("o_totalprice")).cast("double").alias("x")
         )
     )
-    pcts = ", ".join(str(p) for p in _LORENZ_PCTS)
-    cuts = spend.agg(F.expr(f"percentile(x, array({pcts}))").alias("bs"))
-    bucketed = spend.join(F.broadcast(cuts)).select(
-        F.expr(
-            "aggregate(bs, 0, (acc, b) -> acc + IF(x > b, 1, 0))"
+    cuts = F.array(
+        *[
+            F.lit(float(v))
+            for v in exact_quantiles_cont(spend, "x", _LORENZ_PCTS)
+        ]
+    )
+    bucketed = spend.select(
+        F.aggregate(
+            cuts,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("x") > b, 1).otherwise(0),
         ).alias("decile"),
         "x",
     )

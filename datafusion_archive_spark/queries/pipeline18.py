@@ -42,6 +42,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -229,23 +230,35 @@ def q_psi_price_drift(spark, sf):
     (p − q)·ln(p/q); total PSI > 0.2 is the conventional
     "investigate" threshold.
 
-    Scale: cutpoints come from ONE aggregate over the reference
-    partition; bin assignment is a scan-side fold; the rollup is 10
-    cells per period."""
+    Scale: cutpoints come from the histogram-pruned exact
+    order-statistic search (operators/quantiles.py — bit-identical to
+    ``percentile(x, array(...))`` but with no single-task aggregation
+    buffer; the reference partition is ORDER-level, so at 100 TB the
+    old one-pass percentile would funnel 10^10 values through one
+    task) over a pruned 1-column scan of the reference slice; bin
+    assignment is a scan-side fold over the inlined literal cutpoint
+    array; the rollup is 10 cells per period."""
     o = _t(spark, sf, "orders").select(
         "o_totalprice",
         (F.to_date("o_orderdate") < F.lit(_PSI_SPLIT).cast("date")).alias(
             "is_ref"
         ),
     )
-    pcts = ", ".join(str(p) for p in _PSI_PCTS)
-    cuts = o.filter("is_ref").agg(
-        F.expr(f"percentile(o_totalprice, array({pcts}))").alias("bs")
+    cuts = F.array(
+        *[
+            F.lit(float(v))
+            for v in exact_quantiles_cont(
+                o.filter("is_ref"), "o_totalprice", _PSI_PCTS
+            )
+        ]
     )
-    binned = o.join(F.broadcast(cuts)).select(
+    binned = o.select(
         "is_ref",
-        F.expr(
-            "aggregate(bs, 0, (acc, b) -> acc + IF(o_totalprice > b, 1, 0))"
+        F.aggregate(
+            cuts,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
         ).alias("bin"),
     )
     # cached: the 10-cell rollup feeds the totals and the final

@@ -38,6 +38,7 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum,
     decimal_sum_sql,
 )
+from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -112,16 +113,27 @@ def q_cumulative_gains(spark, sf):
     shares, and per-decile lift. The targeting-efficiency curve of
     campaign analytics.
 
-    Scale: decile assignment is the broadcast-cutpoint fold
-    (descending); the cumulative window runs over 10 rows."""
+    Scale: decile cutpoints come from the histogram-pruned exact
+    order-statistic search (operators/quantiles.py — bit-identical to
+    ``percentile(x, array(...))`` but with no single-task aggregation
+    buffer over the order-level score column); assignment is a
+    scan-side fold over the inlined literal array (descending); the
+    cumulative window runs over 10 rows."""
     s = _scored(spark, sf)
-    pcts = ", ".join(str(p) for p in _GAIN_PCTS)
-    cuts = s.agg(F.expr(f"percentile(score, array({pcts}))").alias("bs"))
-    binned = s.join(F.broadcast(cuts)).select(
+    cuts = F.array(
+        *[
+            F.lit(float(v))
+            for v in exact_quantiles_cont(s, "score", _GAIN_PCTS)
+        ]
+    )
+    binned = s.select(
         "y",
         # count of cutpoints the score does NOT exceed = descending bin
-        F.expr(
-            "aggregate(bs, 0, (acc, b) -> acc + IF(score <= b, 1, 0))"
+        F.aggregate(
+            cuts,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("score") <= b, 1).otherwise(0),
         ).alias("decile"),
     )
     # cached: the 10-row rollup feeds the totals and the window —

@@ -46,42 +46,49 @@ def q_double_smoothing_forecast(spark, sf):
     f_t = 2·S₁(t−1) − S₂(t−1). Output per day (where a forecast
     exists): actual, forecast, abs error.
 
-    Scale: the day grid is the whole working set; both smoothing
-    passes are band self-joins over it (≤14 rows per output row)."""
+    Scale: the day grid is the whole working set; each smoothing pass
+    is an EXPLODE-TO-EQUI-JOIN band kernel — every source day fans
+    out to the ≤14 target days it contributes to (map-side, bounded
+    14×|days|), and the weighted fold is a hash aggregate on the
+    target day. No non-equi join anywhere, so the plan is hash
+    joins/aggregates instead of the nested-loop/cartesian a range
+    self-join degenerates to (the round-7 no-cartesian window guard
+    caught exactly that)."""
     o = _t(spark, sf, "orders")
     daily = o.groupBy(
         F.datediff(
             F.to_date("o_orderdate"), F.lit(_DS_EPOCH).cast("date")
         ).alias("day")
     ).agg(decimal_sum(F.col("o_totalprice")).cast("double").alias("rev"))
-    # cached: the day grid feeds both sides of each band self-join
-    # and the backtest join — uncached, the fact rollup re-runs 3x
+    # cached: the day grid feeds both smoothing kernels, the grid
+    # filter, and the backtest join — uncached, the fact rollup
+    # re-runs per branch
     daily = cached(daily)
-    d1, d2 = daily.alias("d1"), daily.alias("d2")
-    k = F.col("d1.day") - F.col("d2.day")
-    wgt = F.pow(F.lit(1.0 - _DS_ALPHA), k)
-    s1 = (
-        d1.join(
-            d2,
-            (F.col("d2.day") <= F.col("d1.day"))
-            & (F.col("d2.day") > F.col("d1.day") - _DS_SPAN),
+
+    def ewma(src, valcol: str, out: str):
+        """Bounded-kernel EWMA: source day j contributes weight
+        (1-α)^(t-j) to every target day t in [j, j+span); the fold
+        normalizes by the weights of the days actually present."""
+        contrib = src.select(
+            F.col("day").alias("sday"), F.col(valcol).alias("v")
+        ).select(
+            F.explode(
+                F.sequence(F.col("sday"), F.col("sday") + _DS_SPAN - 1)
+            ).alias("day"),
+            "sday",
+            "v",
         )
-        .groupBy(F.col("d1.day").alias("day"))
-        .agg((F.sum(wgt * F.col("d2.rev")) / F.sum(wgt)).alias("s1"))
-    )
+        w = F.pow(F.lit(1.0 - _DS_ALPHA), F.col("day") - F.col("sday"))
+        return contrib.groupBy("day").agg(
+            (F.sum(w * F.col("v")) / F.sum(w)).alias(out)
+        )
+
+    # the fan-out also creates phantom target days absent from the
+    # grid (gaps); S₁ must be restricted to REAL days before S₂
+    # smooths it, or the phantom partial windows would leak into S₂
+    s1 = ewma(daily, "rev", "s1").join(daily.select("day"), "day")
     s1 = cached(s1)
-    e1, e2 = s1.alias("e1"), s1.alias("e2")
-    k2 = F.col("e1.day") - F.col("e2.day")
-    wgt2 = F.pow(F.lit(1.0 - _DS_ALPHA), k2)
-    s2 = (
-        e1.join(
-            e2,
-            (F.col("e2.day") <= F.col("e1.day"))
-            & (F.col("e2.day") > F.col("e1.day") - _DS_SPAN),
-        )
-        .groupBy(F.col("e1.day").alias("day"))
-        .agg((F.sum(wgt2 * F.col("e2.s1")) / F.sum(wgt2)).alias("s2"))
-    )
+    s2 = ewma(s1, "s1", "s2")
     state = s1.join(s2, "day").select(
         (F.col("day") + 1).alias("day"),
         (2 * F.col("s1") - F.col("s2")).alias("forecast"),
