@@ -207,3 +207,84 @@ def test_load_table_invalidation(spark, tmp_path):
     h2 = load_table(spark, d, "t")
     assert h2 is not h1
     assert h2.count() == 7
+
+
+# ------------------------------------------------- quantiles property
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SPECIALS = [
+    float("nan"),
+    float("inf"),
+    float("-inf"),
+    0.0,
+    -0.0,
+    5e-324,
+    1e308,
+    -1e308,
+]
+_VALS = st.lists(
+    st.one_of(
+        st.sampled_from(_SPECIALS),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.integers(min_value=-5, max_value=5).map(float),
+    ),
+    min_size=1,
+    max_size=30,
+)
+_PROBS = st.lists(
+    st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+
+def _same(a: float, b: float) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    return (math.isnan(a) and math.isnan(b)) or a == b
+
+
+@given(_VALS, _PROBS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_quantiles_match_percentile_aggregate(spark, xs, probs):
+    """exact_quantiles_cont must be BIT-IDENTICAL to Spark's
+    percentile aggregate on arbitrary doubles, including NaN/±inf/
+    subnormals/duplicates — the contract the five certified cutpoint
+    queries rely on."""
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    arr = ", ".join(repr(p) for p in probs)
+    want = df.agg(F.expr(f"percentile(x, array({arr}))")).first()[0]
+    got = Q.exact_quantiles_cont(df, "x", probs)
+    assert len(got) == len(want)
+    for g, w, p in zip(got, want, probs):
+        assert _same(g, w), (p, g, w, sorted(xs, key=lambda v: (math.isnan(v), v)))
+
+
+@given(_VALS, st.data())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_order_statistics_match_sorted(spark, xs, data):
+    """exact_order_statistics(k1, k2) must equal the k-th smallest
+    values under Spark's double ordering (NaN greatest)."""
+    n = len(xs)
+    k1 = data.draw(st.integers(min_value=1, max_value=n))
+    k2 = data.draw(st.integers(min_value=k1, max_value=min(n, k1 + 1)))
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    ordered = sorted(xs, key=lambda v: (math.isnan(v), v))
+    v1, v2 = Q.exact_order_statistics(df, "x", k1, k2)
+    assert _same(v1, ordered[k1 - 1]) and _same(v2, ordered[k2 - 1]), (
+        k1,
+        k2,
+        ordered,
+    )

@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,6 +24,24 @@ from datafusion_archive_spark.context import TESTDATA_TABLES
 from datafusion_archive_spark.session import get_spark
 
 import __spark_entry__ as entrymod
+
+
+def _session():
+    """ORACLE_CHECK_VANILLA=1 replicates the driver's configuration —
+    a bare SparkSession with none of the session factory's conf — so
+    the sweep artifact proves the queries don't depend on get_spark
+    defaults (the driver will not use our factory)."""
+    if os.environ.get("ORACLE_CHECK_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        return (
+            SparkSession.builder.master("local[16]")
+            .appName("oracle_check_vanilla")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    return get_spark("oracle_check")
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -84,7 +103,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle_check")
+    spark = _session()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
