@@ -282,3 +282,202 @@ def exact_quantiles_cont(
             v_lo if lo_r == hi_r else v_lo * (1.0 - frac) + v_hi * frac
         )
     return out
+
+
+#: histogram rows reaching the driver are bounded by groups × occupied
+#: buckets; the guard keeps the worst case (every bucket occupied in
+#: every group) to ~1M counted rows
+_MAX_GROUPS = 256
+
+
+def exact_grouped_quantiles(
+    df: DataFrame,
+    key: str,
+    col: str,
+    probs: list[float],
+    max_groups: int = _MAX_GROUPS,
+) -> dict:
+    """Exact interpolated quantiles PER GROUP — ``{key_value:
+    [q_1, …]}`` equal to ``groupBy(key).agg(percentile(col,
+    array(probs)))`` bit-for-bit — without per-group value buffers.
+
+    Spark's grouped ``percentile`` buffers EVERY value of a group in
+    the one reducer task that finalizes it: for low-cardinality keys
+    over fact-scale data (event types, months) that is hundreds of GB
+    in one task's memory. This runs the same histogram-pruning idea
+    as :func:`exact_quantiles_cont` for all groups AT ONCE:
+
+    1. one grouped aggregate collects per-group (n, n_nan, lo, hi) —
+       |groups| rows to the driver;
+    2. one pass histograms every group simultaneously (per-group
+       lo/width broadcast-joined onto the scan, counts grouped by
+       (key, bucket));
+    3. one selection pass picks all needed order statistics across
+       all groups with a row_number window PARTITIONED BY (key,
+       bucket) — each partition holds ~n_g/B rows;
+    4. the driver interpolates. Only |groups|·(≤2·|probs|) scalars
+       plus the bucket counts ever leave the executors.
+
+    NaNs follow Spark ordering (greatest, so they own the top ranks);
+    pathological groups (zero-width range, >4·_TAIL-row buckets) fall
+    back to the single-group search on that group's slice. The key
+    column must be an atomic type whose Spark string form equals
+    ``str(value)`` (string/integer keys — the selection filter matches
+    on a concatenated string triple).
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(key).alias("_k"), F.col(col).cast("double").alias("_x")
+    ).filter(F.col("_x").isNotNull())
+    stats = vals.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.isnan("_x").cast("long")).alias("n_nan"),
+        F.min(F.when(~F.isnan("_x"), F.col("_x"))).alias("lo"),
+        F.max(F.when(~F.isnan("_x"), F.col("_x"))).alias("hi"),
+    ).collect()
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"exact_grouped_quantiles: {len(stats)} groups exceeds "
+            f"max_groups={max_groups}; raise the cap (driver holds "
+            "groups x occupied-bucket counts) or use the sketch path"
+        )
+    needed: dict = {}  # key -> {global rank: value or None}
+    plans: dict = {}  # key -> [(lo_r, hi_r, frac)]
+    grids: dict = {}  # key -> (lo, width) for groups needing a histogram
+    zero_width: set = set()
+    any_nan = False
+    for row in stats:
+        n, n_nan, lo, hi = row.n, row.n_nan or 0, row.lo, row.hi
+        any_nan = any_nan or n_nan > 0
+        n_fin = n - n_nan
+        plan, need = [], {}
+        for q in probs:
+            pos = (n - 1) * q
+            lo_r, hi_r = int(pos) + 1, min(int(pos) + 2, n)
+            if pos == int(pos):
+                hi_r = lo_r
+            plan.append((lo_r, hi_r, pos - int(pos)))
+            need[lo_r] = need[hi_r] = None
+        for r in need:
+            if r > n_fin:
+                need[r] = float("nan")
+        fin_ranks = [r for r in need if r <= n_fin]
+        if fin_ranks:
+            if n_fin == 1 or lo == hi:
+                for r in fin_ranks:
+                    need[r] = lo
+            else:
+                width = (hi - lo) / _BUCKETS
+                if not math.isfinite(width):
+                    width = hi / _BUCKETS - lo / _BUCKETS
+                if width == 0.0 or not math.isfinite(width):
+                    zero_width.add(row._k)
+                else:
+                    grids[row._k] = (float(lo), float(width))
+        plans[row._k] = plan
+        needed[row._k] = need
+    fin = vals.filter(~F.isnan("_x")) if any_nan else vals
+    for k in zero_width:
+        # subnormal-sized range: resolve this group's ranks by the
+        # (tail-capable) single-rank search on its slice
+        sub = fin.filter(F.col("_k") == k)
+        for r in [r for r, v in needed[k].items() if v is None]:
+            needed[k][r] = exact_kth_smallest(sub, "_x", r)
+    if grids:
+        spark = df.sparkSession
+        meta = F.broadcast(
+            spark.createDataFrame(
+                [(k, lo, w) for k, (lo, w) in grids.items()],
+                schema=vals.select("_k").schema.add("_lo", "double").add(
+                    "_w", "double"
+                ),
+            )
+        )
+        joined = fin.join(meta, "_k")
+        bucket = F.least(
+            F.lit(_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_x") - F.col("_lo")) / F.col("_w")
+                ).cast("int"),
+            ),
+        )
+        hist: dict = {}
+        for row in (
+            joined.groupBy("_k", bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        ):
+            hist.setdefault(row._k, {})[row._b] = row._c
+        # map each group's needed ranks to (bucket, local rank)
+        by_bucket: dict = {}  # key -> bucket -> {local rank: global rank}
+        big: set = set()  # (key, bucket) pairs too big for the window
+        for k, (lo, w) in grids.items():
+            h = hist.get(k, {})
+            for r in sorted(
+                r for r, v in needed[k].items() if v is None
+            ):
+                cm = 0
+                for b in range(_BUCKETS):
+                    c = h.get(b, 0)
+                    if cm + c >= r:
+                        by_bucket.setdefault(k, {}).setdefault(b, {})[
+                            r - cm
+                        ] = r
+                        if c > 4 * _TAIL:
+                            big.add((k, b))
+                        break
+                    cm += c
+        small = [
+            f"{k}:{b}"
+            for k, bs in by_bucket.items()
+            for b in bs
+            if (k, b) not in big
+        ]
+        if small:
+            sel = joined.select(
+                "_k", "_x", bucket.alias("_b")
+            ).filter(F.concat_ws(":", "_k", "_b").isin(small))
+            w_sel = Window.partitionBy("_k", "_b").orderBy("_x")
+            wanted = [
+                f"{k}:{b}:{lr}"
+                for k, bs in by_bucket.items()
+                for b, lrs in bs.items()
+                if (k, b) not in big
+                for lr in lrs
+            ]
+            picked = (
+                sel.withColumn("_rn", F.row_number().over(w_sel))
+                .filter(F.concat_ws(":", "_k", "_b", "_rn").isin(wanted))
+                .collect()
+            )
+            for row in picked:
+                needed[row._k][by_bucket[row._k][row._b][row._rn]] = row._x
+        for k, b in big:
+            lo, w = grids[k]
+            sub_bucket = F.least(
+                F.lit(_BUCKETS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("_x") - F.lit(lo)) / F.lit(w)).cast(
+                        "int"
+                    ),
+                ),
+            )
+            sub = fin.filter(F.col("_k") == k).filter(sub_bucket == b)
+            for lr, r in by_bucket[k][b].items():
+                needed[k][r] = exact_kth_smallest(sub, "_x", lr)
+    out = {}
+    for k, plan in plans.items():
+        vals_k = []
+        for lo_r, hi_r, frac in plan:
+            v_lo, v_hi = needed[k][lo_r], needed[k][hi_r]
+            vals_k.append(
+                v_lo
+                if lo_r == hi_r
+                else v_lo * (1.0 - frac) + v_hi * frac
+            )
+        out[k] = vals_k
+    return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
 from datafusion_archive_spark.operators.util import load_table
 
 
@@ -143,20 +144,31 @@ _HIST_PCTS = [round(0.1 * i, 1) for i in range(1, 10)]
 
 def q_histogram_equi_depth(spark, sf):
     """Equi-depth (decile) histogram the scale-sane way: exact
-    interpolated decile boundaries in ONE aggregate pass, broadcast
-    back onto the scan, bucket assignment as a fold over the 9
-    cutpoints — never the ntile-over-global-order formulation, whose
-    single-partition window is a scale-killer. Spark ``percentile``
-    and DuckDB ``quantile_cont`` share linear interpolation, so bucket
-    edges (and therefore every count) match exactly."""
+    interpolated decile boundaries from the histogram-pruned
+    order-statistic search (operators/quantiles.py — distributed
+    passes over the pruned 1-column scan; round 7 retired the
+    previous one-pass ``percentile`` aggregate, which funneled the
+    whole fact column through a single task's buffer for the final
+    merge), inlined as a literal array onto the scan, bucket
+    assignment as a fold over the 9 cutpoints — never the
+    ntile-over-global-order formulation, whose single-partition
+    window is a scale-killer. The search is bit-identical to Spark
+    ``percentile``, which shares linear interpolation with DuckDB
+    ``quantile_cont``, so bucket edges (and therefore every count)
+    match exactly."""
     l = _t(spark, sf, "lineitem").select("l_extendedprice")
-    pcts = ", ".join(str(p) for p in _HIST_PCTS)
-    bounds = l.agg(
-        F.expr(f"percentile(l_extendedprice, array({pcts}))").alias("bs")
+    bounds = F.array(
+        *[
+            F.lit(float(v))
+            for v in exact_quantiles_cont(l, "l_extendedprice", _HIST_PCTS)
+        ]
     )
-    bucketed = l.join(F.broadcast(bounds)).select(
-        F.expr(
-            "aggregate(bs, 0, (acc, b) -> acc + IF(l_extendedprice > b, 1, 0))"
+    bucketed = l.select(
+        F.aggregate(
+            bounds,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("l_extendedprice") > b, 1).otherwise(0),
         ).alias("bucket"),
         "l_extendedprice",
     )

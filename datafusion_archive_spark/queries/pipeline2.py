@@ -35,6 +35,7 @@ from datafusion_archive_spark.functions.rounding import (
 from datafusion_archive_spark.operators import dedup
 from datafusion_archive_spark.queries import llm as _llm
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.quantiles import exact_grouped_quantiles
 from datafusion_archive_spark.operators.util import load_table
 
 
@@ -297,16 +298,20 @@ def q_stratified_sample(spark, sf):
 def q_winsorized_aggs(spark, sf):
     """Winsorized (clipped) aggregation: per event type, clip values
     to the exact [p05, p95] band and aggregate the clipped series —
-    the standard robust-mean pattern for long-tailed metrics. Exact
-    interpolated percentiles compute per group in one pass; the tiny
-    (type, lo, hi) table broadcasts back onto the events scan, so the
-    fact side is read once and never shuffled beyond the final
-    aggregate. Spark ``percentile`` and DuckDB ``quantile_cont`` share
-    linear interpolation, so the oracle is exact."""
+    the standard robust-mean pattern for long-tailed metrics. The
+    per-type bands come from the grouped histogram-pruned search
+    (operators/quantiles.exact_grouped_quantiles — round 7: the
+    grouped ``percentile`` aggregate buffered every value of an
+    event type in the one task finalizing it, hundreds of GB per
+    low-cardinality group at fact scale) and broadcast back onto the
+    events scan. The search is bit-identical to ``percentile``,
+    which shares linear interpolation with DuckDB ``quantile_cont``,
+    so the oracle is exact."""
     ev = load_events(spark, sf)
-    bands = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    qs = exact_grouped_quantiles(ev, "event_type", "value", [0.05, 0.95])
+    bands = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in qs.items()],
+        "event_type string, lo double, hi double",
     )
     clipped = ev.join(F.broadcast(bands), "event_type").withColumn(
         "v_clip", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))

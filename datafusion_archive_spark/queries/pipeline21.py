@@ -37,6 +37,7 @@ from datafusion_archive_spark.functions.rounding import (
 from datafusion_archive_spark.operators.asof import asof_join_forward
 from datafusion_archive_spark.queries.llm import _NORM
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.quantiles import exact_grouped_quantiles
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -92,28 +93,35 @@ def q_percentiles_by_month(spark, sf):
     """Exact p50/p90/p99 of order totals per order month — the
     grouped-percentile report behind every SLA/latency dashboard.
 
-    Scale: one hash aggregate keyed by month; exact grouped
-    percentiles hold a per-group value buffer, which is the standard
-    cost — when a group outgrows memory, the cutpoint-fold or sketch
-    variants (``histogram_equi_depth``, ``approx_aggs``) are the
-    documented escape hatches."""
-    o = _t(spark, sf, "orders")
-    monthly = o.groupBy(
-        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
-        ).alias("ps"),
+    Scale: the per-month cutpoints come from the grouped
+    histogram-pruned search (operators/quantiles.
+    exact_grouped_quantiles — round 7: every month's percentiles
+    resolve together in three distributed passes, with no per-group
+    value buffer in the task that finalizes a month; the grouped
+    ``percentile`` aggregate held each month's whole value set in one
+    task, the failure mode the sketch variants (``approx_aggs``) were
+    previously the only escape from). Counts are a plain hash
+    aggregate; the search is bit-identical to ``percentile``."""
+    o = _t(spark, sf, "orders").select(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+        "o_totalprice",
     )
+    qs = exact_grouped_quantiles(
+        o, "month", "o_totalprice", [0.5, 0.9, 0.99]
+    )
+    cuts = spark.createDataFrame(
+        [(k, v[0], v[1], v[2]) for k, v in qs.items()],
+        "month string, q50 double, q90 double, q99 double",
+    )
+    monthly = o.groupBy("month").agg(F.count(F.lit(1)).alias("n"))
     # half-up rounding on both engines: interpolated percentiles land
     # on .005 midpoints where round()'s engine default diverges
-    return monthly.select(
+    return monthly.join(F.broadcast(cuts), "month").select(
         "month",
         "n",
-        round_half_up(F.col("ps")[0], 2).alias("p50"),
-        round_half_up(F.col("ps")[1], 2).alias("p90"),
-        round_half_up(F.col("ps")[2], 2).alias("p99"),
+        round_half_up(F.col("q50"), 2).alias("p50"),
+        round_half_up(F.col("q90"), 2).alias("p90"),
+        round_half_up(F.col("q99"), 2).alias("p99"),
     )
 
 

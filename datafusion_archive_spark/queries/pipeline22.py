@@ -40,6 +40,7 @@ from datafusion_archive_spark.functions.rounding import (
 )
 from datafusion_archive_spark.operators.asof import asof_join
 from datafusion_archive_spark.queries.timeseries import load_events
+from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -153,8 +154,12 @@ def q_conversion_time_percentiles(spark, sf):
     preceding click (backward as-of, same user); report the count of
     converted purchases and the p50/p90 lag in seconds. One row.
 
-    Scale: the asof union-carry costs one user Exchange; percentiles
-    run over the converted-purchase lags (integer-µs exact)."""
+    Scale: the asof union-carry costs one user Exchange; the lag
+    percentiles come from the histogram-pruned search over the CACHED
+    converted-lag set (round 7 — the global ``percentile`` aggregate
+    funneled every converted purchase's lag through one task's
+    buffer; the cache keeps the asof join from re-running per search
+    pass and is released by the next query's build)."""
     ev = load_events(spark, sf)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
@@ -173,17 +178,16 @@ def q_conversion_time_percentiles(spark, sf):
         right_value_cols=["click_us"],
         suffix="",
     ).filter(F.col("click_us").isNotNull())
-    lags = joined.select(
-        ((F.unix_micros("ts") - F.col("click_us")) / 1e6).alias("lag_s")
+    lags = cached(
+        joined.select(
+            ((F.unix_micros("ts") - F.col("click_us")) / 1e6).alias("lag_s")
+        )
     )
+    p50, p90 = exact_quantiles_cont(lags, "lag_s", [0.5, 0.9])
     return lags.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        round_half_up(F.expr("percentile(lag_s, 0.5)"), 2).alias(
-            "p50_lag_s"
-        ),
-        round_half_up(F.expr("percentile(lag_s, 0.9)"), 2).alias(
-            "p90_lag_s"
-        ),
+        round_half_up(F.lit(p50).cast("double"), 2).alias("p50_lag_s"),
+        round_half_up(F.lit(p90).cast("double"), 2).alias("p90_lag_s"),
     )
 
 

@@ -44,6 +44,7 @@ from datafusion_archive_spark.functions.rounding import (
     round_half_up_sql,
 )
 from datafusion_archive_spark.operators import dedup
+from datafusion_archive_spark.operators.quantiles import exact_grouped_quantiles
 from datafusion_archive_spark.operators.util import cached
 from datafusion_archive_spark.queries import llm as _llm
 from datafusion_archive_spark.queries.pipeline2 import (
@@ -345,20 +346,27 @@ def q_outliers_mad(spark, sf):
     """Median/MAD outlier profile per event type — the robust z-score
     (|x − median| > 3·MAD) that survives the long tails a mean/stddev
     gate drowns in. Two broadcast-back passes, mirroring the certified
-    winsorized pattern: exact interpolated median per group, broadcast
-    onto the scan for absolute deviations, exact MAD of those, final
-    single-Exchange aggregate. Spark ``percentile`` and DuckDB
-    ``quantile_cont`` share linear interpolation, so the flag
-    boundary is engine-exact."""
+    winsorized pattern: exact per-type median from the grouped
+    histogram-pruned search (operators/quantiles — round 7: no
+    per-group value buffer in a single task, the grouped
+    ``percentile`` failure mode at fact scale), broadcast onto the
+    scan for absolute deviations, exact MAD of those the same way,
+    final single-Exchange aggregate. The search is bit-identical to
+    ``percentile``, which shares linear interpolation with DuckDB
+    ``quantile_cont``, so the flag boundary is engine-exact."""
     ev = load_events(spark, sf)
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med_qs = exact_grouped_quantiles(ev, "event_type", "value", [0.5])
+    med = spark.createDataFrame(
+        [(k, v[0]) for k, v in med_qs.items()],
+        "event_type string, med double",
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
+    mad_qs = exact_grouped_quantiles(dev, "event_type", "adev", [0.5])
+    mad = spark.createDataFrame(
+        [(k, v[0]) for k, v in mad_qs.items()],
+        "event_type string, mad double",
     )
     flagged = dev.join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type").agg(

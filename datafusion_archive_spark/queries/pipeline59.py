@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
+from datafusion_archive_spark.operators.util import cached
+
 
 def q_classical_decomposition(spark, sf):
     """Multiplicative trend x seasonal x residual on daily revenue."""
@@ -83,8 +86,13 @@ def q_classical_decomposition(spark, sf):
 
 
 def q_atkinson_index(spark, sf):
-    """Atkinson inequality of per-customer spend at eps 1 and 0.5."""
-    spend = (
+    """Atkinson inequality of per-customer spend at eps 1 and 0.5.
+
+    Scale: the median comes from the histogram-pruned search over the
+    CACHED customer rollup (round 7 — the one-pass ``percentile``
+    funneled the entity-level column through one task's buffer); the
+    moment aggregates are plain map-combined sums."""
+    spend = cached(
         spark.read.parquet(f"{sf}/orders.parquet")
         .groupBy("o_custkey")
         .agg(
@@ -93,10 +101,11 @@ def q_atkinson_index(spark, sf):
             .alias("y")
         )
     )
+    med = exact_quantiles_cont(spend, "y", [0.5])[0]
     return spend.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("y"), 2).alias("mean_spend"),
-        F.round(F.percentile("y", F.lit(0.5)), 2).alias("median_spend"),
+        F.round(F.lit(med).cast("double"), 2).alias("median_spend"),
         F.round(
             1.0 - F.exp(F.avg(F.log("y"))) / F.avg("y"), 6
         ).alias("atkinson_eps1"),

@@ -288,3 +288,76 @@ def test_exact_order_statistics_match_sorted(spark, xs, data):
         k2,
         ordered,
     )
+
+
+# --------------------------------------------------- grouped quantiles
+
+
+def test_grouped_quantiles_match_grouped_percentile(spark):
+    """exact_grouped_quantiles must equal groupBy().percentile()
+    bit-for-bit across mixed group shapes: large, tiny, singleton,
+    NaN-bearing, all-NaN, and subnormal-width groups."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for g, n in [("a", 1000), ("b", 7), ("c", 1), ("d", 50)]:
+        rows += [(g, random.gauss(0.0, 100.0)) for _ in range(n)]
+    rows += [("a", float("nan"))] * 3 + [("e", float("nan"))]
+    rows += [("f", 5e-324), ("f", 1e-323), ("f", 1.5e-323)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = Q.exact_grouped_quantiles(df, "k", "x", probs)
+    want = {
+        r.k: r.qs
+        for r in df.groupBy("k")
+        .agg(
+            F.percentile(
+                "x", F.array(*[F.lit(p) for p in probs])
+            ).alias("qs")
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert _same(g, w), (k, got[k], want[k])
+
+
+def test_grouped_quantiles_int_keys_and_group_cap(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(99)], "k int, x double"
+    )
+    got = Q.exact_grouped_quantiles(df, "k", "x", [0.5])
+    want = {
+        r.k: r.m
+        for r in df.groupBy("k")
+        .agg(F.percentile("x", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    with pytest.raises(ValueError, match="exceeds max_groups"):
+        Q.exact_grouped_quantiles(df, "k", "x", [0.5], max_groups=2)
+
+
+def test_grouped_quantiles_forced_histogram_path(spark, monkeypatch):
+    """Shrink _TAIL so the big-bucket fallback path actually runs."""
+    monkeypatch.setattr(Q, "_TAIL", 1)
+    df = spark.createDataFrame(
+        [("g", float(i % 13)) for i in range(500)]
+        + [("h", float(i)) for i in range(40)],
+        "k string, x double",
+    )
+    got = Q.exact_grouped_quantiles(df, "k", "x", [0.1, 0.5, 0.95])
+    want = {
+        r.k: r.qs
+        for r in df.groupBy("k")
+        .agg(
+            F.percentile(
+                "x", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.95))
+            ).alias("qs")
+        )
+        .collect()
+    }
+    for k in want:
+        assert got[k] == list(want[k]), (k, got[k], want[k])
