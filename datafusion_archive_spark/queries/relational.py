@@ -644,21 +644,34 @@ def q_in_subquery(spark, sf):
 
 
 def q_percentiles(spark, sf):
-    """Exact interpolated percentiles (Spark percentile == DuckDB
-    quantile_cont, both linear interpolation). approx_percentile /
-    approx_count_distinct are the scale path; exact is the oracle."""
-    return (
-        _t(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
-                "p95_price"
-            ),
-            F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias(
-                "p25_disc"
-            ),
-        )
+    """Exact interpolated percentiles per return flag, from the
+    grouped histogram-pruned search (operators/quantiles — round 7:
+    three return-flag groups over a fact table is exactly the
+    low-cardinality-key case where the grouped ``percentile``
+    aggregate buffers a third of the fact column in one task). The
+    search is bit-identical to Spark ``percentile`` == DuckDB
+    ``quantile_cont`` (both linear interpolation); approx_percentile
+    remains the documented sketch path."""
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_grouped_quantiles,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    qty = exact_grouped_quantiles(li, "l_returnflag", "l_quantity", [0.5])
+    price = exact_grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.95]
+    )
+    disc = exact_grouped_quantiles(li, "l_returnflag", "l_discount", [0.25])
+    cuts = spark.createDataFrame(
+        [(k, qty[k][0], price[k][0], disc[k][0]) for k in sorted(qty)],
+        "l_returnflag string, q50_qty double, q95_price double, "
+        "q25_disc double",
+    )
+    return cuts.select(
+        "l_returnflag",
+        F.round("q50_qty", 4).alias("p50_qty"),
+        F.round("q95_price", 4).alias("p95_price"),
+        F.round("q25_disc", 4).alias("p25_disc"),
     )
 
 

@@ -314,7 +314,16 @@ def test_perplexity_model_joins_are_equi(spark, sf_dir):
 # rollup fanning out uncached, re-running its corpus-sized subtree per
 # branch (PERF.md round-6 section). The ceiling is the post-fix scan
 # count — a regression that drops the cache re-inflates it.
+# The round-7 quantile-upgrade rows pin the RETURNED plan after the
+# eager cutpoint search: the returned DataFrame must not re-scan what
+# the search already resolved to literals/broadcast tables.
 _SCAN_CEILINGS = {
+    "percentiles": 0,  # grouped search collapses to a local relation
+    "histogram_equi_depth": 1,
+    "winsorized_aggs": 1,
+    "outliers_mad": 1,
+    "percentiles_by_month": 1,
+    "atkinson_index": 1,  # cached rollup + literal median
     "hierarchy_closure_rollup": 1,
     "graph_triangle_count": 3,
     "graph_pagerank": 3,
