@@ -320,7 +320,9 @@ def exact_grouped_quantiles(
 
     NaNs follow Spark ordering (greatest, so they own the top ranks);
     pathological groups (zero-width range, >4·_TAIL-row buckets) fall
-    back to the single-group search on that group's slice. The key
+    back to the single-group search on that group's slice; a NULL key
+    is a group like any other (null-safe join + sentinel in the
+    selection filter), mirroring grouped ``percentile``. The key
     column must be an atomic type whose Spark string form equals
     ``str(value)`` (string/integer keys — the selection filter matches
     on a concatenated string triple).
@@ -378,10 +380,25 @@ def exact_grouped_quantiles(
         plans[row._k] = plan
         needed[row._k] = need
     fin = vals.filter(~F.isnan("_x")) if any_nan else vals
+
+    def _key_eq(k):
+        # a NULL group (which grouped percentile reports like any
+        # other) never matches ``== k``; null-safe it explicitly
+        return F.col("_k").isNull() if k is None else F.col("_k") == k
+
+    # string form of a key for the selection-filter triples; NULL
+    # keys get a sentinel that concat_ws is forced to render (plain
+    # concat_ws SKIPS null columns, which would collapse the triple)
+    _NULL_TAG = "\x00null"
+
+    def _key_str(k):
+        return _NULL_TAG if k is None else str(k)
+
+    _k_str = F.coalesce(F.col("_k").cast("string"), F.lit(_NULL_TAG))
     for k in zero_width:
         # subnormal-sized range: resolve this group's ranks by the
         # (tail-capable) single-rank search on its slice
-        sub = fin.filter(F.col("_k") == k)
+        sub = fin.filter(_key_eq(k))
         for r in [r for r, v in needed[k].items() if v is None]:
             needed[k][r] = exact_kth_smallest(sub, "_x", r)
     if grids:
@@ -392,9 +409,11 @@ def exact_grouped_quantiles(
                 schema=vals.select("_k").schema.add("_lo", "double").add(
                     "_w", "double"
                 ),
-            )
+            ).withColumnRenamed("_k", "_mk")
         )
-        joined = fin.join(meta, "_k")
+        joined = fin.join(
+            meta, F.col("_k").eqNullSafe(F.col("_mk"))
+        ).drop("_mk")
         bucket = F.least(
             F.lit(_BUCKETS - 1),
             F.greatest(
@@ -431,7 +450,7 @@ def exact_grouped_quantiles(
                         break
                     cm += c
         small = [
-            f"{k}:{b}"
+            f"{_key_str(k)}:{b}"
             for k, bs in by_bucket.items()
             for b in bs
             if (k, b) not in big
@@ -439,10 +458,10 @@ def exact_grouped_quantiles(
         if small:
             sel = joined.select(
                 "_k", "_x", bucket.alias("_b")
-            ).filter(F.concat_ws(":", "_k", "_b").isin(small))
+            ).filter(F.concat_ws(":", _k_str, "_b").isin(small))
             w_sel = Window.partitionBy("_k", "_b").orderBy("_x")
             wanted = [
-                f"{k}:{b}:{lr}"
+                f"{_key_str(k)}:{b}:{lr}"
                 for k, bs in by_bucket.items()
                 for b, lrs in bs.items()
                 if (k, b) not in big
@@ -450,7 +469,9 @@ def exact_grouped_quantiles(
             ]
             picked = (
                 sel.withColumn("_rn", F.row_number().over(w_sel))
-                .filter(F.concat_ws(":", "_k", "_b", "_rn").isin(wanted))
+                .filter(
+                    F.concat_ws(":", _k_str, "_b", "_rn").isin(wanted)
+                )
                 .collect()
             )
             for row in picked:
@@ -466,7 +487,7 @@ def exact_grouped_quantiles(
                     ),
                 ),
             )
-            sub = fin.filter(F.col("_k") == k).filter(sub_bucket == b)
+            sub = fin.filter(_key_eq(k)).filter(sub_bucket == b)
             for lr, r in by_bucket[k][b].items():
                 needed[k][r] = exact_kth_smallest(sub, "_x", lr)
     out = {}

@@ -361,3 +361,31 @@ def test_grouped_quantiles_forced_histogram_path(spark, monkeypatch):
     }
     for k in want:
         assert got[k] == list(want[k]), (k, got[k], want[k])
+
+
+def test_grouped_quantiles_null_group_key(spark):
+    """A NULL group key is a group like any other in grouped
+    percentile — the search must match it through the null-safe join
+    and selection sentinel instead of silently dropping it."""
+    import random
+
+    random.seed(3)
+    rows = [("a", float(i)) for i in range(200)] + [
+        (None, random.gauss(0.0, 10.0)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double")
+    probs = [0.25, 0.5, 0.75]
+    got = Q.exact_grouped_quantiles(df, "k", "x", probs)
+    want = {
+        r.k: r.qs
+        for r in df.groupBy("k")
+        .agg(
+            F.percentile(
+                "x", F.array(*[F.lit(p) for p in probs])
+            ).alias("qs")
+        )
+        .collect()
+    }
+    assert set(got) == {"a", None}
+    for k in want:
+        assert got[k] == list(want[k]), (k, got[k], want[k])
