@@ -39,7 +39,12 @@ _MAX_EXACT_UNITS = 9_000_000_000
 _SUM_GUARD = (1 << 62)
 
 
-def partial_state(batch: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+def partial_state(
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+    with_max_abs: bool = False,
+) -> DataFrame:
     """The mergeable per-group state of one slice of rows: (n, sum).
 
     The sum is kept as EXACT INTEGER MICROS in a LONG — not a double
@@ -49,13 +54,22 @@ def partial_state(batch: DataFrame, keys: list[str], value_col: str) -> DataFram
     whole-stage codegen). Long addition is exact and associative, so
     any merge order and any restart replay boundary yields the
     bit-identical state; overflow needs ~9·10¹² money units per
-    group — and Spark's ANSI mode raises rather than corrupts beyond
-    it. ``read_view`` converts back to units at read time."""
+    group — which the sink GUARDS explicitly (ANSI mode is off by
+    default, where long addition wraps silently). ``read_view``
+    converts back to units at read time.
+
+    ``with_max_abs`` adds a ``_max_abs`` column (max |value| of the
+    slice, PRE-rounding) so the sink's exactness guard rides the same
+    aggregate pass instead of re-scanning the batch; it is not part
+    of the state and must be dropped before merging."""
     micros = F.round(F.col(value_col) * 1_000_000).cast("long")
-    return batch.groupBy(*keys).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(micros).alias("sum_v"),
-    )
+    ]
+    if with_max_abs:
+        aggs.append(F.max(F.abs(F.col(value_col))).alias("_max_abs"))
+    return batch.groupBy(*keys).agg(*aggs)
 
 
 def merge_states(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
@@ -171,39 +185,54 @@ class IncrementalRollupSink:
                 .lower()
                 == "true"
             )
-            guard = batch.agg(
-                F.max(F.abs(F.col(self.value_col))).alias("m")
-            ).first()
-            if guard.m is not None and guard.m > _MAX_EXACT_UNITS:
-                raise ValueError(
-                    f"matview sink: |{self.value_col}| = {guard.m} exceeds "
-                    f"{_MAX_EXACT_UNITS} units — micros no longer fit "
-                    "double's exact-integer range; rescale the value "
-                    "column or lower the fixed-point scale"
-                )
-            part = partial_state(batch, self.keys, self.value_col)
-            cur = self.read_state()
-            merged = part if cur is None else merge_states(cur, part, self.keys)
-            if not ansi:
-                # the guard is an extra action over merged, so persist
-                # it for the guard+write pair (no double compute of
-                # the state join) and release right after the write
-                merged = merged.persist()
-                top = merged.agg(F.max(F.abs(F.col("sum_v"))).alias("m")).first()
-                if top.m is not None and top.m > _SUM_GUARD:
-                    merged.unpersist()
-                    raise OverflowError(
-                        f"matview sink: merged |sum_v| = {top.m} is past "
-                        f"the {_SUM_GUARD} headroom guard — non-ANSI long "
-                        "addition would soon wrap silently; enable "
-                        "spark.sql.ansi.enabled or re-scale the view"
-                    )
-            tmp = self.path.rstrip("/") + "__tmp"
+            # the exactness guard rides the partial aggregate itself
+            # (one scan of the batch total); the group-level rollup
+            # is tiny, so persisting it for the guard + merge pair is
+            # O(groups), not O(batch)
+            part_full = partial_state(
+                batch, self.keys, self.value_col, with_max_abs=True
+            ).persist()
             try:
-                merged.write.mode("overwrite").parquet(tmp)
-            finally:
+                guard = part_full.agg(
+                    F.max("_max_abs").alias("m")
+                ).first()
+                if guard.m is not None and guard.m > _MAX_EXACT_UNITS:
+                    raise ValueError(
+                        f"matview sink: |{self.value_col}| = {guard.m} "
+                        f"exceeds {_MAX_EXACT_UNITS} units — micros no "
+                        "longer fit double's exact-integer range; rescale "
+                        "the value column or lower the fixed-point scale"
+                    )
+                part = part_full.drop("_max_abs")
+                cur = self.read_state()
+                merged = (
+                    part
+                    if cur is None
+                    else merge_states(cur, part, self.keys)
+                )
                 if not ansi:
-                    merged.unpersist()
+                    # extra action over merged: persist for the
+                    # guard+write pair so the state join computes once
+                    merged = merged.persist()
+                    top = merged.agg(
+                        F.max(F.abs(F.col("sum_v"))).alias("m")
+                    ).first()
+                    if top.m is not None and top.m > _SUM_GUARD:
+                        raise OverflowError(
+                            f"matview sink: merged |sum_v| = {top.m} is "
+                            f"past the {_SUM_GUARD} headroom guard — "
+                            "non-ANSI long addition would soon wrap "
+                            "silently; enable spark.sql.ansi.enabled or "
+                            "re-scale the view"
+                        )
+                tmp = self.path.rstrip("/") + "__tmp"
+                try:
+                    merged.write.mode("overwrite").parquet(tmp)
+                finally:
+                    if not ansi:
+                        merged.unpersist()
+            finally:
+                part_full.unpersist()
             with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
                 fh.write(str(batch_id))
             old = self.path.rstrip("/") + "__old"
