@@ -143,6 +143,16 @@ def exact_order_statistics(
     return row.v1, float("nan") if nan_hi else row.v2
 
 
+def _check_probs(probs: list[float]) -> None:
+    """Mirror the percentile aggregate's contract: percentages must
+    be in [0, 1] (Spark raises VALUE_OUT_OF_RANGE there; a silent
+    clamp here would diverge from the aggregate the callers treat
+    this as bit-equal to)."""
+    bad = [q for q in probs if not 0.0 <= q <= 1.0]
+    if bad:
+        raise ValueError(f"percentages must be between 0 and 1: {bad}")
+
+
 def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float:
     """The k-th smallest value (1-based) of a numeric column, exact."""
     return exact_order_statistics(df, col, k, k)[0]
@@ -180,6 +190,7 @@ def exact_quantiles_cont(
     """
     from pyspark.sql import Window
 
+    _check_probs(probs)
     vals = df.select(F.col(col).cast("double").alias("_x")).filter(
         F.col("_x").isNotNull()
     )
@@ -329,6 +340,7 @@ def exact_grouped_quantiles(
     """
     from pyspark.sql import Window
 
+    _check_probs(probs)
     vals = df.select(
         F.col(key).alias("_k"), F.col(col).cast("double").alias("_x")
     ).filter(F.col("_x").isNotNull())
