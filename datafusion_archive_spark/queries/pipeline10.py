@@ -106,15 +106,35 @@ def q_median_mode_aggs(spark, sf):
     the line number (TPC-H order sizes are uniform 1..7), so the mode
     is uniquely 1 at every SF — no tie-break dependence.
 
-    Scale: median is a full-sort aggregate per group — fine for a
-    bounded group count; unbounded-cardinality percentiles should use
-    approx_aggs' sketches instead (documented trade-off)."""
+    Scale: the medians come from the grouped histogram-pruned search
+    (operators/quantiles — round 7: ``median()`` buffers every value
+    of a group in the task finalizing it, and LOW group cardinality
+    makes that buffer O(fact/3), the worst case); mode's frequency
+    map is bounded by |distinct l_linenumber| = 7, so it stays a
+    plain aggregate alongside the count."""
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_grouped_quantiles,
+    )
+
     l = _t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    qty = exact_grouped_quantiles(l, "l_returnflag", "l_quantity", [0.5])
+    price = exact_grouped_quantiles(
+        l, "l_returnflag", "l_extendedprice", [0.5]
+    )
+    meds = spark.createDataFrame(
+        [(k, qty[k][0], price[k][0]) for k in sorted(qty)],
+        "l_returnflag string, m_qty double, m_price double",
+    )
+    base = l.groupBy("l_returnflag").agg(
         F.mode("l_linenumber").alias("mode_line"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return base.join(F.broadcast(meds), "l_returnflag").select(
+        "l_returnflag",
+        F.round("m_qty", 4).alias("med_qty"),
+        F.round("m_price", 4).alias("med_price"),
+        "mode_line",
+        "n",
     )
 
 
