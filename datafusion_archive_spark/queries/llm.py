@@ -362,7 +362,13 @@ def q_udaf_median(spark, sf):
     ``src/logicalplan.rs:25-28`` — declared, never implemented): a
     Pandas GROUPED_AGG UDAF (Arrow-batched, one call per group) for
     the per-language median token count. np.percentile's linear
-    interpolation == DuckDB quantile_cont, so the oracle is exact."""
+    interpolation == DuckDB quantile_cont, so the oracle is exact.
+
+    Scale note: a GROUPED_AGG UDAF materializes each group as one
+    Arrow batch (O(group) memory in the worker) — this query exists
+    to exercise the UDAF surface; the scale path for per-group
+    medians over fact data is operators/quantiles.
+    exact_grouped_quantiles (no per-group buffer anywhere)."""
     from datafusion_archive_spark.functions.udaf import median_udaf
 
     d = _t(spark, sf, "documents")

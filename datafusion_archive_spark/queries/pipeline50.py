@@ -22,13 +22,22 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from datafusion_archive_spark.operators.quantiles import exact_grouped_quantiles
+from datafusion_archive_spark.operators.util import cached
 from datafusion_archive_spark.queries.timeseries import load_events
 
 _QS = [i / 10.0 for i in range(1, 10)]
 
 
 def q_quantile_treatment_effects(spark, sf):
-    """Decile-wise treated-minus-control purchase value gaps."""
+    """Decile-wise treated-minus-control purchase value gaps.
+
+    Scale: the per-arm deciles come from the grouped histogram-pruned
+    search (operators/quantiles — round 7: TWO groups over the
+    purchase stream is the worst case for the grouped ``percentile``
+    aggregate, which buffers half the facts in each finalizing
+    task). The cached purchase projection keeps the treated-flag
+    join from re-running per search pass."""
     ev = load_events(spark, sf)
     w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
     treated = (
@@ -41,7 +50,7 @@ def q_quantile_treatment_effects(spark, sf):
         .select("user_id")
         .withColumn("treat", F.lit(1))
     )
-    purchases = (
+    purchases = cached(
         ev.filter(F.col("event_type") == "purchase")
         .join(F.broadcast(treated), "user_id", "left")
         .select(
@@ -49,31 +58,23 @@ def q_quantile_treatment_effects(spark, sf):
             F.col("value").alias("y"),
         )
     )
-    qlit = F.array(*[F.lit(q) for q in _QS])
-    arms = purchases.groupBy("treat").agg(
-        F.percentile("y", qlit).alias("qs")
+    qs = exact_grouped_quantiles(purchases, "treat", "y", _QS)
+    # an absent arm (tiny SF with no signups/purchases) yields the
+    # empty report, matching the old inner join of the two arms
+    rows = (
+        [(q, qs[1][i], qs[0][i]) for i, q in enumerate(_QS)]
+        if 0 in qs and 1 in qs
+        else []
     )
-    exploded = arms.select(
-        "treat", F.posexplode("qs").alias("iq", "v")
+    arms = spark.createDataFrame(
+        rows, "quantile double, t double, c double"
     )
-    t = exploded.filter(F.col("treat") == 1).select(
-        "iq", F.col("v").alias("treated_q")
-    )
-    c = exploded.filter(F.col("treat") == 0).select(
-        "iq", F.col("v").alias("control_q")
-    )
-    return (
-        t.join(c, "iq")
-        .select(
-            ((F.col("iq") + 1) / 10.0).alias("quantile"),
-            F.round("treated_q", 4).alias("treated_q"),
-            F.round("control_q", 4).alias("control_q"),
-            F.round(
-                F.col("treated_q") - F.col("control_q"), 4
-            ).alias("qte"),
-        )
-        .orderBy("quantile")
-    )
+    return arms.select(
+        "quantile",
+        F.round("t", 4).alias("treated_q"),
+        F.round("c", 4).alias("control_q"),
+        F.round(F.col("t") - F.col("c"), 4).alias("qte"),
+    ).orderBy("quantile")
 
 
 def q_grouped_ols_elasticity(spark, sf):
