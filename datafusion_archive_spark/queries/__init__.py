@@ -296,16 +296,40 @@ _FIRST_50 = [
     "isotonic_calibration",
 ]
 
-# ROUND-8 NOTE (next certification window): ~51 oracle-backed names
-# remain never-certified after this window — fill round 8 with ALL of
-# them (they fit in one window), topping up any spare slots with the
-# oldest r1-of-record re-certifications (agg_having, cast_semantics,
-# date_funcs, events_*, setop_*, join_*, string/scalar families) so
-# the oldest certification-of-record starts moving toward <= round 4.
-# Round 9+ then rotates purely on re-certification age. The full
-# local sweep log (tools/check_oracle.py over every registered
-# query) is committed per-round as tools/oracle_sweep_r{N}.log to
-# make the backlog's locally-green claim auditable.
+# ROUND-8 NOTE (next certification window): exactly 51 oracle-backed
+# names remain never-certified after this window — but the window
+# holds 50, so round 8 = the first 50 of (registry order):
+#   diff_in_diff, periodogram_dft, runs_test_random,
+#   pca_power_iteration, embedding_quantization_audit,
+#   holt_winters_weekly, eb_shrinkage_rates, cuped_adjustment,
+#   quantile_treatment_effects, grouped_ols_elasticity,
+#   fixed_effects_within, shuffle_skew_audit,
+#   retrieval_metrics_truncation, conformal_interval_coverage,
+#   wasserstein_drift, newsvendor_stocking, logistic_newton,
+#   covariate_balance_smd, cem_stratified_ate, raking_ipf,
+#   ips_policy_eval, gpd_pot_fit, k_anonymity_audit,
+#   point_in_polygon_tag, ar1_durbin_watson, ccf_leadlag,
+#   classical_decomposition, atkinson_index, dbscan_clusters,
+#   silhouette_simplified, huber_irls_regression,
+#   langid_confusion_audit, kmeans_lloyd, ab_srm_check,
+#   matrix_profile_motifs, matrix_profile_discords,
+#   winnowing_fingerprints, moss_shared_fingerprints,
+#   markov_transition_matrix, markov_attribution_removal,
+#   kde_gaussian_grid, anderson_darling_2sample, cox_ph_newton,
+#   logrank_test, spatial_clark_evans, em_exponential_mixture,
+#   var_expected_shortfall, sortino_downside_risk,
+#   decision_stump_gini, page_hinkley_drift
+# leaving jarque_bera_normality to head the round-9 window, which
+# otherwise starts the r1-of-record re-certifications (agg_having,
+# cast_semantics, date_funcs, events_*, setop_*, join_*,
+# string/scalar families) rotating purely on certification age.
+# Round-8 mechanics upgrades unblocked once CORRECTNESS_r07 lands:
+# decile_migration_matrix and weighted_quartiles move onto the exact
+# quantile search (queued in PERF.md "Known costs"). The full local
+# sweep log (tools/check_oracle.py over every registered query, plus
+# the ORACLE_CHECK_VANILLA=1 variant) is committed per-round as
+# tools/oracle_sweep_r{N}.log to keep the locally-green claim
+# auditable.
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before
