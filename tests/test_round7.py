@@ -389,3 +389,73 @@ def test_grouped_quantiles_null_group_key(spark):
     assert set(got) == {"a", None}
     for k in want:
         assert got[k] == list(want[k]), (k, got[k], want[k])
+
+
+def test_matview_stream_resumes_over_v1_state(spark, sf_dir, tmp_path):
+    """End-to-end migration: run the rollup stream once (checkpoint +
+    marker established), rewrite the state directory to the v1 format
+    (decimal UNIT sums) as an old deployment left it, add new source
+    files and RESUME — the next micro-batch must fold into the
+    MIGRATED state, and the final view must equal the full batch
+    rollup over everything ever streamed."""
+    import shutil
+
+    from datafusion_archive_spark.streaming.matview import (
+        stream_incremental_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    first = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.0), ("b", 0.5)] * 2, "k string, v double"
+    )
+    first.coalesce(1).write.parquet(src)
+    target = str(tmp_path / "state")
+    schema = spark.read.parquet(src).schema
+    q, sink = stream_incremental_rollup(spark, src, schema, target, ["k"], "v")
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    marker = os.path.join(target, "_last_batch_id")
+    with open(marker) as fh:
+        applied = fh.read()
+    # rewrite the state dir to v1 (decimal unit sums), marker kept
+    v1 = {
+        r.k: (r.n, r.sum_v / 1_000_000)
+        for r in spark.read.parquet(target).collect()
+    }
+    shutil.rmtree(target)
+    spark.createDataFrame(
+        [(k, n, float(s)) for k, (n, s) in v1.items()],
+        "k string, n long, units double",
+    ).withColumn("sum_v", F.col("units").cast("decimal(27,6)")).drop(
+        "units"
+    ).write.parquet(target)
+    with open(marker, "w") as fh:
+        fh.write(applied)
+    # new files arrive; the resumed stream folds them into migrated state
+    second = spark.createDataFrame(
+        [("a", 10.0), ("c", 4.75)], "k string, v double"
+    )
+    second.coalesce(1).write.mode("append").parquet(src)
+    q2, sink2 = stream_incremental_rollup(
+        spark, src, schema, target, ["k"], "v"
+    )
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    got = {
+        r.k: (r.n_events, r.sum_value) for r in sink2.read_view().collect()
+    }
+    assert got == {
+        "a": (5, 2 * 3.25 + 10.0),
+        "b": (2, 1.0),
+        "c": (1, 4.75),
+    }
+    # and the state on disk is v2 (long micros) again
+    from pyspark.sql.types import LongType
+
+    assert isinstance(
+        spark.read.parquet(target).schema["sum_v"].dataType, LongType
+    )
