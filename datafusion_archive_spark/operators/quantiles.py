@@ -44,6 +44,23 @@ _TAIL = 65536
 _MAX_ROUNDS = 4
 
 
+def _bucket_expr(x, lo, width):
+    """Bucket index of value column ``x`` on the [lo, lo+B·width)
+    grid, clamped to [0, B-1]. The clamp happens in DOUBLE space
+    BEFORE the floor/int cast: (x - lo) can overflow to ±inf for
+    huge-magnitude doubles, and floor(inf) saturates to Long.MaxValue
+    whose int cast throws CAST_OVERFLOW (found by the round-7
+    hypothesis differential at ±1e308). lo/width may be literals or
+    columns; every caller must reuse the SAME expression for the
+    histogram and the membership filter so float boundary semantics
+    cannot drift."""
+    ratio = (x - lo) / width
+    clamped = F.greatest(
+        F.lit(0.0), F.least(F.lit(float(_BUCKETS - 1)), ratio)
+    )
+    return F.floor(clamped).cast("int")
+
+
 def exact_order_statistics(
     df: DataFrame, col: str, k1: int, k2: int
 ) -> tuple[float, float]:
@@ -101,13 +118,7 @@ def exact_order_statistics(
             # subnormal-sized range (or still non-finite): bucketing
             # can't subdivide further — finish exactly on what's left
             break
-        bucket = F.least(
-            F.lit(_BUCKETS - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)).cast("int"),
-            ),
-        )
+        bucket = _bucket_expr(F.col("_x"), F.lit(lo), F.lit(width))
         hist = dict(
             remaining.groupBy(bucket.alias("_b"))
             .agg(F.count(F.lit(1)).alias("_c"))
@@ -239,13 +250,7 @@ def exact_quantiles_cont(
         for r in fin_ranks:
             needed[r] = exact_kth_smallest(fin, "_x", r)
     else:
-        bucket = F.least(
-            F.lit(_BUCKETS - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)).cast("int"),
-            ),
-        )
+        bucket = _bucket_expr(F.col("_x"), F.lit(lo), F.lit(width))
         hist = dict(
             fin.groupBy(bucket.alias("_b"))
             .agg(F.count(F.lit(1)).alias("_c"))
@@ -426,15 +431,7 @@ def exact_grouped_quantiles(
         joined = fin.join(
             meta, F.col("_k").eqNullSafe(F.col("_mk"))
         ).drop("_mk")
-        bucket = F.least(
-            F.lit(_BUCKETS - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("_x") - F.col("_lo")) / F.col("_w")
-                ).cast("int"),
-            ),
-        )
+        bucket = _bucket_expr(F.col("_x"), F.col("_lo"), F.col("_w"))
         hist: dict = {}
         for row in (
             joined.groupBy("_k", bucket.alias("_b"))
@@ -490,15 +487,7 @@ def exact_grouped_quantiles(
                 needed[row._k][by_bucket[row._k][row._b][row._rn]] = row._x
         for k, b in big:
             lo, w = grids[k]
-            sub_bucket = F.least(
-                F.lit(_BUCKETS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col("_x") - F.lit(lo)) / F.lit(w)).cast(
-                        "int"
-                    ),
-                ),
-            )
+            sub_bucket = _bucket_expr(F.col("_x"), F.lit(lo), F.lit(w))
             sub = fin.filter(_key_eq(k)).filter(sub_bucket == b)
             for lr, r in by_bucket[k][b].items():
                 needed[k][r] = exact_kth_smallest(sub, "_x", lr)

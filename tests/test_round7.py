@@ -459,3 +459,66 @@ def test_matview_stream_resumes_over_v1_state(spark, sf_dir, tmp_path):
     assert isinstance(
         spark.read.parquet(target).schema["sum_v"].dataType, LongType
     )
+
+
+def test_fixedwidth_stream_resumes_from_v1_checkpoint(spark, tmp_path):
+    """End-to-end v1-offset resume: run the fixedwidth stream, rewrite
+    the committed checkpoint offset to the old positional-only format
+    ({"n_files": k} — exactly what a pre-upgrade checkpoint holds),
+    add new files and restart: the stream must continue with only the
+    new files (no crash, no replay) and commit name-based offsets."""
+    import glob
+    import json
+
+    from datafusion_archive_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    d = str(tmp_path)
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    os.makedirs(src)
+    for i in range(2):
+        with open(f"{src}/f{i:02d}.txt", "w") as fh:
+            fh.write(f"{i:03d}ab\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("fixedwidth")
+            .schema("a string, b string")
+            .option("path", src)
+            .option("widths", "3,2")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+
+    run()
+    # rewrite the committed offset to the v1 positional format
+    off = sorted(glob.glob(f"{ckpt}/offsets/[0-9]*"))[-1]
+    lines = open(off).read().splitlines()
+    assert json.loads(lines[-1]) == {"n_files": 2, "last": "f01.txt"}
+    lines[-1] = json.dumps({"n_files": 2})
+    with open(off, "w") as fh:
+        fh.write("\n".join(lines))
+    crc = os.path.join(os.path.dirname(off), f".{os.path.basename(off)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # two new files arrive; the resumed stream must pick up ONLY them
+    for i in (2, 3):
+        with open(f"{src}/f{i:02d}.txt", "w") as fh:
+            fh.write(f"{i:03d}cd\n")
+    run()
+    got = sorted(r.a for r in spark.read.parquet(out).collect())
+    assert got == ["000", "001", "002", "003"]
+    # and the new commit is name-based again
+    off2 = sorted(glob.glob(f"{ckpt}/offsets/[0-9]*"))[-1]
+    assert json.loads(open(off2).read().splitlines()[-1]) == {
+        "n_files": 4,
+        "last": "f03.txt",
+    }
