@@ -289,15 +289,22 @@ def exact_quantiles_cont(
                 needed[r] = exact_kth_smallest(sub, "_x", lr)
     out = []
     for lo_r, hi_r, frac in plan:
-        v_lo, v_hi = needed[lo_r], needed[hi_r]
-        # Spark's Percentile interpolates as lower·(1-d) + higher·d —
-        # NOT floating-point-equivalent to lower+(higher-lower)·d
-        # (1-ulp differences), and bit-parity with the aggregate is
-        # the contract here
-        out.append(
-            v_lo if lo_r == hi_r else v_lo * (1.0 - frac) + v_hi * frac
-        )
+        out.append(_interp(needed[lo_r], needed[hi_r], lo_r, hi_r, frac))
     return out
+
+
+def _interp(v_lo: float, v_hi: float, lo_r: int, hi_r: int, frac: float):
+    """Spark Percentile's exact interpolation semantics: equal ranks
+    or EQUAL KEYS return the lower value directly (Percentile
+    short-circuits ``higherKey == lowerKey`` — numeric interpolation
+    there is not a no-op: 0.5·5e-324 underflows to 0 under
+    round-half-even, found by the round-7 fuzz); otherwise
+    lower·(1-d) + higher·d, which is NOT floating-point-equivalent to
+    lower+(higher-lower)·d (1-ulp differences). Bit-parity with the
+    aggregate is the contract."""
+    if lo_r == hi_r or v_lo == v_hi:
+        return v_lo
+    return v_lo * (1.0 - frac) + v_hi * frac
 
 
 #: histogram rows reaching the driver are bounded by groups × occupied
@@ -493,13 +500,8 @@ def exact_grouped_quantiles(
                 needed[k][r] = exact_kth_smallest(sub, "_x", lr)
     out = {}
     for k, plan in plans.items():
-        vals_k = []
-        for lo_r, hi_r, frac in plan:
-            v_lo, v_hi = needed[k][lo_r], needed[k][hi_r]
-            vals_k.append(
-                v_lo
-                if lo_r == hi_r
-                else v_lo * (1.0 - frac) + v_hi * frac
-            )
-        out[k] = vals_k
+        out[k] = [
+            _interp(needed[k][lo_r], needed[k][hi_r], lo_r, hi_r, frac)
+            for lo_r, hi_r, frac in plan
+        ]
     return out

@@ -522,3 +522,21 @@ def test_fixedwidth_stream_resumes_from_v1_checkpoint(spark, tmp_path):
         "n_files": 4,
         "last": "f03.txt",
     }
+
+
+def test_quantiles_equal_key_interpolation_no_underflow(spark):
+    """Spark Percentile short-circuits equal lower/higher KEYS; plain
+    numeric interpolation there underflows (0.5·5e-324 rounds to 0.0
+    half-even). Pin the shortcut on the smallest subnormal."""
+    data = [(0.0,), (0.0,), (5e-324,), (5e-324,)]
+    df = spark.createDataFrame(data, "x double")
+    # pos = 1.5: both ranks hold... rank2=0.0, rank3=5e-324 → interp;
+    # pos = 2.5 falls between the two 5e-324 rows → equal keys
+    for p in (0.5, 0.75, 1.0):
+        want = df.agg(F.percentile("x", F.lit(p))).first()[0]
+        got = Q.exact_quantiles_cont(df, "x", [p])[0]
+        assert got == want, (p, got, want)
+    gq = Q.exact_grouped_quantiles(
+        df.withColumn("k", F.lit("g")), "k", "x", [0.75]
+    )
+    assert gq["g"][0] == df.agg(F.percentile("x", F.lit(0.75))).first()[0]
