@@ -170,13 +170,17 @@ def exact_kth_smallest(df: DataFrame, col: str, k: int) -> float:
 
 
 def exact_median(df: DataFrame, col: str) -> float:
-    """Interpolated exact median (== SQL ``percentile(col, 0.5)``):
-    the mean of the two middle order statistics for even counts."""
+    """Interpolated exact median (== SQL ``percentile(col, 0.5)``)
+    via :func:`_interp`, NOT ``(v1+v2)/2`` — the naive mean overflows
+    to inf when both middle ranks are ~1e308 while Percentile's
+    0.5·v1 + 0.5·v2 stays finite, and the equal-key shortcut avoids
+    the subnormal underflow."""
     n = df.filter(F.col(col).isNotNull()).count()
     if n == 0:
         return None
-    v1, v2 = exact_order_statistics(df, col, (n + 1) // 2, (n + 2) // 2)
-    return (v1 + v2) / 2.0
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    v1, v2 = exact_order_statistics(df, col, k1, k2)
+    return _interp(v1, v2, k1, k2, 0.5)
 
 
 def exact_quantiles_cont(
