@@ -237,99 +237,97 @@ ROWS_ONLY = {
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-7 WINDOW — registry still frozen (VERDICT r5 #1): the
-    # next 50 never-certified oracle-backed names in registry order,
-    # exactly as the round-6 ROUND-7 NOTE scheduled. After this
-    # window lands, ~51 oracle-backed names remain never-certified.
+    # ROUND-8 WINDOW — registry still frozen (VERDICT r5 #1): the
+    # final 50 never-certified oracle-backed names in registry order,
+    # exactly as the round-7 ROUND-8 NOTE scheduled (VERDICT r7 #1).
+    # After this window lands, 341/342 registered names have a driver
+    # row and only jarque_bera_normality has never been certified.
     # Rows-only entries (approx_aggs, bpe_*) stay excluded — their
     # evidence is the differential pytest, and a window slot spent on
     # a no_oracle row certifies nothing.
-    "repeat_purchase_rate",
-    "supplier_share_hhi",
-    "seasonal_adjusted_outliers",
-    "missing_days_report",
-    "minhash_estimate_audit",
-    "ngram_novelty_rate",
-    "embedding_norm_outliers",
-    "embedding_dim_variance",
-    "anyorder_funnel_1h",
-    "session_abandonment_rate",
-    "array_hof_ops",
-    "weighted_quartiles",
-    "histogram_2d",
-    "sprt_ab_sequential",
-    "decile_migration_matrix",
-    "monthly_new_vs_returning",
-    "lsh_tuning_curve",
-    "referential_integrity_audit",
-    "exponential_fit_gaps",
-    "hill_tail_index",
-    "hard_negatives_topk",
-    "contrastive_random_negatives",
-    "token_dispersion",
-    "price_index_laspeyres",
-    "heaps_law_fit",
-    "double_smoothing_forecast",
-    "active_users_stickiness",
-    "daily_growth_accounting",
-    "revenue_bridge_mom",
-    "haversine_nearest_hub",
-    "fdr_bh_nation_tests",
-    "capture_recapture_users",
-    "variant_extraction",
-    "assoc_triples",
-    "surrogate_keys_hash",
-    "hierarchy_closure_rollup",
-    "apportion_largest_remainder",
-    "theil_sen_slope",
-    "pettitt_changepoint",
-    "spearman_rank_corr",
-    "kendall_tau_daily",
-    "jackknife_ratio_se",
-    "pattern_rise_drop",
-    "segment_overlap_venn",
-    "trend_test_ca",
-    "species_richness_chao1",
-    "mann_kendall_trend",
-    "inventory_clamped_scan",
-    "shapley_attribution",
-    "isotonic_calibration",
+    "diff_in_diff",
+    "periodogram_dft",
+    "runs_test_random",
+    "pca_power_iteration",
+    "embedding_quantization_audit",
+    "holt_winters_weekly",
+    "eb_shrinkage_rates",
+    "cuped_adjustment",
+    "quantile_treatment_effects",
+    "grouped_ols_elasticity",
+    "fixed_effects_within",
+    "shuffle_skew_audit",
+    "retrieval_metrics_truncation",
+    "conformal_interval_coverage",
+    "wasserstein_drift",
+    "newsvendor_stocking",
+    "logistic_newton",
+    "covariate_balance_smd",
+    "cem_stratified_ate",
+    "raking_ipf",
+    "ips_policy_eval",
+    "gpd_pot_fit",
+    "k_anonymity_audit",
+    "point_in_polygon_tag",
+    "ar1_durbin_watson",
+    "ccf_leadlag",
+    "classical_decomposition",
+    "atkinson_index",
+    "dbscan_clusters",
+    "silhouette_simplified",
+    "huber_irls_regression",
+    "langid_confusion_audit",
+    "kmeans_lloyd",
+    "ab_srm_check",
+    "matrix_profile_motifs",
+    "matrix_profile_discords",
+    "winnowing_fingerprints",
+    "moss_shared_fingerprints",
+    "markov_transition_matrix",
+    "markov_attribution_removal",
+    "kde_gaussian_grid",
+    "anderson_darling_2sample",
+    "cox_ph_newton",
+    "logrank_test",
+    "spatial_clark_evans",
+    "em_exponential_mixture",
+    "var_expected_shortfall",
+    "sortino_downside_risk",
+    "decision_stump_gini",
+    "page_hinkley_drift",
 ]
 
-# ROUND-8 NOTE (next certification window): exactly 51 oracle-backed
-# names remain never-certified after this window — but the window
-# holds 50, so round 8 = the first 50 of (registry order):
-#   diff_in_diff, periodogram_dft, runs_test_random,
-#   pca_power_iteration, embedding_quantization_audit,
-#   holt_winters_weekly, eb_shrinkage_rates, cuped_adjustment,
-#   quantile_treatment_effects, grouped_ols_elasticity,
-#   fixed_effects_within, shuffle_skew_audit,
-#   retrieval_metrics_truncation, conformal_interval_coverage,
-#   wasserstein_drift, newsvendor_stocking, logistic_newton,
-#   covariate_balance_smd, cem_stratified_ate, raking_ipf,
-#   ips_policy_eval, gpd_pot_fit, k_anonymity_audit,
-#   point_in_polygon_tag, ar1_durbin_watson, ccf_leadlag,
-#   classical_decomposition, atkinson_index, dbscan_clusters,
-#   silhouette_simplified, huber_irls_regression,
-#   langid_confusion_audit, kmeans_lloyd, ab_srm_check,
-#   matrix_profile_motifs, matrix_profile_discords,
-#   winnowing_fingerprints, moss_shared_fingerprints,
-#   markov_transition_matrix, markov_attribution_removal,
-#   kde_gaussian_grid, anderson_darling_2sample, cox_ph_newton,
-#   logrank_test, spatial_clark_evans, em_exponential_mixture,
-#   var_expected_shortfall, sortino_downside_risk,
-#   decision_stump_gini, page_hinkley_drift
-# leaving jarque_bera_normality to head the round-9 window, which
-# otherwise starts the r1-of-record re-certifications (agg_having,
-# cast_semantics, date_funcs, events_*, setop_*, join_*,
-# string/scalar families) rotating purely on certification age.
-# Round-8 mechanics upgrades unblocked once CORRECTNESS_r07 lands:
-# decile_migration_matrix and weighted_quartiles move onto the exact
-# quantile search (queued in PERF.md "Known costs"). The full local
-# sweep log (tools/check_oracle.py over every registered query, plus
-# the ORACLE_CHECK_VANILLA=1 variant) is committed per-round as
-# tools/oracle_sweep_r{N}.log to keep the locally-green claim
-# auditable.
+# ROUND-9 NOTE (next certification window): the never-certified
+# backlog ends this round — after CORRECTNESS_r08 lands, every
+# registered oracle-backed name except jarque_bera_normality has a
+# driver row. Round 9 therefore begins the steady-state
+# re-certification rotation prescribed by VERDICT r7 #5: order by
+# certification age (latest driver row, oldest first; ties broken by
+# registry order), headed by the one remaining never-certified name.
+# The exact 50:
+#   jarque_bera_normality, predicate_between_in, filter_like,
+#   null_predicates, cast_semantics, arithmetic_ops, literals_no_from,
+#   sqrt_fn, geo_udt, agg_having, agg_count_distinct_group, agg_rollup,
+#   pivot_linestatus, sort_limit_topk, distinct_pairs, join_inner_3way,
+#   join_left_outer, join_semi, join_full_outer, cte_scalar_subquery,
+#   setop_union, setop_intersect, setop_except, window_topk_per_group,
+#   window_running, json_extract, try_cast_nulls, string_funcs,
+#   date_funcs, case_when, try_divide_nulls, setop_union_all, agg_cube,
+#   agg_grouping_sets, in_subquery, percentiles, events_time_bucket,
+#   events_asof_join, events_range_join, events_multi_rollup,
+#   events_distinct_kmv, text_stats, text_lang_id, text_fingerprint,
+#   join_anti, text_clean, dedup_exact, dedup_ngram_jaccard,
+#   dedup_minhash_signatures, dedup_minhash_lsh
+# (jarque_bera_normality, then the 43 names whose only driver row is
+# r1, then the oldest r3 rows: text_fingerprint, join_anti,
+# text_clean, dedup_exact, dedup_ngram_jaccard,
+# dedup_minhash_signatures, dedup_minhash_lsh.) Subsequent rounds
+# continue the same age-ordered rotation; recompute against the
+# CORRECTNESS_r{N}.json union each round in case a sweep turns a row
+# red. The full local sweep log (tools/check_oracle.py over every
+# registered query, plus the ORACLE_CHECK_VANILLA=1 variant) is
+# committed per-round as tools/oracle_sweep_r{N}.log to keep the
+# locally-green claim auditable.
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before

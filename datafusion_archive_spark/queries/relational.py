@@ -490,15 +490,52 @@ def q_setop_except_all(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+#: Salt fan-out for the low-cardinality top-k window. (flag,status)
+#: has ~6 values, so a naive window funnels the whole fact scan into
+#: ~6 reducer tasks; 32 salts give 6*32 sub-partitions for the heavy
+#: first-phase sort, and the second phase sees <= 32*3 rows/group.
+_TOPK_SALTS = 32
+
+
 def q_window_topk_per_group(spark, sf):
-    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+    """Top-3 lineitems by extendedprice per (returnflag, linestatus),
+    as a salted two-phase top-k (VERDICT r7 #2; pattern proven by
+    ``q_weighted_sample_per_lang_salted``, pipeline3.py).
+
+    Phase 1 ranks within (keys, salt) — the full-scan sort spreads
+    over keys x ``_TOPK_SALTS`` tasks instead of ~6 — and keeps each
+    sub-partition's top-3. By pigeonhole any row of a group's true
+    top-3 is in its own salt bucket's top-3, so phase 2's window over
+    the <= salts*3 surviving rows per group reproduces the unsalted
+    ``row_number`` exactly (the orderBy is a deterministic total
+    order), hash-identical to the certified r1/r9 oracle.
+    """
+    order = [
         F.col("l_extendedprice").desc(),
         F.col("l_orderkey"),
         F.col("l_linenumber"),
+    ]
+    salt = F.pmod(
+        F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+        F.lit(_TOPK_SALTS),
     )
-    return (
+    w1 = Window.partitionBy("l_returnflag", "l_linestatus", "salt").orderBy(
+        *order
+    )
+    cand = (
         _t(spark, sf, "lineitem")
-        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "l_returnflag", "l_linestatus", "l_orderkey",
+            "l_linenumber", "l_extendedprice",
+        )
+        .withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 3)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(*order)
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 3)
         .select(
             "l_returnflag", "l_linestatus", "l_orderkey",

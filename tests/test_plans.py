@@ -193,6 +193,21 @@ def test_salted_sampler_spreads_the_window_sort(spark, sf_dir):
     assert "salt" in s.raw and "lang" in s.raw
 
 
+def test_window_topk_salted_first_phase(spark, sf_dir):
+    """VERDICT r7 #2: the (flag,status) top-3 must not funnel the
+    fact scan into a ~6-partition window. The first (heavy) window
+    partitions on (l_returnflag, l_linestatus, salt) — visible as a
+    hashpartitioning carrying the salt column — and the second window
+    sees only the <= salts*3-per-group candidate set."""
+    s = summarize(QUERIES["window_topk_per_group"](spark, sf_dir))
+    assert s.n_hash_exchanges == 2, s.raw
+    # the heavy first-phase exchange hashes on (keys, salt)
+    assert any(
+        "salt" in e and "l_returnflag" in e
+        for e in s.raw.split("hashpartitioning")[1:]
+    ), s.raw
+
+
 def test_collocations_topk_is_take_ordered(spark, sf_dir):
     """The PMI top-20 must be a TakeOrderedAndProject (per-partition
     heap + merge), never a global sort; unigram counts and the two
