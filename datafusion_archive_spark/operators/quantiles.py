@@ -154,6 +154,23 @@ def exact_order_statistics(
     return row.v1, float("nan") if nan_hi else row.v2
 
 
+def lit_cutpoints(vals: list):
+    """Inline a cutpoint list (an :func:`exact_quantiles_cont` result)
+    as an ``F.array`` of DOUBLE literals, null-safely. On an empty
+    input the search returns ``[None, ...]`` — exactly what the old
+    one-pass ``percentile`` plans produced as null cutpoints — but
+    ``F.lit(float(None))`` raises at plan-build time (ADVICE r7 #4).
+    A null literal restores the old behavior: every ``x > null``
+    comparison yields null, so the bucketing fold's ``when()`` adds
+    nothing and the caller's result keeps its empty/null shape."""
+    return F.array(
+        *[
+            F.lit(None).cast("double") if v is None else F.lit(float(v))
+            for v in vals
+        ]
+    )
+
+
 def _check_probs(probs: list[float]) -> None:
     """Mirror the percentile aggregate's contract: percentages must
     be in [0, 1] (Spark raises VALUE_OUT_OF_RANGE there; a silent
@@ -317,6 +334,26 @@ def _interp(v_lo: float, v_hi: float, lo_r: int, hi_r: int, frac: float):
 _MAX_GROUPS = 256
 
 
+def _check_grouped_key_dtype(df: DataFrame, key: str) -> None:
+    """The grouped searches match selected rows back to their group
+    via a concat_ws string triple, which requires the key's Spark
+    string form to equal Python ``str(value)``. That holds for string
+    and integral keys only — a boolean ("true" vs "True"), float
+    ("1.0" formatting), or date key silently matches nothing and
+    later dies inside _interp with an opaque None-arithmetic error
+    (ADVICE r7 #5). Fail fast with the escape hatch named."""
+    dtype = dict(df.dtypes).get(key)
+    ok = dtype in ("string", "tinyint", "smallint", "int", "bigint")
+    if not ok:
+        raise ValueError(
+            f"grouped quantile search: key column {key!r} has dtype "
+            f"{dtype}; only string/integral keys keep the Spark "
+            "string form equal to str(value) (the selection-filter "
+            "contract). Cast the key to string first, or fall back "
+            "to groupBy().agg(percentile(...)) for bounded groups."
+        )
+
+
 def exact_grouped_quantiles(
     df: DataFrame,
     key: str,
@@ -357,20 +394,26 @@ def exact_grouped_quantiles(
     from pyspark.sql import Window
 
     _check_probs(probs)
+    _check_grouped_key_dtype(df, key)
     vals = df.select(
         F.col(key).alias("_k"), F.col(col).cast("double").alias("_x")
     ).filter(F.col("_x").isNotNull())
+    # the max_groups guard caps what the DRIVER collects, so it must
+    # fire before materialization: limit(max_groups+1) on the grouped
+    # stats means an accidental high-cardinality key (a user-id
+    # column) ships at most max_groups+1 rows, not every group
+    # (ADVICE r7 #2).
     stats = vals.groupBy("_k").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.isnan("_x").cast("long")).alias("n_nan"),
         F.min(F.when(~F.isnan("_x"), F.col("_x"))).alias("lo"),
         F.max(F.when(~F.isnan("_x"), F.col("_x"))).alias("hi"),
-    ).collect()
+    ).limit(max_groups + 1).collect()
     if len(stats) > max_groups:
         raise ValueError(
-            f"exact_grouped_quantiles: {len(stats)} groups exceeds "
-            f"max_groups={max_groups}; raise the cap (driver holds "
-            "groups x occupied-bucket counts) or use the sketch path"
+            f"exact_grouped_quantiles: group count exceeds max_groups"
+            f"={max_groups}; raise the cap (driver holds groups x "
+            "occupied-bucket counts) or use the sketch path"
         )
     needed: dict = {}  # key -> {global rank: value or None}
     plans: dict = {}  # key -> [(lo_r, hi_r, frac)]
@@ -508,4 +551,276 @@ def exact_grouped_quantiles(
             _interp(needed[k][lo_r], needed[k][hi_r], lo_r, hi_r, frac)
             for lo_r, hi_r, frac in plan
         ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted lower quantiles (VERDICT r7 #3)
+# ---------------------------------------------------------------------------
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _weighted_tail_min(fin: DataFrame, target: int):
+    """Smallest ``_v`` whose within-set cumulative weight reaches
+    ``target``, for a set already pruned small enough to window: one
+    per-value collapse, one unpartitioned cumulative window over the
+    <= |distinct values| collapsed rows, one scalar to the driver."""
+    from pyspark.sql import Window
+
+    by_v = fin.groupBy("_v").agg(F.sum("_w").alias("_sw"))
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        by_v.withColumn("_cum", F.sum("_sw").over(w))
+        .filter(F.col("_cum") >= F.lit(int(target)))
+        .agg(F.min("_v").alias("v"))
+        .first()
+        .v
+    )
+
+
+def _weighted_search_single(fin: DataFrame, target: int):
+    """Recursive weighted-rank bucket search on one (already
+    group-sliced) value set: each round histograms the remaining
+    range by SUM OF WEIGHTS, keeps the bucket where the cumulative
+    weight crosses ``target``, and subtracts the weight below it —
+    the weighted twin of :func:`exact_order_statistics`'s loop."""
+    remaining, target = fin, int(target)
+    for _ in range(_MAX_ROUNDS):
+        stats = remaining.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        ).first()
+        if stats.n == 0:
+            raise ValueError("weighted search: empty candidate set")
+        if stats.n <= _TAIL or stats.lo == stats.hi:
+            break
+        lo, hi = stats.lo, stats.hi
+        width = (hi - lo) / _BUCKETS
+        if not math.isfinite(width):
+            width = hi / _BUCKETS - lo / _BUCKETS
+        if width == 0.0 or not math.isfinite(width):
+            break
+        bucket = _bucket_expr(F.col("_v"), F.lit(lo), F.lit(width))
+        hist = dict(
+            remaining.groupBy(bucket.alias("_b"))
+            .agg(F.sum("_w").alias("_sw"))
+            .collect()
+        )
+        cum = 0
+        for b in range(_BUCKETS):
+            c = int(hist.get(b, 0) or 0)
+            if cum + c >= target:
+                remaining = remaining.filter(bucket == b)
+                target -= cum
+                break
+            cum += c
+    return _weighted_tail_min(remaining, target)
+
+
+def weighted_lower_quantiles_grouped(
+    df: DataFrame,
+    key: str,
+    col: str,
+    wt,
+    targets: list[tuple[int, int]],
+    max_groups: int = _MAX_GROUPS,
+) -> dict:
+    """Exact grouped WEIGHTED lower quantiles without the per-group
+    cumulative sweep over the full value dictionary.
+
+    For each group k and target (num, den), returns the smallest
+    value v such that ``W_k(v) * den >= total_k * num`` where
+    ``W_k(v)`` is the total weight of the group's rows with value
+    <= v — i.e. the ``min(CASE WHEN cum*den >= total*num ...)`` of
+    the SQL cumulative-window formulation, bit-for-bit (weights stay
+    integers end-to-end; thresholds are exact ceil-divisions in
+    Python bigint space). Output: ``{key_value: ([v_t1, ...],
+    total_weight)}``.
+
+    Why not the window sweep: partitioned by a low-cardinality key,
+    the cumulative window sorts each group's whole value DICTIONARY
+    in one task — and the dictionary grows linearly with scale
+    (VERDICT r7 "What's wrong" #2). Here the heavy passes are all
+    ordinary distributed aggregates, the weighted twin of
+    :func:`exact_grouped_quantiles`:
+
+    1. one grouped aggregate → per-group (total, lo, hi) — at most
+       ``max_groups + 1`` rows reach the driver (limit-guarded);
+    2. one pass histograms every group at once by SUM OF WEIGHTS
+       (per-group grid broadcast onto the scan);
+    3. the driver walks each group's 4096 bucket weights to locate,
+       per target, the crossing bucket and its residual threshold;
+    4. one selection pass collapses the needed buckets per value and
+       takes, per (group, bucket, residual), the min value whose
+       in-bucket cumulative weight reaches the residual — windowed by
+       (group, bucket), each holding ~1/4096 of the dictionary. A
+       pathologically heavy bucket (> 4*_TAIL rows) recurses via
+       :func:`_weighted_search_single` on its slice.
+
+    Contracts: weights must be non-negative integers (zero-weight
+    rows can never cross a threshold and are dropped; a group with NO
+    positive weight is omitted from the result; a negative weight
+    makes cumulative weight non-monotone and raises); values must be
+    NaN-free (weighted rank has no Spark aggregate to pin NaN
+    semantics against — callers filter or fail); the key column
+    follows :func:`_check_grouped_key_dtype`.
+    """
+    from pyspark.sql import Window
+
+    for num, den in targets:
+        if den <= 0 or num < 0:
+            raise ValueError(f"bad target fraction {num}/{den}")
+    _check_grouped_key_dtype(df, key)
+    raw = df.select(
+        F.col(key).alias("_k"),
+        F.col(col).cast("double").alias("_v"),
+        F.col(wt).cast("long").alias("_w") if isinstance(wt, str) else
+        wt.cast("long").alias("_w"),
+    ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+    # the stats pass runs BEFORE the positive-weight filter so a
+    # negative weight (which makes cumulative weight non-monotone —
+    # "min value crossing the threshold" is ill-defined) is detected,
+    # not silently dropped; zero-weight rows can never cross a
+    # threshold, so dropping them from the search passes is lossless.
+    stats = (
+        raw.groupBy("_k")
+        .agg(
+            F.sum(F.when(F.col("_w") > 0, F.col("_w"))).alias("total"),
+            F.min("_w").alias("min_w"),
+            F.sum(F.isnan("_v").cast("long")).alias("n_nan"),
+            F.min(F.when(F.col("_w") > 0, F.col("_v"))).alias("lo"),
+            F.max(F.when(F.col("_w") > 0, F.col("_v"))).alias("hi"),
+        )
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"weighted_lower_quantiles_grouped: over {max_groups} "
+            "groups; raise max_groups or use the sketch path"
+        )
+    if any(row.min_w is not None and row.min_w < 0 for row in stats):
+        raise ValueError(
+            "weighted_lower_quantiles_grouped: negative weights make "
+            "cumulative weight non-monotone — fix the weight column"
+        )
+    if any((row.n_nan or 0) > 0 for row in stats):
+        raise ValueError(
+            "weighted_lower_quantiles_grouped: NaN values present — "
+            "filter them (weighted rank has no NaN ordering contract)"
+        )
+    stats = [row for row in stats if row.total is not None]
+    vals = raw.filter(F.col("_w") > 0)
+    # per-(group, target) integer thresholds; trivially-solved groups
+    # (single distinct value) resolve without touching the data again
+    thresholds: dict = {}  # key -> [exact int threshold per target]
+    out: dict = {}  # key -> ([values...], total)
+    grids: dict = {}  # key -> (lo, width)
+    for row in stats:
+        total = int(row.total)
+        thr = [_ceil_div(total * num, den) for num, den in targets]
+        thresholds[row._k] = thr
+        out[row._k] = [None] * len(targets)
+        if row.lo == row.hi:
+            out[row._k] = ([row.lo] * len(targets), total)
+            continue
+        width = (row.hi - row.lo) / _BUCKETS
+        if not math.isfinite(width):
+            width = row.hi / _BUCKETS - row.lo / _BUCKETS
+        if width == 0.0 or not math.isfinite(width):
+            # subnormal range: per-target recursive search on the slice
+            sub = vals.filter(
+                F.col("_k").isNull() if row._k is None
+                else F.col("_k") == row._k
+            )
+            out[row._k] = (
+                [_weighted_search_single(sub, t) for t in thr], total
+            )
+            continue
+        out[row._k] = (out[row._k], total)
+        grids[row._k] = (float(row.lo), float(width))
+    if not grids:
+        return out
+    spark = df.sparkSession
+    meta = F.broadcast(
+        spark.createDataFrame(
+            [(k, lo, w) for k, (lo, w) in grids.items()],
+            schema=vals.select("_k").schema.add("_lo", "double").add(
+                "_w2", "double"
+            ),
+        ).withColumnRenamed("_k", "_mk")
+    )
+    joined = vals.join(meta, F.col("_k").eqNullSafe(F.col("_mk"))).drop(
+        "_mk"
+    )
+    bucket = _bucket_expr(F.col("_v"), F.col("_lo"), F.col("_w2"))
+    hist: dict = {}  # key -> {bucket: (sum_wt, n_rows)}
+    for row in (
+        joined.groupBy("_k", bucket.alias("_b"))
+        .agg(F.sum("_w").alias("_sw"), F.count(F.lit(1)).alias("_c"))
+        .collect()
+    ):
+        hist.setdefault(row._k, {})[row._b] = (int(row._sw), int(row._c))
+    # locate, per (group, target), the crossing bucket + residual
+    needs: list = []  # (key, bucket, residual_threshold, tag)
+    big: list = []  # (key, bucket, residual, tag) for heavy buckets
+    for k, thr in thresholds.items():
+        if k not in grids:
+            continue
+        h = hist.get(k, {})
+        for ti, t in enumerate(thr):
+            cum = 0
+            for b in range(_BUCKETS):
+                sw, c = h.get(b, (0, 0))
+                if cum + sw >= t:
+                    tag = f"{len(needs) + len(big)}"
+                    row = (k, b, t - cum, tag)
+                    (big if c > 4 * _TAIL else needs).append(row + (ti,))
+                    break
+                cum += sw
+    if needs:
+        need_df = F.broadcast(
+            spark.createDataFrame(
+                [(k, b, r, tag) for k, b, r, tag, _ in needs],
+                schema=vals.select("_k").schema.add("_nb", "integer").add(
+                    "_nr", "long"
+                ).add("_tag", "string"),
+            ).withColumnRenamed("_k", "_nk")
+        )
+        by_v = (
+            joined.select("_k", "_v", "_w", bucket.alias("_b"))
+            .join(
+                need_df,
+                F.col("_k").eqNullSafe(F.col("_nk"))
+                & (F.col("_b") == F.col("_nb")),
+            )
+            .groupBy("_k", "_b", "_nr", "_tag", "_v")
+            .agg(F.sum("_w").alias("_sw"))
+        )
+        w_cum = Window.partitionBy("_k", "_b", "_tag").orderBy(
+            "_v"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        picked = (
+            by_v.withColumn("_cum", F.sum("_sw").over(w_cum))
+            .filter(F.col("_cum") >= F.col("_nr"))
+            .groupBy("_tag")
+            .agg(F.min("_v").alias("_pick"))
+            .collect()
+        )
+        by_tag = {row._tag: row._pick for row in picked}
+        for k, b, r, tag, ti in needs:
+            out[k][0][ti] = by_tag[tag]
+    for k, b, r, tag, ti in big:
+        lo, w = grids[k]
+        sub_bucket = _bucket_expr(F.col("_v"), F.lit(lo), F.lit(w))
+        sub = vals.filter(
+            F.col("_k").isNull() if k is None else F.col("_k") == k
+        ).filter(sub_bucket == b)
+        out[k][0][ti] = _weighted_search_single(sub, r)
     return out

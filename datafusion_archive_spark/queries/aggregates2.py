@@ -12,7 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
+from datafusion_archive_spark.operators.quantiles import (
+    exact_quantiles_cont,
+    lit_cutpoints,
+)
 from datafusion_archive_spark.operators.util import load_table
 
 
@@ -157,11 +160,8 @@ def q_histogram_equi_depth(spark, sf):
     ``quantile_cont``, so bucket edges (and therefore every count)
     match exactly."""
     l = _t(spark, sf, "lineitem").select("l_extendedprice")
-    bounds = F.array(
-        *[
-            F.lit(float(v))
-            for v in exact_quantiles_cont(l, "l_extendedprice", _HIST_PCTS)
-        ]
+    bounds = lit_cutpoints(
+        exact_quantiles_cont(l, "l_extendedprice", _HIST_PCTS)
     )
     bucketed = l.select(
         F.aggregate(

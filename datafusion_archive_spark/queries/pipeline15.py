@@ -40,7 +40,10 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
+from datafusion_archive_spark.operators.quantiles import (
+    exact_quantiles_cont,
+    lit_cutpoints,
+)
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -95,7 +98,7 @@ def q_rfm_segments(spark, sf):
     }
 
     def score(col: str):
-        arr = F.array(*[F.lit(float(v)) for v in cuts[col]])
+        arr = lit_cutpoints(cuts[col])
         return (
             F.aggregate(
                 arr,

@@ -41,7 +41,10 @@ from datafusion_archive_spark.functions.rounding import (
 from datafusion_archive_spark.queries.llm import _hash64_sql
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
+from datafusion_archive_spark.operators.quantiles import (
+    exact_quantiles_cont,
+    lit_cutpoints,
+)
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -278,12 +281,7 @@ def q_lorenz_curve_deciles(spark, sf):
             decimal_sum(F.col("o_totalprice")).cast("double").alias("x")
         )
     )
-    cuts = F.array(
-        *[
-            F.lit(float(v))
-            for v in exact_quantiles_cont(spend, "x", _LORENZ_PCTS)
-        ]
-    )
+    cuts = lit_cutpoints(exact_quantiles_cont(spend, "x", _LORENZ_PCTS))
     bucketed = spend.select(
         F.aggregate(
             cuts,

@@ -42,7 +42,10 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum_sql,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
+from datafusion_archive_spark.operators.quantiles import (
+    exact_quantiles_cont,
+    lit_cutpoints,
+)
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -244,13 +247,8 @@ def q_psi_price_drift(spark, sf):
             "is_ref"
         ),
     )
-    cuts = F.array(
-        *[
-            F.lit(float(v))
-            for v in exact_quantiles_cont(
-                o.filter("is_ref"), "o_totalprice", _PSI_PCTS
-            )
-        ]
+    cuts = lit_cutpoints(
+        exact_quantiles_cont(o.filter("is_ref"), "o_totalprice", _PSI_PCTS)
     )
     binned = o.select(
         "is_ref",

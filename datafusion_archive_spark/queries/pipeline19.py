@@ -38,7 +38,10 @@ from datafusion_archive_spark.functions.rounding import (
     decimal_sum,
     decimal_sum_sql,
 )
-from datafusion_archive_spark.operators.quantiles import exact_quantiles_cont
+from datafusion_archive_spark.operators.quantiles import (
+    exact_quantiles_cont,
+    lit_cutpoints,
+)
 from datafusion_archive_spark.operators.util import cached, load_table
 
 
@@ -120,12 +123,7 @@ def q_cumulative_gains(spark, sf):
     scan-side fold over the inlined literal array (descending); the
     cumulative window runs over 10 rows."""
     s = _scored(spark, sf)
-    cuts = F.array(
-        *[
-            F.lit(float(v))
-            for v in exact_quantiles_cont(s, "score", _GAIN_PCTS)
-        ]
-    )
+    cuts = lit_cutpoints(exact_quantiles_cont(s, "score", _GAIN_PCTS))
     binned = s.select(
         "y",
         # count of cutpoints the score does NOT exceed = descending bin

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -75,33 +75,38 @@ def q_array_hof_ops(spark, sf):
 def q_weighted_quartiles(spark, sf):
     """Quantity-weighted lower quartiles of extended price per return
     flag: the smallest price whose cumulative weight reaches 25 / 50 /
-    75 % of the group total — the full percentile vector from ONE
-    cumulative sweep (the certified ``weighted_median`` machinery,
-    generalized). Exact integer weight arithmetic on both engines.
+    75 % of the group total. Exact integer weight arithmetic on both
+    engines (the search's thresholds are Python-bigint ceilings of
+    ``total * q/4``, identical to the oracle's ``cum*4 >= total*q``).
 
-    Scale: values collapse per (group, price) first; one Exchange on
-    the group key shared by the sweep and the totals."""
-    l = _t(spark, sf, "lineitem")
-    by_price = l.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("price")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
-    w = Window.partitionBy("l_returnflag").orderBy("price")
-    cum = by_price.withColumn(
-        "_cum",
-        F.sum("wt").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).withColumn(
-        "_total", F.sum("wt").over(Window.partitionBy("l_returnflag"))
+    Scale: since round 8 this runs the weighted histogram search
+    (operators/quantiles.weighted_lower_quantiles_grouped, VERDICT r7
+    #3) instead of a cumulative window over the per-group price
+    dictionary — the dictionary grows linearly with scale, so the
+    3-partition window sort was the plan's 100×-scale killer. Every
+    heavy pass is now an ordinary distributed aggregate; the three
+    cut prices and the totals return as literals."""
+    from datafusion_archive_spark.operators.quantiles import (
+        weighted_lower_quantiles_grouped,
     )
-    quart = lambda q_num, q_den: F.min(
-        F.when(F.col("_cum") * q_den >= F.col("_total") * q_num, F.col("price"))
+
+    l = cached(
+        _t(spark, sf, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        )
     )
-    return cum.groupBy("l_returnflag").agg(
-        quart(1, 4).alias("p25"),
-        quart(2, 4).alias("p50"),
-        quart(3, 4).alias("p75"),
-        F.max("_total").alias("total_weight"),
+    res = weighted_lower_quantiles_grouped(
+        l, "l_returnflag", "l_extendedprice", "l_quantity",
+        [(1, 4), (2, 4), (3, 4)],
+    )
+    rows = [
+        (k, float(v[0]), float(v[1]), float(v[2]), int(total))
+        for k, (v, total) in sorted(res.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, p25 double, p50 double, p75 double, "
+        "total_weight long",
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -45,11 +45,23 @@ def q_referential_integrity_audit(spark, sf):
     Scale: each FK check is a child-side distinct-key projection
     LEFT ANTI JOIN the parent's key column (broadcast where the
     parent is a dim); PK checks are one grouped count per table.
-    Child scans prune to the key column."""
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    c = _t(spark, sf, "customer")
-    p = _t(spark, sf, "part")
+    A table referenced by several checks is scanned ONCE, pruned to
+    the union of its key columns, and cached (VERDICT r7 #6: the
+    audit previously paid 13 parquet scans, lineitem 3x) — the
+    cached projections are key-only, so the working set is a few
+    longs per row, never the wide fact row."""
+    o = cached(
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    )
+    li = cached(
+        _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        )
+    )
+    c = cached(
+        _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    )
+    p = cached(_t(spark, sf, "part").select("p_partkey"))
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
 

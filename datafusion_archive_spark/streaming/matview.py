@@ -124,12 +124,25 @@ class IncrementalRollupSink:
         # or reads it.
         dt = st.schema["sum_v"].dataType
         if isinstance(dt, DecimalType):
-            st = st.withColumn(
-                "sum_v",
-                (F.col("sum_v") * F.lit(1_000_000).cast("decimal(7,0)"))
-                .cast("decimal(33,0)")
-                .cast("long"),
-            )
+            micros = (
+                F.col("sum_v") * F.lit(1_000_000).cast("decimal(7,0)")
+            ).cast("decimal(33,0)")
+            # decimal(33,0) holds values far past long range, and a
+            # non-ANSI Decimal.toLong WRAPS to the low 64 bits — an
+            # oversized v1 sum would migrate to a corrupted value
+            # that can even pass the _SUM_GUARD check downstream
+            # (ADVICE r7 #1). Guard in decimal space before casting;
+            # the one extra aggregate runs only on the one-time v1
+            # migration path and the state is rollup-sized.
+            top = st.agg(F.max(F.abs(micros)).alias("m")).first()
+            if top.m is not None and int(top.m) > _SUM_GUARD:
+                raise OverflowError(
+                    f"matview state at {self.path}: v1 sum_v of "
+                    f"{top.m} micros exceeds the {_SUM_GUARD} long "
+                    "headroom guard — migrating would silently wrap; "
+                    "re-scale the view before converting this state"
+                )
+            st = st.withColumn("sum_v", micros.cast("long"))
         elif not isinstance(dt, LongType):
             raise RuntimeError(
                 f"matview state at {self.path}: unrecognized sum_v "
@@ -214,19 +227,23 @@ class IncrementalRollupSink:
                     # extra action over merged: persist for the
                     # guard+write pair so the state join computes once
                     merged = merged.persist()
-                    top = merged.agg(
-                        F.max(F.abs(F.col("sum_v"))).alias("m")
-                    ).first()
-                    if top.m is not None and top.m > _SUM_GUARD:
-                        raise OverflowError(
-                            f"matview sink: merged |sum_v| = {top.m} is "
-                            f"past the {_SUM_GUARD} headroom guard — "
-                            "non-ANSI long addition would soon wrap "
-                            "silently; enable spark.sql.ansi.enabled or "
-                            "re-scale the view"
-                        )
                 tmp = self.path.rstrip("/") + "__tmp"
+                # one try/finally covers BOTH the guard and the
+                # write: a guard raise must not leak the persisted
+                # DataFrame in the executors (ADVICE r7 #3)
                 try:
+                    if not ansi:
+                        top = merged.agg(
+                            F.max(F.abs(F.col("sum_v"))).alias("m")
+                        ).first()
+                        if top.m is not None and top.m > _SUM_GUARD:
+                            raise OverflowError(
+                                f"matview sink: merged |sum_v| = {top.m} "
+                                f"is past the {_SUM_GUARD} headroom guard "
+                                "— non-ANSI long addition would soon wrap "
+                                "silently; enable spark.sql.ansi.enabled "
+                                "or re-scale the view"
+                            )
                     merged.write.mode("overwrite").parquet(tmp)
                 finally:
                     if not ansi:

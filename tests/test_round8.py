@@ -1,0 +1,220 @@
+"""Round-8 regression pins for the ADVICE r7 fixes plus the new
+weighted-quantile search (VERDICT r7 #3):
+
+1. matview v1 migration refuses a decimal sum past long range
+   (previously Decimal.toLong wrapped to the low 64 bits silently)
+2. matview overflow-guard raise does not leak the persisted merge
+3. exact_grouped_quantiles caps driver collection BEFORE materializing
+   (limit-guarded stats) and rejects non-string/integral key dtypes
+4. lit_cutpoints keeps empty-input call sites null-shaped instead of
+   crashing on float(None)
+5. weighted_lower_quantiles_grouped: differential vs the cumulative
+   window sweep, plus contract edges (zero/negative weights, NaN,
+   single-value groups, the 0/den target)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators import quantiles as Q
+from datafusion_archive_spark.streaming.matview import (
+    _SUM_GUARD,
+    IncrementalRollupSink,
+)
+
+
+# ---------------------------------------------------------------- matview
+
+
+def test_matview_v1_migration_refuses_long_overflow(spark, tmp_path):
+    """ADVICE r7 #1: a v1 decimal sum whose micros exceed long range
+    must raise during migration, never wrap through Decimal.toLong."""
+    target = str(tmp_path / "state")
+    huge = (_SUM_GUARD // 1_000_000) * 3  # units; micros ~3x the guard
+    spark.createDataFrame(
+        [("a", 1)], "k string, n long"
+    ).withColumn(
+        "sum_v", F.lit(huge).cast("decimal(27,6)")
+    ).write.mode("overwrite").parquet(target)
+    with open(os.path.join(target, "_last_batch_id"), "w") as fh:
+        fh.write("0")
+    sink = IncrementalRollupSink(spark, target, ["k"], "v")
+    with pytest.raises(OverflowError, match="silently wrap"):
+        sink.read_state()
+
+
+def test_matview_guard_raise_does_not_leak_cache(spark, tmp_path):
+    """ADVICE r7 #3: when the merged-sum guard raises, the persisted
+    merge DataFrame must be unpersisted on the way out."""
+    target = str(tmp_path / "s")
+    spark.createDataFrame(
+        [("a", 1, _SUM_GUARD + 1)], "k string, n long, sum_v long"
+    ).write.mode("overwrite").parquet(target)
+    with open(os.path.join(target, "_last_batch_id"), "w") as fh:
+        fh.write("0")
+    sink = IncrementalRollupSink(spark, target, ["k"], "v")
+    batch = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(OverflowError, match="headroom guard"):
+        sink(batch, 1)
+    assert jsc.getPersistentRDDs().size() == before
+
+
+# ----------------------------------------------------- grouped quantiles
+
+
+def test_grouped_quantiles_guard_fires_without_full_collect(spark):
+    """ADVICE r7 #2: the max_groups guard must bound what reaches the
+    driver — the stats collection is limit(max_groups+1)-guarded, so
+    an accidental high-cardinality key raises after shipping at most
+    max_groups+1 rows."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("x")
+    )
+    with pytest.raises(ValueError, match="max_groups=8"):
+        Q.exact_grouped_quantiles(df, "k", "x", [0.5], max_groups=8)
+    # the guard text names the escape hatches
+    with pytest.raises(ValueError, match="sketch path"):
+        Q.exact_grouped_quantiles(df, "k", "x", [0.5], max_groups=8)
+
+
+def test_grouped_quantiles_rejects_nonstring_key_dtype(spark):
+    """ADVICE r7 #5: a boolean/float/date key silently matched nothing
+    in the concat_ws selection filter; now it fails fast naming the
+    fallback."""
+    df = spark.createDataFrame(
+        [(True, 1.0), (False, 2.0)], "k boolean, x double"
+    )
+    with pytest.raises(ValueError, match="string/integral"):
+        Q.exact_grouped_quantiles(df, "k", "x", [0.5])
+    dfd = spark.createDataFrame([(1.5, 1.0)], "k double, x double")
+    with pytest.raises(ValueError, match="percentile"):
+        Q.weighted_lower_quantiles_grouped(
+            dfd, "k", "x", F.lit(1), [(1, 2)]
+        )
+
+
+def test_lit_cutpoints_null_safe_on_empty_input(spark):
+    """ADVICE r7 #4: empty input -> [None,...] cutpoints -> the old
+    plans produced null cutpoints; lit_cutpoints must build the same
+    null literals instead of crashing in float(None)."""
+    empty = spark.createDataFrame([], "x double")
+    cuts = Q.exact_quantiles_cont(empty, "x", [0.25, 0.5])
+    assert cuts == [None, None]
+    arr = Q.lit_cutpoints(cuts)  # must not raise
+    out = (
+        spark.range(1)
+        .select(
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.lit(1.0) > b, 1).otherwise(0),
+            ).alias("bucket")
+        )
+        .first()
+    )
+    # x > null is null -> the fold adds nothing: bucket 0, like the
+    # old percentile-aggregate plans on an empty table
+    assert out.bucket == 0
+    # non-null values still inline exactly
+    assert Q.lit_cutpoints([1.5, None]) is not None
+
+
+# ---------------------------------------------------- weighted quantiles
+
+
+def _sweep_reference(spark, rows, targets):
+    """The certified cumulative-window formulation (the plan the
+    search replaced) as the differential oracle."""
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    by_v = df.filter("w > 0").groupBy("k", "v").agg(
+        F.sum("w").alias("wt")
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    cum = by_v.withColumn(
+        "c",
+        F.sum("wt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("t", F.sum("wt").over(Window.partitionBy("k")))
+    aggs = [
+        F.min(
+            F.when(F.col("c") * den >= F.col("t") * num, F.col("v"))
+        ).alias(f"q{i}")
+        for i, (num, den) in enumerate(targets)
+    ]
+    out = {}
+    for row in cum.groupBy("k").agg(*aggs, F.max("t").alias("t")).collect():
+        out[row.k] = ([row[f"q{i}"] for i in range(len(targets))], row.t)
+    return out
+
+
+def test_weighted_quantiles_match_window_sweep(spark):
+    """Bit-exact differential: the histogram search must reproduce
+    the cumulative-window sweep on skewed random integer-weighted
+    data, including duplicate values and all-equal groups."""
+    rng = random.Random(81)
+    rows = []
+    for k, n in (("a", 400), ("b", 50), ("c", 1)):
+        for _ in range(n):
+            v = round(rng.expovariate(0.001), 2)
+            rows.append((k, v, rng.randint(1, 9)))
+    rows += [("a", rows[0][1], 3)]  # duplicate value, extra weight
+    rows += [("d", 7.5, 2), ("d", 7.5, 5)]  # single-distinct group
+    targets = [(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = Q.weighted_lower_quantiles_grouped(df, "k", "v", "w", targets)
+    want = _sweep_reference(spark, rows, targets)
+    assert got == want
+
+
+def test_weighted_quantiles_contract_edges(spark):
+    base = [("a", 1.0, 2), ("a", 2.0, 0), ("a", 3.0, 1)]
+    df = spark.createDataFrame(base, "k string, v double, w long")
+    # zero weights are dropped: p100 over weights (2,0,1) -> 3.0, and
+    # the median lands on 1.0 (cum 2 of total 3 >= ceil(1.5))
+    res = Q.weighted_lower_quantiles_grouped(
+        df, "k", "v", "w", [(1, 2), (1, 1)]
+    )
+    assert res == {"a": ([1.0, 3.0], 3)}
+    # a group with no positive weight is omitted
+    df2 = spark.createDataFrame(
+        base + [("z", 9.0, 0)], "k string, v double, w long"
+    )
+    res2 = Q.weighted_lower_quantiles_grouped(df2, "k", "v", "w", [(1, 2)])
+    assert set(res2) == {"a"}
+    # negative weights raise instead of silently dropping
+    df3 = spark.createDataFrame(
+        base + [("a", 4.0, -1)], "k string, v double, w long"
+    )
+    with pytest.raises(ValueError, match="non-monotone"):
+        Q.weighted_lower_quantiles_grouped(df3, "k", "v", "w", [(1, 2)])
+    # NaN values raise
+    df4 = spark.createDataFrame(
+        base + [("a", float("nan"), 1)], "k string, v double, w long"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        Q.weighted_lower_quantiles_grouped(df4, "k", "v", "w", [(1, 2)])
+    # malformed target fractions raise
+    with pytest.raises(ValueError, match="target fraction"):
+        Q.weighted_lower_quantiles_grouped(df, "k", "v", "w", [(1, 0)])
+
+
+def test_weighted_quantiles_recursive_fallback_path(spark):
+    """Force the big-bucket recursion (_weighted_search_single) by
+    shrinking the tail/bucket thresholds via monkeypatch-free slice:
+    a value set concentrated on one bucket still resolves exactly."""
+    rows = [("a", 5.0 + i * 1e-12, 1 + (i % 3)) for i in range(200)]
+    rows += [("a", 1e6, 1)]  # stretches the grid so the 5.0s share a bucket
+    targets = [(1, 4), (3, 4)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = Q.weighted_lower_quantiles_grouped(df, "k", "v", "w", targets)
+    want = _sweep_reference(spark, rows, targets)
+    assert got == want
