@@ -207,6 +207,48 @@ def test_weighted_quantiles_contract_edges(spark):
         Q.weighted_lower_quantiles_grouped(df, "k", "v", "w", [(1, 0)])
 
 
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+_W_SPECIALS = [0.0, -0.0, 5e-324, 1e308, -1e308, 1e-300, 123.456]
+_W_VALS = st.lists(
+    st.tuples(
+        st.one_of(
+            st.sampled_from(_W_SPECIALS),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.integers(min_value=-3, max_value=3).map(float),
+        ),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_W_VALS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_quantiles_fuzz_vs_sweep(spark, pairs):
+    """Hypothesis differential (the round-7 fuzz pattern that caught
+    the subnormal/huge-double bugs in the unweighted search): the
+    weighted search must equal the cumulative-window sweep on
+    arbitrary finite doubles — specials, subnormals, ±1e308,
+    duplicates — with weights in 0..5 (zeros exercise the drop
+    path)."""
+    assume(any(w > 0 for _, w in pairs))
+    rows = [("g", v, w) for v, w in pairs] + [
+        ("h", pairs[0][0], max(pairs[0][1], 1))
+    ]
+    targets = [(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = Q.weighted_lower_quantiles_grouped(df, "k", "v", "w", targets)
+    want = _sweep_reference(spark, rows, targets)
+    assert got == want, (rows, got, want)
+
+
 def test_weighted_quantiles_recursive_fallback_path(spark):
     """Force the big-bucket recursion (_weighted_search_single) by
     shrinking the tail/bucket thresholds via monkeypatch-free slice:

@@ -1,0 +1,132 @@
+"""Round-8 scale head-to-heads for the two plans VERDICT r7 graded
+weak, on synthetic 30M-row inputs (the harness pattern of PERF.md's
+round-7 grouped-quantile note):
+
+A. low-cardinality top-k: row_number over a ~6-value window partition
+   (the old q_window_topk_per_group plan) vs the salted two-phase
+   top-k now shipped — results asserted identical.
+B. weighted quartiles: the cumulative-window sweep over the per-group
+   value dictionary (old plan) vs weighted_lower_quantiles_grouped —
+   results asserted identical.
+
+Usage: python tools/scale_probe_r8.py [n_rows]
+Prints one line per contender: name, wall seconds, result digest.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators.quantiles import (
+    weighted_lower_quantiles_grouped,
+)
+from datafusion_archive_spark.session import get_spark
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000_000
+FLAGS = ["A", "B", "C", "N", "R", "F"]
+
+
+def base(spark):
+    """Deterministic synthetic fact slab: 6-value group key, ~10M
+    distinct prices, small integer weights."""
+    return spark.range(N).select(
+        F.col("id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in FLAGS]),
+            (F.col("id") % 6 + 1).cast("int"),
+        ).alias("flag"),
+        (F.pmod(F.xxhash64("id"), 1_000_000_000) / 100.0).alias("price"),
+        (F.col("id") % 7 + 1).cast("long").alias("qty"),
+    )
+
+
+def timed(label, fn):
+    t0 = time.monotonic()
+    out = fn()
+    dt = time.monotonic() - t0
+    print(f"{label:28} {dt:8.2f}s  {out}")
+    return out
+
+
+def topk_raw(df):
+    w = Window.partitionBy("flag").orderBy(F.col("price").desc(), "id")
+    return sorted(
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("flag", "price", "rn")
+        .collect()
+    )
+
+
+def topk_salted(df):
+    order = [F.col("price").desc(), F.col("id")]
+    salt = F.pmod(F.xxhash64("id"), F.lit(32))
+    w1 = Window.partitionBy("flag", "salt").orderBy(*order)
+    cand = (
+        df.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 3)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("flag").orderBy(*order)
+    return sorted(
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("flag", "price", "rn")
+        .collect()
+    )
+
+
+def wq_sweep(df):
+    by_v = df.groupBy("flag", "price").agg(F.sum("qty").alias("wt"))
+    w = Window.partitionBy("flag").orderBy("price")
+    cum = by_v.withColumn(
+        "c",
+        F.sum("wt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("t", F.sum("wt").over(Window.partitionBy("flag")))
+    q = lambda n: F.min(
+        F.when(F.col("c") * 4 >= F.col("t") * n, F.col("price"))
+    )
+    return sorted(
+        (r.flag, r.p25, r.p50, r.p75, r.t)
+        for r in cum.groupBy("flag")
+        .agg(
+            q(1).alias("p25"), q(2).alias("p50"), q(3).alias("p75"),
+            F.max("t").alias("t"),
+        )
+        .collect()
+    )
+
+
+def wq_search(df):
+    res = weighted_lower_quantiles_grouped(
+        df, "flag", "price", "qty", [(1, 4), (2, 4), (3, 4)]
+    )
+    return sorted(
+        (k, v[0], v[1], v[2], total) for k, (v, total) in res.items()
+    )
+
+
+def main():
+    spark = get_spark("scale_probe_r8")
+    df = base(spark)
+    df.count()  # warm the slab generation path
+    a1 = timed("topk raw-window", lambda: topk_raw(df))
+    a2 = timed("topk salted-two-phase", lambda: topk_salted(df))
+    assert a1 == a2, "top-k results diverge"
+    b1 = timed("weighted-quartiles sweep", lambda: wq_sweep(df))
+    b2 = timed("weighted-quartiles search", lambda: wq_search(df))
+    assert b1 == b2, f"weighted results diverge: {b1} vs {b2}"
+    print("both head-to-heads identical")
+
+
+if __name__ == "__main__":
+    main()
