@@ -9,7 +9,10 @@ weighted median, and moving correlation.
 - ``weighted_median`` — the smallest value whose cumulative weight
   reaches half the total (lower weighted median): the
   robust-statistics twin of ``median_mode_aggs``, exact because
-  weights are integers and ties collapse by value before the sweep.
+  weights stay integers end-to-end. Since round 8 it runs the
+  weighted histogram search (operators/quantiles) rather than a
+  cumulative sweep over the per-group price dictionary — the same
+  dictionary-growth scale fix as ``weighted_quartiles``.
 - ``moving_corr`` — 30-day moving Pearson correlation between daily
   order count and daily revenue: the rolling-relationship signal of
   monitoring dashboards, over the aggregated daily grid (the window
@@ -28,7 +31,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions.rounding import decimal_sum, decimal_sum_sql
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -94,32 +97,38 @@ def q_interval_union_time(spark, sf):
 def q_weighted_median(spark, sf):
     """Quantity-weighted (lower) median price per return flag: the
     smallest price whose cumulative quantity reaches half the group
-    total. Ties collapse by value FIRST (group by price), so the
-    cumulative sweep order is unique and the result is exact integer
-    arithmetic on both engines.
+    total. Exact integer weight arithmetic on both engines (the
+    search's threshold is a Python-bigint ceiling of ``total / 2``,
+    identical to the oracle's ``cum * 2 >= total``).
 
-    Scale: the value-collapse aggregate bounds the window input to
-    distinct prices per group; one Exchange on the group key."""
-    l = _t(spark, sf, "lineitem")
-    by_price = l.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("price")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
-    w = Window.partitionBy("l_returnflag").orderBy("price")
-    cum = (
-        by_price.withColumn(
-            "_cum",
-            F.sum("wt").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .withColumn(
-            "_total", F.sum("wt").over(Window.partitionBy("l_returnflag"))
-        )
-        .filter(F.col("_cum") * 2 >= F.col("_total"))
+    Scale: since round 8 this runs the weighted histogram search
+    (operators/quantiles.weighted_lower_quantiles_grouped) — the same
+    upgrade as ``weighted_quartiles``: this query previously swept a
+    cumulative window over the per-group price dictionary, which
+    grows linearly with scale, so the 3-partition window sort was the
+    identical 100×-scale killer VERDICT r7 flagged there. Every heavy
+    pass is now an ordinary distributed aggregate; the cut price and
+    total return as literals."""
+    from datafusion_archive_spark.operators.quantiles import (
+        weighted_lower_quantiles_grouped,
     )
-    return cum.groupBy("l_returnflag").agg(
-        F.min("price").alias("weighted_median_price"),
-        F.max("_total").alias("total_weight"),
+
+    l = cached(
+        _t(spark, sf, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        )
+    )
+    res = weighted_lower_quantiles_grouped(
+        l, "l_returnflag", "l_extendedprice", "l_quantity", [(1, 2)]
+    )
+    rows = [
+        (k, float(v[0]), int(total))
+        for k, (v, total) in sorted(res.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, weighted_median_price double, "
+        "total_weight long",
     )
 
 

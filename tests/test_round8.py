@@ -260,3 +260,41 @@ def test_weighted_quantiles_recursive_fallback_path(spark):
     got = Q.weighted_lower_quantiles_grouped(df, "k", "v", "w", targets)
     want = _sweep_reference(spark, rows, targets)
     assert got == want
+
+
+def test_weighted_median_query_matches_old_sweep(spark, sf_dir):
+    """q_weighted_median rerouted onto the weighted histogram search
+    in round 8 (the same VERDICT r7 #3 upgrade as weighted_quartiles);
+    pin it against the cumulative-window sweep it replaced, built
+    inline the way the certified plan used to."""
+    from datafusion_archive_spark.queries.pipeline11 import q_weighted_median
+
+    got = sorted(
+        (r.l_returnflag, r.weighted_median_price, r.total_weight)
+        for r in q_weighted_median(spark, sf_dir).collect()
+    )
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    by_price = l.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    w = Window.partitionBy("l_returnflag").orderBy("price")
+    cum = (
+        by_price.withColumn(
+            "_cum",
+            F.sum("wt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "_total", F.sum("wt").over(Window.partitionBy("l_returnflag"))
+        )
+        .filter(F.col("_cum") * 2 >= F.col("_total"))
+    )
+    want = sorted(
+        (r.l_returnflag, r.m, r.t)
+        for r in cum.groupBy("l_returnflag")
+        .agg(F.min("price").alias("m"), F.max("_total").alias("t"))
+        .collect()
+    )
+    assert got == want
