@@ -186,20 +186,32 @@ def q_quality_quantile_norm(spark, sf):
     mediocre in a high-scoring one, so thresholds and mixture weights
     should consume the per-language quantile, not the raw score.
 
-    Plan: one Exchange on lang feeds the rank window; ties share a
-    rank (ordered by the score alone) so the result is deterministic
-    and engine-portable. A 90%-one-language corpus concentrates the
-    sort like any per-key window — the documented salting escape
-    hatch (pipeline3's salted sampler) applies if that bites.
+    Plan: ties share a rank (ordered by the score alone) so the
+    result is deterministic and engine-portable. Since round 8 the
+    rank comes from :func:`operators.ranks.bucketed_group_rank`
+    rather than one window per language: a per-row percent_rank
+    cannot drop rows, so the salted top-k escape hatch never applied
+    here, and a 90%-one-language corpus concentrated that language's
+    whole sort in one task. The bucketed rank's widest sort is
+    (lang, score-bucket)-sized; percent_rank derives from (rank, n)
+    as a scan expression (differential-pinned in tests/test_round8.py).
     """
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_rank,
+        percent_rank_expr,
+    )
+
     d = _t(spark, sf, "documents")
     q = TX.quality_score(F.col("text"))
-    win = Window.partitionBy("lang").orderBy("quality")
-    return (
-        d.select("doc_id", "lang", q.alias("quality"))
-        .withColumn(
-            "q_rank", round_half_up(F.percent_rank().over(win), 6)
-        )
+    scored = d.select("doc_id", "lang", q.alias("quality"))
+    ranked = bucketed_group_rank(scored, ["lang"], "quality", tiebreak=None)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "quality",
+        round_half_up(
+            percent_rank_expr(F.col("_rank"), F.col("_n")), 6
+        ).alias("q_rank"),
     )
 
 

@@ -59,28 +59,36 @@ def q_class_rebalance(spark, sf):
     before/after counts and the exact kept-id checksum, so the
     certified row pins WHICH docs survive, not just how many.
 
-    Scale: one tiny per-language count aggregate (broadcast back), one
-    rank window per language. A dominant class concentrates its sort
-    in one partition — the identical shape, and identical salted
-    escape hatch, as weighted_sample_per_lang(_salted)."""
+    Scale: the kept set is data-dependent (rank <= minority size), so
+    neither the salted top-k nor a fixed-k trick applies — a dominant
+    class used to concentrate its whole sort in one task. Since round
+    8 the rank comes from :func:`operators.ranks.bucketed_group_rank`
+    (widest sort: one (lang, hash-bucket) slice), whose per-group size
+    column also supplies n_before, dropping the final join."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
     d = _t(spark, sf, "documents")
-    target = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
-    minority = target.agg(F.min("n_before").alias("n_target"))
-    u = TX.hash64(F.col("doc_id").cast("string"), _REBALANCE_SEED)
-    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
-    kept = (
-        d.withColumn("_rk", F.row_number().over(w))
-        .join(F.broadcast(minority))
-        .filter(F.col("_rk") <= F.col("n_target"))
+    minority = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+        .agg(F.min("n_before").alias("n_target"))
     )
-    return (
-        kept.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("doc_id").alias("kept_id_sum"),
-        )
-        .join(F.broadcast(target), "lang")
-        .select("lang", "n_before", "n_kept", "kept_id_sum")
+    u = TX.hash64(F.col("doc_id").cast("string"), _REBALANCE_SEED)
+    ranked = bucketed_group_rank(
+        d.select("lang", "doc_id", u.alias("_u")),
+        ["lang"],
+        "_u",
+        tiebreak=["doc_id"],
+        rank_col="_rk",
+        n_col="_n_before",
+    )
+    kept = ranked.join(F.broadcast(minority)).filter(
+        F.col("_rk") <= F.col("n_target")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("_n_before").alias("n_before"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
     )
 
 

@@ -29,19 +29,38 @@ def q_window_ntile_dist(spark, sf):
 
     The ordering key includes ``o_orderkey`` so ranks are total —
     distribution functions over non-unique orderings are only
-    deterministic per tie-group, which an oracle can't hash. One
-    Exchange on the partition key; all four windows share it.
-    """
-    o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    deterministic per tie-group, which an oracle can't hash.
+
+    Scale: since round 8 the rank comes from
+    :func:`operators.ranks.bucketed_group_rank` — o_orderpriority has
+    FIVE values, so the plain shared window hashed the whole orders
+    table into 5 reducer partitions and sorted each in one task (the
+    same low-cardinality-window scale-killer VERDICT r7 flagged for
+    top-k, but per-row outputs can't use the salted escape hatch).
+    The bucketed rank's widest sort is (priority, price-bucket)-sized;
+    ntile/percent_rank/cume_dist then derive from (rank, n) as scan
+    expressions, differential-pinned against the built-ins in
+    tests/test_round8.py."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_rank,
+        cume_dist_expr,
+        ntile_expr,
+        percent_rank_expr,
     )
-    return o.select(
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = bucketed_group_rank(
+        o, ["o_orderpriority"], "o_totalprice", tiebreak=["o_orderkey"]
+    )
+    r, n = F.col("_rank"), F.col("_n")
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_expr(r, n, 4).alias("quartile"),
+        F.round(percent_rank_expr(r, n), 6).alias("pct_rank"),
+        F.round(cume_dist_expr(r, n), 6).alias("cume"),
     )
 
 

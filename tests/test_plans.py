@@ -384,3 +384,23 @@ def test_recompute_sweep_scan_ceilings(spark, sf_dir):
         "fan-out recompute regressed (a shared rollup lost its cache):\n"
         + "\n".join(failures)
     )
+
+
+def test_bucketed_rank_spreads_low_cardinality_windows(spark, sf_dir):
+    """Round 8: the per-row rank queries over ~5-value keys
+    (window_ntile_dist, quality_quantile_norm, class_rebalance) must
+    not hash the fact scan into #groups window partitions. After the
+    bucketed_group_rank rewire, the only fact-scale window partitions
+    on (key, _bkt) — visible as a hashpartitioning carrying the
+    bucket column — and the bare-key exchange only carries the
+    bounded (group, bucket) offset grid."""
+    for name, key in [
+        ("window_ntile_dist", "o_orderpriority"),
+        ("quality_quantile_norm", "lang"),
+        ("class_rebalance", "lang"),
+    ]:
+        s = summarize(QUERIES[name](spark, sf_dir))
+        assert any(
+            "_bkt" in e and key in e
+            for e in s.raw.split("hashpartitioning")[1:]
+        ), (name, s.raw)

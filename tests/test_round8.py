@@ -11,6 +11,11 @@ weighted-quantile search (VERDICT r7 #3):
 5. weighted_lower_quantiles_grouped: differential vs the cumulative
    window sweep, plus contract edges (zero/negative weights, NaN,
    single-value groups, the 0/den target)
+6. q_weighted_median pinned against the window sweep it replaced
+7. operators/ranks.bucketed_group_rank: differentials vs
+   row_number()/rank() and the built-in ntile/percent_rank/cume_dist
+   over plain per-group windows, plus the NaN / cardinality /
+   null-key guards (the low-cardinality per-row-rank scale fix)
 """
 
 from __future__ import annotations
@@ -298,3 +303,108 @@ def test_weighted_median_query_matches_old_sweep(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+# ------------------------------------------------------- bucketed rank
+
+
+def _rank_slab(spark, seed=7, n=5000):
+    import random as _r
+
+    _r.seed(seed)
+    rows = []
+    for i in range(n):
+        g = _r.choice("abcd")
+        v = _r.choice(
+            [None, 0.0, -0.0, 1.5, _r.uniform(-1e6, 1e6),
+             _r.uniform(-5, 5), float(_r.randint(-3, 3))]
+        )
+        rows.append((i, g, v))
+    return spark.createDataFrame(rows, "id long, g string, v double")
+
+
+def test_bucketed_rank_row_number_differential(spark):
+    """bucketed_group_rank with a total ordering == row_number over
+    the plain per-group window, on a slab mixing nulls, signed zeros,
+    heavy ties, and wide magnitudes."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    df = _rank_slab(spark)
+    got = bucketed_group_rank(df, ["g"], "v", tiebreak=["id"])
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first(), "id")
+    want = df.withColumn(
+        "_rank", F.row_number().over(w).cast("long")
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    a = {r.id: (r._rank, r._n) for r in got.collect()}
+    b = {r.id: (r._rank, r._n) for r in want.collect()}
+    assert a == b
+
+
+def test_bucketed_rank_ties_differential(spark):
+    """tiebreak=None == rank() (ties share the smallest position)."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    df = _rank_slab(spark, seed=11)
+    got = bucketed_group_rank(df, ["g"], "v", tiebreak=None)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first())
+    want = df.withColumn("_rank", F.rank().over(w).cast("long"))
+    key = lambda t: (t[0], t[1] is not None, t[1] or 0.0, t[2])
+    a = sorted(((r.g, r.v, r._rank) for r in got.collect()), key=key)
+    b = sorted(((r.g, r.v, r._rank) for r in want.collect()), key=key)
+    assert a == b
+
+
+def test_bucketed_rank_derived_window_functions(spark):
+    """ntile/percent_rank/cume_dist derived from (rank, n) equal the
+    built-ins over the same total ordering."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_rank,
+        cume_dist_expr,
+        ntile_expr,
+        percent_rank_expr,
+    )
+
+    df = _rank_slab(spark, seed=13)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first(), "id")
+    got = bucketed_group_rank(df, ["g"], "v", tiebreak=["id"])
+    r, n = F.col("_rank"), F.col("_n")
+    der = got.select(
+        "id",
+        ntile_expr(r, n, 4).alias("q"),
+        F.round(percent_rank_expr(r, n), 6).alias("pr"),
+        F.round(cume_dist_expr(r, n), 6).alias("cd"),
+    )
+    bi = df.select(
+        "id",
+        F.ntile(4).over(w).alias("q"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    da = {r_.id: (r_.q, r_.pr, r_.cd) for r_ in der.collect()}
+    db = {r_.id: (r_.q, r_.pr, r_.cd) for r_ in bi.collect()}
+    assert da == db
+
+
+def test_bucketed_rank_guards(spark):
+    """NaN values, >256 groups, and NULL group keys all fail fast
+    (silent wrong answers are the failure mode each guard blocks)."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    df = _rank_slab(spark, seed=17, n=500)
+    with pytest.raises(ValueError, match="NaN"):
+        bucketed_group_rank(
+            df.withColumn(
+                "v",
+                F.when(F.col("id") == 3, float("nan")).otherwise(F.col("v")),
+            ),
+            ["g"], "v", ["id"],
+        )
+    with pytest.raises(ValueError, match="groups"):
+        bucketed_group_rank(df, ["id"], "v", None)
+    with pytest.raises(ValueError, match="NULL group key"):
+        bucketed_group_rank(
+            df.withColumn(
+                "g", F.when(F.col("id") == 3, None).otherwise(F.col("g"))
+            ),
+            ["g"], "v", ["id"],
+        )
