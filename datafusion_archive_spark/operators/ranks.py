@@ -67,6 +67,8 @@ def bucketed_group_rank(
     tiebreak: list[str] | None = None,
     rank_col: str = "_rank",
     n_col: str = "_n",
+    dense_col: str | None = None,
+    running: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Append exact 1-based ascending rank + group size to every row.
 
@@ -78,12 +80,44 @@ def bucketed_group_rank(
     NaN is rejected up front — it sorts AFTER +inf in Spark but the
     bucket grid cannot place it, so exactness would silently break.
 
+    ``dense_col`` additionally emits ``dense_rank`` over the value
+    alone: the bucket histogram counts DISTINCT values per bucket, so
+    the dense offset is the number of distinct values in earlier
+    buckets (the all-null bucket contributes exactly one: nulls tie
+    at dense rank 1, like the built-in) and the local dense_rank
+    orders by the value only — tiebreaks must not refine it.
+
+    ``running=[(src, out), ...]`` emits exact cumulative sums of
+    INTEGER columns over the same ordering (bucket-sum offsets + a
+    local running sum), the distributed twin of
+    ``sum(src) OVER (PARTITION BY keys ORDER BY value, tiebreak)``.
+    Integral dtypes only: integer addition is associative, so
+    regrouping by bucket is exact; a float column's cumsum depends on
+    addition order and would silently drift from the window form.
+    Requires ``tiebreak`` (a running sum over a non-total ordering is
+    not well-defined row-by-row).
+
     The group-key cardinality must be small (that is the point of the
     operator); the offset build raises past ``_MAX_RANK_GROUPS``
     before anything fact-scale materializes.
     """
     key_cols = [F.col(k) for k in keys]
     v = F.col(value)
+    if running:
+        if not tiebreak:
+            raise ValueError(
+                "bucketed_group_rank: running sums need a total "
+                "ordering — pass tiebreak columns."
+            )
+        dtypes = dict(df.dtypes)
+        for src, _out in running:
+            if dtypes.get(src) not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"bucketed_group_rank: running column {src!r} has "
+                    f"dtype {dtypes.get(src)}; only integral columns "
+                    "cumulate exactly under bucket regrouping (float "
+                    "addition is order-dependent)."
+                )
 
     # --- pass 1: per-group value range + size --------------------------
     # cached: the tiny stats frame feeds the guard collect AND the grid
@@ -143,19 +177,42 @@ def bucketed_group_rank(
     )
 
     # --- pass 3: bucket start offsets (bounded frame) ------------------
-    hist = bucketed.groupBy(*key_cols, F.col("_bkt")).agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if dense_col:
+        # the all-null bucket (-1) holds one distinct "value" for
+        # dense purposes (countDistinct would say 0 and shift every
+        # later dense rank down by one)
+        aggs.append(
+            F.when(F.col("_bkt") == -1, F.lit(1))
+            .otherwise(F.count_distinct(v))
+            .alias("_dcnt")
+        )
+    for src, out in running or []:
+        # NULL counts as 0 (both the bucket sum and the local running
+        # sum below coalesce, so the two halves agree)
+        aggs.append(
+            F.sum(F.coalesce(F.col(src), F.lit(0))).alias(f"_rsum{out}")
+        )
+    hist = bucketed.groupBy(*key_cols, F.col("_bkt")).agg(*aggs)
     w_grid = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col("_bkt").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offsets = hist.select(
-        *key_cols,
-        "_bkt",
-        (F.sum("_cnt").over(w_grid) - F.col("_cnt")).alias("_off"),
-    )
+    off_cols = [
+        (F.sum("_cnt").over(w_grid) - F.col("_cnt")).alias("_off")
+    ]
+    if dense_col:
+        off_cols.append(
+            (F.sum("_dcnt").over(w_grid) - F.col("_dcnt")).alias("_doff")
+        )
+    for _src, out in running or []:
+        off_cols.append(
+            (
+                F.sum(f"_rsum{out}").over(w_grid) - F.col(f"_rsum{out}")
+            ).alias(f"_roff{out}")
+        )
+    offsets = hist.select(*key_cols, "_bkt", *off_cols)
 
     # --- pass 4: the only fact-scale window: (group, bucket) -----------
     order = [v.asc_nulls_first()] + [
@@ -164,11 +221,29 @@ def bucketed_group_rank(
     w_bkt = Window.partitionBy(*key_cols, F.col("_bkt")).orderBy(*order)
     local = F.row_number() if tiebreak else F.rank()
     join_keys = keys + ["_bkt"]
-    return (
-        bucketed.join(F.broadcast(offsets), on=join_keys, how="inner")
-        .withColumn(rank_col, (F.col("_off") + local.over(w_bkt)).cast("long"))
-        .drop("_lo", "_width", "_bkt", "_off")
-    )
+    out = bucketed.join(
+        F.broadcast(offsets), on=join_keys, how="inner"
+    ).withColumn(rank_col, (F.col("_off") + local.over(w_bkt)).cast("long"))
+    if dense_col:
+        w_dense = Window.partitionBy(*key_cols, F.col("_bkt")).orderBy(
+            v.asc_nulls_first()
+        )
+        out = out.withColumn(
+            dense_col,
+            (F.col("_doff") + F.dense_rank().over(w_dense)).cast("long"),
+        )
+    w_run = w_bkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    drop_running = []
+    for src, out_col in running or []:
+        out = out.withColumn(
+            out_col,
+            (
+                F.col(f"_roff{out_col}")
+                + F.sum(F.coalesce(F.col(src), F.lit(0))).over(w_run)
+            ).cast("long"),
+        )
+        drop_running.append(f"_roff{out_col}")
+    return out.drop("_lo", "_width", "_bkt", "_off", "_doff", *drop_running)
 
 
 def ntile_expr(rank, n, k: int):

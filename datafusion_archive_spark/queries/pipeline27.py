@@ -55,40 +55,55 @@ def q_sprt_ab_sequential(spark, sf):
     LLR exits ±ln 19 decides. One row per arm: n_trials, final LLR,
     crossing index (NULL if never), decision.
 
-    Scale: every window PARTITIONS BY the arm, so each partition
-    holds one experiment's trials and no executor ever materializes
-    the global stream — the partitioned form VERDICT r5 #6 asked for.
-    A single-experiment stream is the one-arm special case (constant
-    arm column) and degrades to the previous global-window plan; the
-    increments are two constants, so the cumsum is the entire
-    computation."""
+    Scale: an arm column has as many values as the experiment has
+    arms (TWO here), so the round-5 partitioned windows still sorted
+    half the event stream per task. Since round 8 the trial index and
+    the cumulative SUCCESS COUNT come from
+    :func:`operators.ranks.bucketed_group_rank` (running sums are
+    exact for integer columns — addition regroups freely), and
+    LLR_i = successes_i·inc_s + failures_i·inc_f reconstructs the
+    path as a scan expression: the increments are two CONSTANTS, so
+    the cumsum is a linear function of the integer counts. The
+    crossing test is ulp-robust by construction — LLR takes values
+    (k·inc) whose nearest approach to ±ln 19 is ~0.066, many orders
+    above float error — and final_llr keeps the order-free aggregate
+    sum it always used."""
     e = load_events(spark, sf).filter(
         F.col("event_type").isin("click", "purchase")
     )
     inc_s = math.log(_SPRT_P1 / _SPRT_P0)
     inc_f = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
-    w = Window.partitionBy("arm").orderBy("ts", "event_id")
-    trials = e.select(
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    base = e.select(
         F.when(F.col("user_id") % 2 == 0, F.lit("A"))
         .otherwise(F.lit("B"))
         .alias("arm"),
         F.col("ts"),
         F.col("event_id"),
-        F.when(F.col("event_type") == "purchase", F.lit(inc_s))
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_s"),
+    )
+    ranked = bucketed_group_rank(
+        base,
+        ["arm"],
+        "ts",
+        tiebreak=["event_id"],
+        rank_col="i",
+        running=[("is_s", "cs")],
+    )
+    cum = ranked.select(
+        "arm",
+        "i",
+        F.when(F.col("is_s") == 1, F.lit(inc_s))
         .otherwise(F.lit(inc_f))
         .alias("inc"),
-    ).select(
-        "arm",
-        F.row_number().over(w).alias("i"),
-        "inc",
-    )
-    cum = trials.withColumn(
-        "llr",
-        F.sum("inc").over(
-            Window.partitionBy("arm")
-            .orderBy("i")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+        (
+            F.col("cs") * F.lit(inc_s)
+            + (F.col("i") - F.col("cs")) * F.lit(inc_f)
+        ).alias("llr"),
     )
     agg = cum.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_trials"),

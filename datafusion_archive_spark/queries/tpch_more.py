@@ -175,18 +175,41 @@ def q19_disjunctive_predicates(spark, sf):
 
 def q_window_ranks(spark, sf):
     """dense_rank / percent_rank / cume_dist / ntile over order values
-    per customer segment."""
-    c = _t(spark, sf, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    per customer segment.
+
+    Scale: c_mktsegment has FIVE values, so the plain shared window
+    hashed the whole customer table into 5 sort tasks. Since round 8
+    the ranks come from :func:`operators.ranks.bucketed_group_rank`
+    (rank on the NEGATED balance — monotone-exact for doubles — so
+    DESC needs no operator special case; dense_rank from the distinct
+    counts per bucket). c_acctbal is non-null in the schema, which the
+    negation relies on: the operator sorts nulls first while DESC
+    would put them last."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_rank,
+        cume_dist_expr,
+        ntile_expr,
+        percent_rank_expr,
     )
-    return c.select(
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", (-F.col("c_acctbal")).alias("_negbal")
+    )
+    ranked = bucketed_group_rank(
+        c,
+        ["c_mktsegment"],
+        "_negbal",
+        tiebreak=["c_custkey"],
+        dense_col="_dense",
+    )
+    r, n = F.col("_rank"), F.col("_n")
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        F.dense_rank().over(w).alias("drank"),
-        round_half_up(F.percent_rank().over(w), 6).alias("prank"),
-        round_half_up(F.cume_dist().over(w), 6).alias("cdist"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.col("_dense").cast("int").alias("drank"),
+        round_half_up(percent_rank_expr(r, n), 6).alias("prank"),
+        round_half_up(cume_dist_expr(r, n), 6).alias("cdist"),
+        ntile_expr(r, n, 4).alias("quartile"),
     )
 
 

@@ -398,6 +398,7 @@ def test_bucketed_rank_spreads_low_cardinality_windows(spark, sf_dir):
         ("window_ntile_dist", "o_orderpriority"),
         ("quality_quantile_norm", "lang"),
         ("class_rebalance", "lang"),
+        ("window_ranks", "c_mktsegment"),
     ]:
         s = summarize(QUERIES[name](spark, sf_dir))
         assert any(

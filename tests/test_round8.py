@@ -408,3 +408,62 @@ def test_bucketed_rank_guards(spark):
             ),
             ["g"], "v", ["id"],
         )
+
+
+def test_bucketed_rank_dense_differential(spark):
+    """dense_col == dense_rank() over the plain per-group window
+    (value-only ordering; nulls tie at dense rank 1)."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    df = _rank_slab(spark, seed=19)
+    got = bucketed_group_rank(
+        df, ["g"], "v", tiebreak=["id"], dense_col="_dense"
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first())
+    want = df.withColumn("_dense", F.dense_rank().over(w).cast("long"))
+    key = lambda t: (t[0], t[1] is not None, t[1] or 0.0, t[2])
+    a = sorted(((r.g, r.v, r._dense) for r in got.collect()), key=key)
+    b = sorted(((r.g, r.v, r._dense) for r in want.collect()), key=key)
+    assert a == b
+
+
+def test_bucketed_rank_running_sums_differential(spark):
+    """running=[(src, out)] == sum(src) OVER (PARTITION BY g ORDER BY
+    v, id ROWS UNBOUNDED PRECEDING..CURRENT), exactly — integer
+    addition regroups freely across buckets. Nulls count as 0."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    import random as _r
+
+    _r.seed(23)
+    rows = [
+        (
+            i,
+            _r.choice("ab"),
+            _r.uniform(-100, 100),
+            _r.choice([None, 0, 1, 1, 2]),
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double, s int")
+    got = bucketed_group_rank(
+        df, ["g"], "v", tiebreak=["id"], running=[("s", "cum_s")]
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("v").asc_nulls_first(), "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn(
+        "cum_s", F.sum(F.coalesce(F.col("s"), F.lit(0))).over(w).cast("long")
+    )
+    a = {r.id: r.cum_s for r in got.collect()}
+    b = {r.id: r.cum_s for r in want.collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="total"):
+        bucketed_group_rank(df, ["g"], "v", None, running=[("s", "c")])
+    with pytest.raises(ValueError, match="integral"):
+        bucketed_group_rank(
+            df, ["g"], "v", ["id"], running=[("v", "c")]
+        )

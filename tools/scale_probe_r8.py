@@ -8,6 +8,11 @@ A. low-cardinality top-k: row_number over a ~6-value window partition
 B. weighted quartiles: the cumulative-window sweep over the per-group
    value dictionary (old plan) vs weighted_lower_quantiles_grouped —
    results asserted identical.
+C. per-row rank: row_number over the ~6-value window partition (the
+   old window_ntile_dist-class plan) vs bucketed_group_rank —
+   compared via a per-group checksum of every row's rank (30M rows
+   can't collect; the exact-rank differentials live in
+   tests/test_round8.py).
 
 Usage: python tools/scale_probe_r8.py [n_rows]
 Prints one line per contender: name, wall seconds, result digest.
@@ -124,6 +129,37 @@ def wq_search(df):
     )
 
 
+def _rank_digest(ranked, rank_col):
+    """Per-group (n, checksum-of-rank×id-residue) — detects any rank
+    permutation without materializing 30M rows on the driver."""
+    return sorted(
+        (r.flag, r.n, r.chk)
+        for r in ranked.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col(rank_col) * (F.pmod(F.col("id"), F.lit(997)) + 1)
+            ).alias("chk"),
+        )
+        .collect()
+    )
+
+
+def rank_plain(df):
+    w = Window.partitionBy("flag").orderBy("price", "id")
+    return _rank_digest(
+        df.select("flag", "id", F.row_number().over(w).alias("rk")), "rk"
+    )
+
+
+def rank_bucketed(df):
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    return _rank_digest(
+        bucketed_group_rank(df, ["flag"], "price", tiebreak=["id"]), "_rank"
+    )
+
+
 def main():
     # Size the one local JVM like a production executor (the PySpark
     # default 1g can't even shuffle-write the 30M slab across 32
@@ -138,6 +174,8 @@ def main():
         ("topk raw-window", topk_raw, "topk salted-two-phase", topk_salted),
         ("weighted-quartiles sweep", wq_sweep,
          "weighted-quartiles search", wq_search),
+        ("rank plain-window", rank_plain,
+         "rank bucketed", rank_bucketed),
     ]
     for old_label, old_fn, new_label, new_fn in pairs:
         a = timed(old_label, lambda: old_fn(df))
