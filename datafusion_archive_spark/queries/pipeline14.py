@@ -141,15 +141,23 @@ def q_gini_customer_spend(spark, sf):
     total spend, gini.
 
     Scale: spend collapses per customer first (exact decimal sums,
-    one Exchange); the rank window then runs over one row per
-    customer. For a truly unbounded customer count the same identity
-    runs over quantile buckets instead — this is the exact form."""
+    one Exchange); the rank over the per-customer frame — which grows
+    linearly with the corpus — comes from the bucketed global rank
+    (operators/ranks, round 8) rather than an unpartitioned
+    row_number window, so no single task ever sorts every customer."""
     o = _t(spark, sf, "orders")
     spend = o.groupBy("o_custkey").agg(
         decimal_sum(F.col("o_totalprice")).cast("double").alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = spend.withColumn("i", F.row_number().over(w).cast("double"))
+    # round 8: the global rank comes from the bucketed search —
+    # Window.orderBy with no partition funnels the per-customer frame
+    # (which grows linearly with the corpus) into ONE sort task; the
+    # bucketed form's widest sort is one value-bucket slice.
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    ranked = bucketed_group_rank(
+        spend, [], "x", tiebreak=["o_custkey"]
+    ).withColumn("i", F.col("_rank").cast("double"))
     agg = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").alias("sx"),

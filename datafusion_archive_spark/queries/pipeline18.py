@@ -66,26 +66,36 @@ def q_mann_whitney_u(spark, sf):
     z = (U₁ − n₁n₂/2) / √(n₁n₂/12·((n+1) − Στ(t³−t)/(n(n−1)))).
 
     Scale: the pooled ranking collapses to DISTINCT values first
-    (average-rank formula from a running count), so the only ordered
-    window runs over the value dictionary; everything else is
-    broadcast scalars. As with ``auc_roc``, a continuous measurement
-    column should be quantized to the decision-relevant precision
-    first — the dictionary, not the corpus, is what the ordered
-    window must hold."""
+    (average-rank formula from a running count), and since round 8
+    the running count comes from the bucketed global running sums
+    (operators/ranks) — a continuous measurement column's value
+    dictionary grows with the corpus, so the old unpartitioned
+    dictionary window was a one-task sort (the weighted-quartiles
+    dictionary-growth argument). Integer counts regroup exactly, so
+    no quantization trade is needed; everything downstream is
+    broadcast scalars."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
     e = load_events(spark, sf).filter(
         F.col("event_type").isin(_MW_A, _MW_B)
     )
     per_val = e.groupBy("value").agg(
-        F.count(F.lit(1)).cast("double").alias("t"),
+        F.count(F.lit(1)).alias("_tl"),
         F.sum(
             F.when(F.col("event_type") == _MW_A, 1).otherwise(0)
-        ).cast("double").alias("t1"),
+        ).alias("_t1l"),
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per_val.withColumn(
-        "avg_rank", F.sum("t").over(w) - (F.col("t") - 1) / 2
+    # cum count in exact integers, then the same double arithmetic the
+    # window form evaluated (sums of integer-valued doubles are exact)
+    ranked = bucketed_group_rank(
+        per_val, [], "value", tiebreak=["value"], running=[("_tl", "_ct")]
+    ).select(
+        F.col("_tl").cast("double").alias("t"),
+        F.col("_t1l").cast("double").alias("t1"),
+        (
+            F.col("_ct").cast("double")
+            - (F.col("_tl").cast("double") - 1) / 2
+        ).alias("avg_rank"),
     )
     agg = ranked.agg(
         F.sum("t1").alias("n1"),

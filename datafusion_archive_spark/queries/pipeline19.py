@@ -69,24 +69,31 @@ def q_auc_roc(spark, sf):
     distinct scores, average-rank each, AUC = (Σ rank·pos − n₊(n₊+1)/2)
     / (n₊·n₋). One row: n_pos, n_neg, auc.
 
-    Scale: the only ordered window runs over the DISTINCT-score
-    dictionary (average-rank from a running count) — the raw rows are
-    never globally sorted. For a model-score column the dictionary is
-    bounded by the score's quantization (scores rounded to 1e-6 →
-    ≤1e6 window rows regardless of corpus size); a truly continuous
-    score should be quantized first or the collapse buys nothing —
-    the window input here is |distinct totalprice|, which the
-    plan-shape test pins as agg-before-window."""
+    Scale: the ranking collapses to the DISTINCT-score dictionary
+    (average-rank from a running count) — the raw rows are never
+    globally sorted — and since round 8 the running count comes from
+    the bucketed global running sums (operators/ranks): a continuous
+    score's dictionary (here |distinct totalprice|) grows with the
+    corpus, so the old unpartitioned dictionary window was a one-task
+    sort. Integer counts regroup exactly across buckets, so the
+    distributed form is bit-identical and no quantization trade is
+    needed; the plan-shape test still pins agg-before-window."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
     s = _scored(spark, sf)
     per = s.groupBy("score").agg(
-        F.count(F.lit(1)).cast("double").alias("t"),
-        F.sum("y").cast("double").alias("tp"),
+        F.count(F.lit(1)).alias("_tl"),
+        F.sum("y").alias("_tpl"),
     )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per.withColumn(
-        "avg_rank", F.sum("t").over(w) - (F.col("t") - 1) / 2
+    ranked = bucketed_group_rank(
+        per, [], "score", tiebreak=["score"], running=[("_tl", "_ct")]
+    ).select(
+        F.col("_tl").cast("double").alias("t"),
+        F.col("_tpl").cast("double").alias("tp"),
+        (
+            F.col("_ct").cast("double")
+            - (F.col("_tl").cast("double") - 1) / 2
+        ).alias("avg_rank"),
     )
     agg = ranked.agg(
         F.sum("tp").alias("np"),

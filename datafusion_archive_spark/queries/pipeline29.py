@@ -115,29 +115,40 @@ def q_exponential_fit_gaps(spark, sf):
     One row: n_gaps, mean gap, λ̂, ks distance. A large D rejects the
     Poisson-arrival assumption.
 
-    Scale: gaps collapse to distinct values before the ECDF window
-    (value-collapsed sweep); the fitted CDF is closed-form per
-    value."""
+    Scale (round 8): both global windows this query used were
+    one-task sorts that grow with the corpus — the lag over the RAW
+    event stream (the worst in the registry: fact-scale, no partition
+    key at all) and the ECDF cumsum over the gap dictionary. The lag
+    is now a self-join on the bucketed global row number (consecutive
+    rows pair on i = i+1, an ordinary distributed equi-join; the
+    rank pipeline is recomputed for the join's two sides — scan-side
+    work, per the re-scan-beats-one-task-sort policy), and the ECDF
+    cumsum is an exact integer bucketed running sum. The fitted CDF
+    stays closed-form per value."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
     e = load_events(spark, sf).select(
         F.unix_micros("ts").alias("us"), "event_id"
     )
-    w = Window.orderBy("us", "event_id")
+    ranked = bucketed_group_rank(
+        e, [], "us", tiebreak=["event_id"], rank_col="_i"
+    ).select("us", "_i")
+    prev = ranked.select(
+        (F.col("_i") + 1).alias("_i"), F.col("us").alias("_us_prev")
+    )
     gaps = (
-        e.withColumn("gap", (F.col("us") - F.lag("us").over(w)) / 1e6)
-        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
-        .select("gap")
+        ranked.join(prev, "_i")  # inner: the first event has no prev
+        .select(((F.col("us") - F.col("_us_prev")) / 1e6).alias("gap"))
+        .filter(F.col("gap") > 0)
     )
     per_val = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("t"))
     tot = per_val.agg(
         F.sum("t").alias("n"),
         (F.sum(F.col("gap") * F.col("t")) / F.sum("t")).alias("mu"),
     )
-    cw = Window.orderBy("gap").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ecdf = per_val.withColumn("cum", F.sum("t").over(cw)).join(
-        F.broadcast(tot)
-    )
+    ecdf = bucketed_group_rank(
+        per_val, [], "gap", tiebreak=["gap"], running=[("t", "cum")]
+    ).join(F.broadcast(tot))
     fitted = F.lit(1.0) - F.exp(-F.col("gap") / F.col("mu"))
     # KS over a step ECDF: check both the post-step and pre-step gap
     d_hi = F.abs(F.col("cum") / F.col("n") - fitted)

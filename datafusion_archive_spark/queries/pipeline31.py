@@ -124,7 +124,10 @@ def q_heaps_law_fit(spark, sf):
 
     Scale: first-occurrence flags come from each token's min doc_id
     (a token-dictionary rollup — the corpus never sorts); both
-    cumulative sums run over the DOC grid."""
+    cumulative sums run over the per-doc curve, which grows with the
+    corpus, so since round 8 they are exact integer bucketed running
+    sums (operators/ranks) instead of one unpartitioned window task
+    sorting every doc_id."""
     d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "doc_id",
@@ -146,13 +149,15 @@ def q_heaps_law_fit(spark, sf):
         "n_toks",
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = curve.select(
-        F.sum("n_toks").over(w).alias("n"),
-        F.sum("n_new").over(w).alias("v"),
-    )
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    cum = bucketed_group_rank(
+        curve,
+        [],
+        "doc_id",
+        tiebreak=["doc_id"],  # doc_id is unique on the curve
+        running=[("n_toks", "n"), ("n_new", "v")],
+    ).select("n", "v")
     logs = cum.select(
         F.log("n").alias("ln_n"), F.log("v").alias("ln_v")
     )

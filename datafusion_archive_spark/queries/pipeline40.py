@@ -24,21 +24,33 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
-def _avg_rank(col):
-    """Fractional (average) rank of ``col`` over the whole frame."""
-    return (
-        F.rank().over(Window.orderBy(col))
-        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - 1) / 2.0
+def _avg_ranked(df, col, out):
+    """Append the fractional (average) rank of column ``col`` over the
+    whole frame as ``out``: min-rank + (ties − 1)/2, the identity the
+    previous ``rank() OVER (ORDER BY col)`` form evaluated. Round 8:
+    the min-rank comes from the bucketed global rank (operators/ranks)
+    — an unpartitioned rank window funnels the whole frame into one
+    sort task — while the tie count keeps its partitionBy(col) window,
+    which hash-distributes by VALUE (high distinct cardinality)."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    ranked = bucketed_group_rank(
+        df, [], col, tiebreak=None, rank_col="_mr", n_col="_nn"
     )
+    ties = F.count(F.lit(1)).over(Window.partitionBy(col))
+    return ranked.withColumn(
+        out, F.col("_mr") + (ties - 1) / 2.0
+    ).drop("_mr", "_nn")
 
 
 def q_spearman_rank_corr(spark, sf):
     """Spearman ρ(order count, total spend) per customer.
 
     Scale: the per-customer aggregate map-side combines; the two
-    global rank windows are the only single-partition stages and run
-    over one row per customer — at extreme cardinality ρ would switch
-    to range-partitioned rank stitching, same algebra."""
+    global min-ranks come from the bucketed search (operators/ranks,
+    round 8) — the previous unpartitioned rank windows sorted the
+    whole per-customer frame, which grows with the corpus, in one
+    task each. Tie counts window by VALUE, which hash-distributes."""
     per_cust = (
         spark.read.parquet(f"{sf}/orders.parquet")
         .groupBy("o_custkey")
@@ -49,10 +61,9 @@ def q_spearman_rank_corr(spark, sf):
             .alias("spend"),
         )
     )
-    ranked = per_cust.select(
-        _avg_rank(F.col("n_orders")).alias("rx"),
-        _avg_rank(F.col("spend")).alias("ry"),
-    )
+    ranked = _avg_ranked(
+        _avg_ranked(per_cust, "n_orders", "rx"), "spend", "ry"
+    ).select("rx", "ry")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),

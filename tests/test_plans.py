@@ -399,9 +399,18 @@ def test_bucketed_rank_spreads_low_cardinality_windows(spark, sf_dir):
         ("quality_quantile_norm", "lang"),
         ("class_rebalance", "lang"),
         ("window_ranks", "c_mktsegment"),
+        # keys=[]: global ranks / running sums hash on the bucket alone
+        ("gini_customer_spend", None),
+        ("spearman_rank_corr", None),
+        ("ks_test_two_sample", None),
+        ("mann_whitney_u", None),
+        ("auc_roc", None),
+        ("heaps_law_fit", None),
+        ("exponential_fit_gaps", None),
+        ("sprt_ab_sequential", None),
     ]:
         s = summarize(QUERIES[name](spark, sf_dir))
         assert any(
-            "_bkt" in e and key in e
+            "_bkt" in e and (key is None or key in e)
             for e in s.raw.split("hashpartitioning")[1:]
         ), (name, s.raw)
