@@ -99,7 +99,9 @@ def bucketed_group_rank(
 
     The group-key cardinality must be small (that is the point of the
     operator); the offset build raises past ``_MAX_RANK_GROUPS``
-    before anything fact-scale materializes.
+    before anything fact-scale materializes. ``keys=[]`` ranks the
+    whole frame — the replacement for the worst case of all, a
+    ``Window.orderBy(...)`` with no partition at all.
     """
     key_cols = [F.col(k) for k in keys]
     v = F.col(value)
@@ -169,7 +171,12 @@ def bucketed_group_rank(
     # of the offset equi-join): its own window partition that the
     # offset cumsum orders FIRST, matching Spark's nulls-first sort of
     # the values themselves.
-    bucketed = df.join(F.broadcast(grid), on=keys, how="left").withColumn(
+    joined = (
+        df.join(F.broadcast(grid), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(grid))
+    )
+    bucketed = joined.withColumn(
         "_bkt",
         F.when(v.isNull(), F.lit(-1)).otherwise(
             _bucket_expr(v.cast("double"), F.col("_lo"), F.col("_width"))
@@ -244,6 +251,129 @@ def bucketed_group_rank(
         )
         drop_running.append(f"_roff{out_col}")
     return out.drop("_lo", "_width", "_bkt", "_off", "_doff", *drop_running)
+
+
+def bucketed_group_lag(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    tiebreak: list[str],
+    lag_of: list[tuple[str, str]],
+) -> DataFrame:
+    """Exact ``lag(src, 1) OVER (PARTITION BY keys ORDER BY value,
+    tiebreak)`` without one sort task per group — the distributed lag.
+    ``keys=[]`` is the global form (``ORDER BY`` with no partition,
+    the worst plan Spark's own window can produce).
+
+    Same histogram machinery as :func:`bucketed_group_rank`: rows
+    bucket on their group's value grid; within a bucket the plain
+    ``lag`` is exact because the bucket is a contiguous ordered slice;
+    a bucket's FIRST row takes the LAST value of the previous
+    non-empty bucket, which the bounded (group, bucket) grid supplies
+    (``max_by(src, (value, tiebreak...))`` per bucket, lagged along
+    the ≤4096-row grid — the sanctioned bounded-frame window). The
+    first row of each group gets NULL, like the built-in.
+
+    Contracts: ``tiebreak`` must make the ordering total (a lag over
+    a non-total ordering is not well-defined); ``value`` must be
+    non-null and NaN-free (a null has no bucket; both raise).
+    """
+    if not tiebreak:
+        raise ValueError(
+            "bucketed_group_lag: lag needs a total ordering — pass "
+            "tiebreak columns."
+        )
+    key_cols = [F.col(k) for k in keys]
+    v = F.col(value)
+
+    stats = cached(
+        df.groupBy(*key_cols).agg(
+            F.min(v).alias("_lo"),
+            F.max(v).alias("_hi"),
+            F.max(F.isnan(v.cast("double"))).alias("_has_nan"),
+            F.max(v.isNull()).alias("_has_null"),
+        )
+    )
+    stats_rows = stats.limit(_MAX_RANK_GROUPS + 1).collect()
+    if len(stats_rows) > _MAX_RANK_GROUPS:
+        raise ValueError(
+            f"bucketed_group_lag: more than {_MAX_RANK_GROUPS} groups "
+            f"on {keys}; a high-cardinality key already distributes — "
+            "use the plain window."
+        )
+    if any(r["_has_nan"] for r in stats_rows):
+        raise ValueError(
+            f"bucketed_group_lag: NaN in {value!r}; filter or map it "
+            "first."
+        )
+    if any(r["_has_null"] for r in stats_rows):
+        raise ValueError(
+            f"bucketed_group_lag: NULL in {value!r}; a null row has "
+            "no bucket position — filter or coalesce first."
+        )
+    if keys and any(
+        any(r[k] is None for k in keys) for r in stats_rows
+    ):
+        raise ValueError(
+            f"bucketed_group_lag: NULL group key on {keys}; coalesce "
+            "to a sentinel first."
+        )
+
+    width = (
+        (F.col("_hi").cast("double") - F.col("_lo").cast("double"))
+        / F.lit(float(_BUCKETS))
+    )
+    grid = stats.select(
+        *key_cols,
+        F.col("_lo").cast("double").alias("_lo"),
+        F.when(width <= 0.0, F.lit(1.0)).otherwise(width).alias("_width"),
+    )
+    joined = (
+        df.join(F.broadcast(grid), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(grid))
+    )
+    bucketed = joined.withColumn(
+        "_bkt", _bucket_expr(v.cast("double"), F.col("_lo"), F.col("_width"))
+    )
+
+    # bounded grid: each bucket's LAST row's src values (by the total
+    # ordering), then the previous non-empty bucket's via a grid lag
+    order_struct = F.struct(v, *[F.col(t) for t in tiebreak])
+    hist = bucketed.groupBy(*key_cols, F.col("_bkt")).agg(
+        *[
+            F.max_by(F.col(src), order_struct).alias(f"_last{out}")
+            for src, out in lag_of
+        ]
+    )
+    w_grid = Window.partitionBy(*key_cols).orderBy("_bkt")
+    boundary = hist.select(
+        *key_cols,
+        "_bkt",
+        *[
+            F.lag(f"_last{out}").over(w_grid).alias(f"_prev{out}")
+            for _src, out in lag_of
+        ],
+    )
+
+    order = [v.asc_nulls_first()] + [
+        F.col(t).asc_nulls_first() for t in tiebreak
+    ]
+    w_bkt = Window.partitionBy(*key_cols, F.col("_bkt")).orderBy(*order)
+    out_df = bucketed.join(
+        F.broadcast(boundary), on=keys + ["_bkt"], how="inner"
+    )
+    first_in_bucket = F.row_number().over(w_bkt) == 1
+    drops = ["_lo", "_width", "_bkt"]
+    for src, out in lag_of:
+        out_df = out_df.withColumn(
+            out,
+            F.when(first_in_bucket, F.col(f"_prev{out}")).otherwise(
+                F.lag(F.col(src)).over(w_bkt)
+            ),
+        )
+        drops.append(f"_prev{out}")
+    return out_df.drop(*drops)
 
 
 def ntile_expr(rank, n, k: int):

@@ -119,27 +119,24 @@ def q_exponential_fit_gaps(spark, sf):
     one-task sorts that grow with the corpus — the lag over the RAW
     event stream (the worst in the registry: fact-scale, no partition
     key at all) and the ECDF cumsum over the gap dictionary. The lag
-    is now a self-join on the bucketed global row number (consecutive
-    rows pair on i = i+1, an ordinary distributed equi-join; the
-    rank pipeline is recomputed for the join's two sides — scan-side
-    work, per the re-scan-beats-one-task-sort policy), and the ECDF
-    cumsum is an exact integer bucketed running sum. The fitted CDF
-    stays closed-form per value."""
-    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+    now runs through the distributed lag
+    (operators/ranks.bucketed_group_lag: plain lag within each value
+    bucket, bucket-boundary rows stitched from the bounded grid's
+    per-bucket last values), and the ECDF cumsum is an exact integer
+    bucketed running sum. The fitted CDF stays closed-form per
+    value."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_lag,
+        bucketed_group_rank,
+    )
 
     e = load_events(spark, sf).select(
         F.unix_micros("ts").alias("us"), "event_id"
     )
-    ranked = bucketed_group_rank(
-        e, [], "us", tiebreak=["event_id"], rank_col="_i"
-    ).select("us", "_i")
-    prev = ranked.select(
-        (F.col("_i") + 1).alias("_i"), F.col("us").alias("_us_prev")
-    )
     gaps = (
-        ranked.join(prev, "_i")  # inner: the first event has no prev
+        bucketed_group_lag(e, [], "us", ["event_id"], [("us", "_us_prev")])
         .select(((F.col("us") - F.col("_us_prev")) / 1e6).alias("gap"))
-        .filter(F.col("gap") > 0)
+        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
     )
     per_val = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("t"))
     tot = per_val.agg(

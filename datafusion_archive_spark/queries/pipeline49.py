@@ -22,7 +22,6 @@ The reference has no aggregates beyond MIN/MAX
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
@@ -44,11 +43,15 @@ def q_eb_shrinkage_rates(spark, sf):
         )
         .withColumn("r", F.col("y").cast("double") / F.col("n"))
     )
-    w_all = Window.partitionBy()
-    m = F.avg("r").over(w_all)
-    v = F.var_samp("r").over(w_all)
+    # round 8: the global moments broadcast from a plain aggregate —
+    # the unpartitioned window form funneled the per-customer frame
+    # (corpus-growing) into one task to compute two scalars
+    moments = per.agg(
+        F.avg("r").alias("_m"), F.var_samp("r").alias("_v")
+    )
+    m, v = F.col("_m"), F.col("_v")
     k = F.greatest(m * (1.0 - m) / v - 1.0, F.lit(1.0))
-    primed = per.select(
+    primed = per.join(F.broadcast(moments)).select(
         "o_custkey",
         "n",
         "y",

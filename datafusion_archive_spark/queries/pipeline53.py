@@ -32,7 +32,20 @@ _CR = _CU / (_CU + _CO)
 
 
 def q_wasserstein_drift(spark, sf):
-    """Exact W1 + KS between 1997 and 1998 order values."""
+    """Exact W1 + KS between 1997 and 1998 order values.
+
+    Scale (round 8): the old plan swept the distinct-price dictionary
+    — which grows with the corpus — through three unpartitioned
+    windows (two cumsums, one lead) plus global-total windows. The
+    cumulative counts are now exact integer bucketed running sums,
+    the step width comes from the distributed lag on the NEGATED
+    value (lead == lag under reversal), and the two totals broadcast
+    from a plain aggregate."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_lag,
+        bucketed_group_rank,
+    )
+
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     vals = orders.select(
         F.col("o_totalprice").cast("double").alias("v"),
@@ -42,25 +55,29 @@ def q_wasserstein_drift(spark, sf):
         F.sum((F.col("yr") == 1997).cast("long")).alias("c1"),
         F.sum((F.col("yr") == 1998).cast("long")).alias("c2"),
     )
-    w_all = Window.partitionBy()
-    w_ord = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    tots = per_v.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
-    cum = per_v.select(
+    swept = bucketed_group_lag(
+        bucketed_group_rank(
+            per_v,
+            [],
+            "v",
+            tiebreak=["v"],  # v is distinct after the collapse
+            running=[("c1", "_s1"), ("c2", "_s2")],
+        ).withColumn("_nv", -F.col("v")),
+        [],
+        "_nv",
+        ["_nv"],
+        [("v", "_next_v")],
+    )
+    cum = swept.join(F.broadcast(tots)).select(
         "v",
-        (
-            F.sum("c1").over(w_ord)
-            / F.sum("c1").over(w_all).cast("double")
-        ).alias("f1"),
-        (
-            F.sum("c2").over(w_ord)
-            / F.sum("c2").over(w_all).cast("double")
-        ).alias("f2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-        (F.lead("v").over(Window.orderBy("v")) - F.col("v")).alias(
-            "dx"
-        ),
+        (F.col("_s1") / F.col("n1").cast("double")).alias("f1"),
+        (F.col("_s2") / F.col("n2").cast("double")).alias("f2"),
+        "n1",
+        "n2",
+        (F.col("_next_v") - F.col("v")).alias("dx"),
     )
     return cum.agg(
         F.first("n1").alias("n_1997"),

@@ -86,7 +86,18 @@ def q_kde_gaussian_grid(spark, sf):
 
 
 def q_anderson_darling_2sample(spark, sf):
-    """Two-sample AD statistic, 1997 vs 1998 order values."""
+    """Two-sample AD statistic, 1997 vs 1998 order values.
+
+    Scale (round 8): the old plan chained THREE unpartitioned windows
+    over the raw 1997/98 order rows (row_number, a cumsum over it,
+    global totals) — fact-scale one-task sorts. Rank and cumulative
+    1997-count now come from one bucketed pass (operators/ranks) and
+    the totals broadcast from a plain aggregate. The (v, yr) ordering
+    is not total, but rows tied on it share is1 (yr determines it),
+    so the {(i, m_i)} pairs — and therefore the summed statistic —
+    are assignment-invariant, exactly as in the old plan."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
     vals = (
         spark.read.parquet(f"{sf}/orders.parquet")
         .select(
@@ -95,22 +106,19 @@ def q_anderson_darling_2sample(spark, sf):
         )
         .filter(F.col("yr").isin(1997, 1998))
     )
-    w_ord = Window.orderBy("v", "yr")
-    w_all = Window.partitionBy()
-    ranked = vals.select(
-        (F.col("yr") == 1997).cast("long").alias("is1"),
-        F.row_number().over(w_ord).alias("i"),
-    ).select(
-        "i",
-        F.sum("is1")
-        .over(
-            Window.orderBy("i").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
+    base = vals.select(
+        "v", "yr", (F.col("yr") == 1997).cast("long").alias("is1")
+    )
+    tots = base.agg(
+        F.sum("is1").alias("n1"), F.count(F.lit(1)).alias("nn")
+    )
+    ranked = (
+        bucketed_group_rank(
+            base, [], "v", tiebreak=["yr"], rank_col="i",
+            running=[("is1", "m_i")],
         )
-        .alias("m_i"),
-        F.sum("is1").over(w_all).alias("n1"),
-        F.count(F.lit(1)).over(w_all).alias("nn"),
+        .join(F.broadcast(tots))
+        .select("i", "m_i", "n1", "nn")
     )
     term = (
         F.pow(

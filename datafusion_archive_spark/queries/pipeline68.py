@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.pipeline10 import _synth_point
@@ -107,13 +106,22 @@ def q_spatial_clark_evans(spark, sf):
 
 
 def _gaps(spark, sf):
+    # round 8: distributed lag (operators/ranks) — the unpartitioned
+    # lag window sorted the whole event stream in one task
+    from datafusion_archive_spark.operators.ranks import bucketed_group_lag
+
     ev = load_events(spark, sf)
-    w = Window.orderBy("us", "event_id")
     return (
-        ev.select(F.unix_micros("ts").alias("us"), "event_id")
+        bucketed_group_lag(
+            ev.select(F.unix_micros("ts").alias("us"), "event_id"),
+            [],
+            "us",
+            ["event_id"],
+            [("us", "_prev_us")],
+        )
         .select(
             (
-                (F.col("us") - F.lag("us").over(w)).cast("double")
+                (F.col("us") - F.col("_prev_us")).cast("double")
                 / 1.0e6
             ).alias("x")
         )

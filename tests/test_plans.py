@@ -408,6 +408,8 @@ def test_bucketed_rank_spreads_low_cardinality_windows(spark, sf_dir):
         ("heaps_law_fit", None),
         ("exponential_fit_gaps", None),
         ("sprt_ab_sequential", None),
+        ("wasserstein_drift", None),
+        ("anderson_darling_2sample", None),
     ]:
         s = summarize(QUERIES[name](spark, sf_dir))
         assert any(

@@ -467,3 +467,45 @@ def test_bucketed_rank_running_sums_differential(spark):
         bucketed_group_rank(
             df, ["g"], "v", ["id"], running=[("v", "c")]
         )
+
+
+def test_bucketed_lag_differential(spark):
+    """bucketed_group_lag == lag(src) over the plain window, grouped
+    and global, including heavy duplicate values at bucket scale."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_lag
+
+    import random as _r
+
+    _r.seed(31)
+    rows = [
+        (i, _r.choice("ab"), _r.uniform(-1e6, 1e6), _r.randint(0, 99))
+        for i in range(4000)
+    ]
+    rows += [(10000 + i, "a", 42.0, i) for i in range(50)]  # dup ties
+    df = spark.createDataFrame(rows, "id long, g string, v double, s int")
+
+    got = bucketed_group_lag(df, ["g"], "v", ["id"], [("s", "ps"), ("v", "pv")])
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first(), "id")
+    want = df.withColumn("ps", F.lag("s").over(w)).withColumn(
+        "pv", F.lag("v").over(w)
+    )
+    assert {r.id: (r.ps, r.pv) for r in got.collect()} == {
+        r.id: (r.ps, r.pv) for r in want.collect()
+    }
+
+    got2 = bucketed_group_lag(df, [], "v", ["id"], [("v", "pv")])
+    w2 = Window.orderBy(F.col("v").asc_nulls_first(), "id")
+    want2 = df.withColumn("pv", F.lag("v").over(w2))
+    assert {r.id: r.pv for r in got2.collect()} == {
+        r.id: r.pv for r in want2.collect()
+    }
+
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_group_lag(
+            df.withColumn(
+                "v", F.when(F.col("id") == 5, None).otherwise(F.col("v"))
+            ),
+            ["g"], "v", ["id"], [("v", "p")],
+        )
+    with pytest.raises(ValueError, match="total ordering"):
+        bucketed_group_lag(df, ["g"], "v", [], [("v", "p")])
