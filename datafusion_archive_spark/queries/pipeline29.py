@@ -138,7 +138,11 @@ def q_exponential_fit_gaps(spark, sf):
         .select(((F.col("us") - F.col("_us_prev")) / 1e6).alias("gap"))
         .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
     )
-    per_val = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("t"))
+    # cached: the gap dictionary fans out into the totals aggregate
+    # and the bucketed running-sum passes — fan-out-recompute fix
+    per_val = cached(
+        gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("t"))
+    )
     tot = per_val.agg(
         F.sum("t").alias("n"),
         (F.sum(F.col("gap") * F.col("t")) / F.sum("t")).alias("mu"),

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.queries.llm import _WORDS
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -144,10 +144,15 @@ def q_heaps_law_fit(spark, sf):
     new_vocab = first_seen.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
-    curve = per_doc.join(new_vocab, "doc_id", "left_outer").select(
-        "doc_id",
-        "n_toks",
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    # cached: the per-doc curve fans out into the running-sum
+    # machinery's stats/histogram/selection passes, each of which
+    # would otherwise re-tokenize the corpus — fan-out-recompute fix
+    curve = cached(
+        per_doc.join(new_vocab, "doc_id", "left_outer").select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
     )
     from datafusion_archive_spark.operators.ranks import bucketed_group_rank
 

@@ -33,7 +33,12 @@ def _avg_ranked(df, col, out):
     sort task — while the tie count keeps its partitionBy(col) window,
     which hash-distributes by VALUE (high distinct cardinality)."""
     from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+    from datafusion_archive_spark.operators.util import cached
 
+    # cached: the customer-level rollup (and, on the second call, the
+    # first rank's output) fans out into the rank's stats/histogram/
+    # selection passes — the round-6 fan-out-recompute fix pattern
+    df = cached(df)
     ranked = bucketed_group_rank(
         df, [], col, tiebreak=None, rank_col="_mr", n_col="_nn"
     )

@@ -51,20 +51,26 @@ def q_wasserstein_drift(spark, sf):
         F.col("o_totalprice").cast("double").alias("v"),
         F.year("o_orderdate").alias("yr"),
     ).filter(F.col("yr").isin(1997, 1998))
-    per_v = vals.groupBy("v").agg(
-        F.sum((F.col("yr") == 1997).cast("long")).alias("c1"),
-        F.sum((F.col("yr") == 1998).cast("long")).alias("c2"),
+    # cached: the value dictionary (and the running-sum output) fan
+    # out into totals + two bucketed passes — fan-out-recompute fix
+    per_v = cached(
+        vals.groupBy("v").agg(
+            F.sum((F.col("yr") == 1997).cast("long")).alias("c1"),
+            F.sum((F.col("yr") == 1998).cast("long")).alias("c2"),
+        )
     )
     tots = per_v.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
     swept = bucketed_group_lag(
-        bucketed_group_rank(
-            per_v,
-            [],
-            "v",
-            tiebreak=["v"],  # v is distinct after the collapse
-            running=[("c1", "_s1"), ("c2", "_s2")],
+        cached(
+            bucketed_group_rank(
+                per_v,
+                [],
+                "v",
+                tiebreak=["v"],  # v is distinct after the collapse
+                running=[("c1", "_s1"), ("c2", "_s2")],
+            )
         ).withColumn("_nv", -F.col("v")),
         [],
         "_nv",
