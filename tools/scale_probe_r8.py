@@ -13,6 +13,9 @@ C. per-row rank: row_number over the ~6-value window partition (the
    compared via a per-group checksum of every row's rank (30M rows
    can't collect; the exact-rank differentials live in
    tests/test_round8.py).
+D. global lag: lag over an UNPARTITIONED ordered window (one task
+   sorts everything — the old exponential_fit_gaps-class plan) vs
+   bucketed_group_lag, compared via an exact integer gap checksum.
 
 Usage: python tools/scale_probe_r8.py [n_rows]
 Prints one line per contender: name, wall seconds, result digest.
@@ -160,6 +163,41 @@ def rank_bucketed(df):
     )
 
 
+def _gap_digest(df, prev_col):
+    """Count + EXACT integer checksum of the gaps (prices are
+    cent-valued, so round(gap*100) is integral; a float sum would
+    differ between plans by accumulation order alone)."""
+    g = df.select((F.col("price") - F.col(prev_col)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return sorted(
+        (r.n, r.s)
+        for r in g.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.abs("gap") * 100).cast("long")).alias("s"),
+        ).collect()
+    )
+
+
+def lag_plain(df):
+    w = Window.orderBy("price", "id")
+    return _gap_digest(
+        df.select("price", F.lag("price").over(w).alias("prev")), "prev"
+    )
+
+
+def lag_bucketed(df):
+    from datafusion_archive_spark.operators.ranks import bucketed_group_lag
+
+    return _gap_digest(
+        bucketed_group_lag(
+            df.select("price", "id"), [], "price", ["id"],
+            [("price", "prev")],
+        ),
+        "prev",
+    )
+
+
 def main():
     # Size the one local JVM like a production executor (the PySpark
     # default 1g can't even shuffle-write the 30M slab across 32
@@ -176,6 +214,8 @@ def main():
          "weighted-quartiles search", wq_search),
         ("rank plain-window", rank_plain,
          "rank bucketed", rank_bucketed),
+        ("lag global-window", lag_plain,
+         "lag bucketed", lag_bucketed),
     ]
     for old_label, old_fn, new_label, new_fn in pairs:
         a = timed(old_label, lambda: old_fn(df))
