@@ -300,34 +300,42 @@ _FIRST_50 = [
 # ROUND-9 NOTE (next certification window): the never-certified
 # backlog ends this round — after CORRECTNESS_r08 lands, every
 # registered oracle-backed name except jarque_bera_normality has a
-# driver row. Round 9 therefore begins the steady-state
-# re-certification rotation prescribed by VERDICT r7 #5: order by
-# certification age (latest driver row, oldest first; ties broken by
-# registry order), headed by the one remaining never-certified name.
-# The exact 50:
-#   jarque_bera_normality, predicate_between_in, filter_like,
-#   null_predicates, cast_semantics, arithmetic_ops, literals_no_from,
-#   sqrt_fn, geo_udt, agg_having, agg_count_distinct_group, agg_rollup,
+# driver row. Round 9 begins the steady-state re-certification
+# rotation prescribed by VERDICT r7 #5, AMENDED late in round 8 for
+# the bucketed-rank/lag program: 15 certified queries were REWRITTEN
+# after their row landed (the low-cardinality/global window
+# retirement), and a row that predates the code it vouches for is
+# weaker evidence than a merely old row — so code age outranks row
+# age. Priority: (1) never-certified, (2) rewritten-since-row names
+# by row age, (3) oldest rows, ties by registry order. (The five
+# other round-8 rewires — wasserstein_drift, anderson_darling_2sample,
+# em_exponential_mixture, eb_shrinkage_rates, runs_test_random — sit
+# in the round-8 window itself, so their r8 rows certify the new
+# code already.) The exact 50:
+#   jarque_bera_normality, window_topk_per_group, window_ranks,
+#   window_ntile_dist, quality_quantile_norm, class_rebalance,
+#   weighted_median, ks_test_two_sample, gini_customer_spend,
+#   mann_whitney_u, auc_roc, weighted_quartiles, sprt_ab_sequential,
+#   exponential_fit_gaps, heaps_law_fit, spearman_rank_corr,
+#   predicate_between_in, filter_like, null_predicates,
+#   cast_semantics, arithmetic_ops, literals_no_from, sqrt_fn,
+#   geo_udt, agg_having, agg_count_distinct_group, agg_rollup,
 #   pivot_linestatus, sort_limit_topk, distinct_pairs, join_inner_3way,
 #   join_left_outer, join_semi, join_full_outer, cte_scalar_subquery,
-#   setop_union, setop_intersect, setop_except, window_topk_per_group,
-#   window_running, json_extract, try_cast_nulls, string_funcs,
-#   date_funcs, case_when, try_divide_nulls, setop_union_all, agg_cube,
-#   agg_grouping_sets, in_subquery, percentiles, events_time_bucket,
-#   events_asof_join, events_range_join, events_multi_rollup,
-#   events_distinct_kmv, text_stats, text_lang_id, text_fingerprint,
-#   join_anti, text_clean, dedup_exact, dedup_ngram_jaccard,
-#   dedup_minhash_signatures, dedup_minhash_lsh
-# (jarque_bera_normality, then the 43 names whose only driver row is
-# r1, then the oldest r3 rows: text_fingerprint, join_anti,
-# text_clean, dedup_exact, dedup_ngram_jaccard,
-# dedup_minhash_signatures, dedup_minhash_lsh.) Subsequent rounds
-# continue the same age-ordered rotation; recompute against the
-# CORRECTNESS_r{N}.json union each round in case a sweep turns a row
-# red. The full local sweep log (tools/check_oracle.py over every
-# registered query, plus the ORACLE_CHECK_VANILLA=1 variant) is
-# committed per-round as tools/oracle_sweep_r{N}.log to keep the
-# locally-green claim auditable.
+#   setop_union, setop_intersect, setop_except, window_running,
+#   json_extract, try_cast_nulls, string_funcs, date_funcs, case_when,
+#   try_divide_nulls, setop_union_all, agg_cube, agg_grouping_sets,
+#   in_subquery, percentiles
+# (the r1-only tail continues into round 10 with events_time_bucket,
+# events_asof_join, events_range_join, …). Subsequent rounds continue
+# the same rotation; recompute against the CORRECTNESS_r{N}.json
+# union each round in case a sweep turns a row red, and fold in any
+# future rewritten-since-row names the same way. The full local sweep
+# log (tools/check_oracle.py over every registered query, plus the
+# ORACLE_CHECK_VANILLA=1 variant) is committed per-round as
+# tools/oracle_sweep_r{N}.log to keep the locally-green claim
+# auditable — all 15 rewritten names are green there in both
+# configurations this round.
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before
