@@ -509,3 +509,43 @@ def test_bucketed_lag_differential(spark):
         )
     with pytest.raises(ValueError, match="total ordering"):
         bucketed_group_lag(df, ["g"], "v", [], [("v", "p")])
+
+
+def test_bucketed_rank_edge_inputs(spark):
+    """Empty input returns empty; ±inf collapses the grid (every
+    (x−lo)/width is NaN, which the clamp sends to the top bucket) —
+    one bucket means one window partition, i.e. the operator degrades
+    to the plain-window plan but stays EXACT."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_lag,
+        bucketed_group_rank,
+    )
+
+    empty = spark.createDataFrame([], "id long, g string, v double")
+    assert bucketed_group_rank(empty, ["g"], "v", ["id"]).count() == 0
+    assert (
+        bucketed_group_lag(empty, ["g"], "v", ["id"], [("v", "p")]).count()
+        == 0
+    )
+
+    rows = [
+        (1, "a", float("inf")),
+        (2, "a", float("-inf")),
+        (3, "a", 0.0),
+        (4, "a", None),
+        (5, "a", float("inf")),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = bucketed_group_rank(df, ["g"], "v", tiebreak=["id"])
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first(), "id")
+    want = df.withColumn("_rank", F.row_number().over(w).cast("long"))
+    assert {r.id: r._rank for r in got.collect()} == {
+        r.id: r._rank for r in want.collect()
+    }
+
+    finite = df.filter(F.col("v").isNotNull())
+    got_lag = bucketed_group_lag(finite, ["g"], "v", ["id"], [("v", "pv")])
+    want_lag = finite.withColumn("pv", F.lag("v").over(w))
+    assert {r.id: r.pv for r in got_lag.collect()} == {
+        r.id: r.pv for r in want_lag.collect()
+    }
