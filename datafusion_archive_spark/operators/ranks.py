@@ -59,6 +59,31 @@ from datafusion_archive_spark.operators.util import cached
 #: groups × _BUCKETS rows and must stay broadcast-sized
 _MAX_RANK_GROUPS = 256
 
+#: dtypes whose cast to double is monotone in the column's sort order
+#: — the property the bucket grid depends on
+_ORDERABLE_DTYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+)
+
+
+def _check_value_dtype(df: DataFrame, value: str, who: str) -> None:
+    """The grid buckets on ``CAST(value AS DOUBLE)``, which must be a
+    monotone function of the column's ordering. That holds for
+    numerics, timestamps, and dates; a STRING (or other) column casts
+    to NULL, silently dropping every row through the offset equi-join
+    — fail fast instead."""
+    dtype = dict(df.dtypes).get(value, "")
+    ok = dtype in _ORDERABLE_DTYPES or dtype.startswith(
+        ("decimal", "timestamp")
+    )
+    if not ok:
+        raise ValueError(
+            f"{who}: value column {value!r} has dtype {dtype!r}; the "
+            "bucket grid needs a numeric/timestamp/date ordering "
+            "(CAST to double must be monotone). Map the column to a "
+            "sortable numeric first."
+        )
+
 
 def bucketed_group_rank(
     df: DataFrame,
@@ -105,6 +130,7 @@ def bucketed_group_rank(
     """
     key_cols = [F.col(k) for k in keys]
     v = F.col(value)
+    _check_value_dtype(df, value, "bucketed_group_rank")
     if running:
         if not tiebreak:
             raise ValueError(
@@ -285,6 +311,7 @@ def bucketed_group_lag(
         )
     key_cols = [F.col(k) for k in keys]
     v = F.col(value)
+    _check_value_dtype(df, value, "bucketed_group_lag")
 
     stats = cached(
         df.groupBy(*key_cols).agg(

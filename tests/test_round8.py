@@ -549,3 +549,21 @@ def test_bucketed_rank_edge_inputs(spark):
     assert {r.id: r.pv for r in got_lag.collect()} == {
         r.id: r.pv for r in want_lag.collect()
     }
+
+
+def test_bucketed_rank_rejects_unorderable_value_dtype(spark):
+    """A STRING value column casts to NULL double — every row would
+    silently vanish through the offset equi-join; both operators must
+    fail fast naming the contract."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_lag,
+        bucketed_group_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y")], "id long, g string, v string"
+    )
+    with pytest.raises(ValueError, match="monotone"):
+        bucketed_group_rank(df, ["g"], "v", ["id"])
+    with pytest.raises(ValueError, match="monotone"):
+        bucketed_group_lag(df, ["g"], "v", ["id"], [("v", "p")])
