@@ -567,3 +567,55 @@ def test_bucketed_rank_rejects_unorderable_value_dtype(spark):
         bucketed_group_rank(df, ["g"], "v", ["id"])
     with pytest.raises(ValueError, match="monotone"):
         bucketed_group_lag(df, ["g"], "v", ["id"], [("v", "p")])
+
+
+@pytest.mark.parametrize("seed", [99, 7, 31])
+def test_bucketed_rank_lag_special_value_fuzz(spark, seed):
+    """Round-8 fuzz (the round-7 quantile-fuzz tradition): random
+    mixes of ±inf, ±1e308, subnormals, signed zeros, nulls, and
+    duplicate pools across rank + dense_rank + running sums + lag vs
+    the plain windows. A 60-trial sweep ran clean; three seeds pin it."""
+    from datafusion_archive_spark.operators.ranks import (
+        bucketed_group_lag,
+        bucketed_group_rank,
+    )
+
+    rng = random.Random(seed)
+    special = [0.0, -0.0, 1.0, -1.0, 1e308, -1e308, 5e-324, -5e-324,
+               float("inf"), float("-inf"), 1e-15, 123.456]
+    dup_pool = [rng.choice(special) for _ in range(rng.randint(1, 6))]
+    rows = []
+    for i in range(rng.randint(50, 300)):
+        g = chr(97 + rng.randint(0, 3))
+        r = rng.random()
+        if r < 0.35:
+            v = rng.choice(special)
+        elif r < 0.55:
+            v = rng.choice(dup_pool)
+        elif r < 0.65:
+            v = None
+        else:
+            v = rng.uniform(-1e6, 1e6)
+        rows.append((i, g, v, rng.randint(0, 3)))
+    df = spark.createDataFrame(rows, "id long, g string, v double, s int")
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first(), "id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first())
+    got = bucketed_group_rank(
+        df, ["g"], "v", ["id"], dense_col="_d", running=[("s", "_cs")]
+    )
+    want = (
+        df.withColumn("_rank", F.row_number().over(w).cast("long"))
+        .withColumn("_d", F.dense_rank().over(wv).cast("long"))
+        .withColumn("_cs", F.sum("s").over(wr).cast("long"))
+    )
+    assert {r.id: (r._rank, r._d, r._cs) for r in got.collect()} == {
+        r.id: (r._rank, r._d, r._cs) for r in want.collect()
+    }
+
+    nn = df.filter(F.col("v").isNotNull())
+    got2 = bucketed_group_lag(nn, ["g"], "v", ["id"], [("v", "pv")])
+    want2 = nn.withColumn("pv", F.lag("v").over(w))
+    assert {r.id: repr(r.pv) for r in got2.collect()} == {
+        r.id: repr(r.pv) for r in want2.collect()
+    }
