@@ -1,4 +1,6 @@
-"""Distributed per-group ranking for LOW-CARDINALITY group keys.
+"""Distributed order-dependent analytics — rank, dense rank, running
+sums, lag — over LOW-CARDINALITY group keys or a GLOBAL ordering,
+with no one-task-per-group sort anywhere.
 
 ``rank() / row_number() / percent_rank / cume_dist / ntile`` windows
 partitioned by a handful of values (a return flag, a language, an

@@ -38,6 +38,13 @@ DEFAULT = [
     "ann_lsh",
     "embedding_near_dup",
     "salted_join_agg",
+    # round-8 bucketed rank/lag rewires: the fact-scale window must
+    # hash on (key, _bkt), never on the bare low-cardinality key
+    "window_topk_per_group",
+    "window_ntile_dist",
+    "window_ranks",
+    "exponential_fit_gaps",
+    "wasserstein_drift",
 ]
 
 
