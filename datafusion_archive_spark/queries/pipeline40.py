@@ -20,7 +20,6 @@ The reference has no window functions or correlation aggregates
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
@@ -30,8 +29,13 @@ def _avg_ranked(df, col, out):
     previous ``rank() OVER (ORDER BY col)`` form evaluated. Round 8:
     the min-rank comes from the bucketed global rank (operators/ranks)
     — an unpartitioned rank window funnels the whole frame into one
-    sort task — while the tie count keeps its partitionBy(col) window,
-    which hash-distributes by VALUE (high distinct cardinality)."""
+    sort task — and the tie counts come from a plain groupBy joined
+    back on the value (a partitionBy(col) count window would buffer
+    corpus/|values| rows per task when the column is low-cardinality,
+    e.g. small-integer order counts; the aggregate+join distributes
+    for any cardinality and the counts are identical integers).
+    ``col`` must be non-null (the per-customer rollup guarantees it;
+    a null would fall out of the tie-count equi-join)."""
     from datafusion_archive_spark.operators.ranks import bucketed_group_rank
     from datafusion_archive_spark.operators.util import cached
 
@@ -42,10 +46,12 @@ def _avg_ranked(df, col, out):
     ranked = bucketed_group_rank(
         df, [], col, tiebreak=None, rank_col="_mr", n_col="_nn"
     )
-    ties = F.count(F.lit(1)).over(Window.partitionBy(col))
-    return ranked.withColumn(
-        out, F.col("_mr") + (ties - 1) / 2.0
-    ).drop("_mr", "_nn")
+    cnts = df.groupBy(col).agg(F.count(F.lit(1)).alias("_ties"))
+    return (
+        ranked.join(cnts, on=col)
+        .withColumn(out, F.col("_mr") + (F.col("_ties") - 1) / 2.0)
+        .drop("_mr", "_nn", "_ties")
+    )
 
 
 def q_spearman_rank_corr(spark, sf):
@@ -55,7 +61,8 @@ def q_spearman_rank_corr(spark, sf):
     global min-ranks come from the bucketed search (operators/ranks,
     round 8) — the previous unpartitioned rank windows sorted the
     whole per-customer frame, which grows with the corpus, in one
-    task each. Tie counts window by VALUE, which hash-distributes."""
+    task each. Tie counts come from a groupBy joined back on the
+    value (see _avg_ranked)."""
     per_cust = (
         spark.read.parquet(f"{sf}/orders.parquet")
         .groupBy("o_custkey")
