@@ -237,105 +237,104 @@ ROWS_ONLY = {
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-8 WINDOW — registry still frozen (VERDICT r5 #1): the
-    # final 50 never-certified oracle-backed names in registry order,
-    # exactly as the round-7 ROUND-8 NOTE scheduled (VERDICT r7 #1).
-    # After this window lands, 341/342 registered names have a driver
-    # row and only jarque_bera_normality has never been certified.
-    # Rows-only entries (approx_aggs, bpe_*) stay excluded — their
-    # evidence is the differential pytest, and a window slot spent on
-    # a no_oracle row certifies nothing.
-    "diff_in_diff",
-    "periodogram_dft",
-    "runs_test_random",
-    "pca_power_iteration",
-    "embedding_quantization_audit",
-    "holt_winters_weekly",
-    "eb_shrinkage_rates",
-    "cuped_adjustment",
-    "quantile_treatment_effects",
-    "grouped_ols_elasticity",
-    "fixed_effects_within",
-    "shuffle_skew_audit",
-    "retrieval_metrics_truncation",
-    "conformal_interval_coverage",
-    "wasserstein_drift",
-    "newsvendor_stocking",
-    "logistic_newton",
-    "covariate_balance_smd",
-    "cem_stratified_ate",
-    "raking_ipf",
-    "ips_policy_eval",
-    "gpd_pot_fit",
-    "k_anonymity_audit",
-    "point_in_polygon_tag",
-    "ar1_durbin_watson",
-    "ccf_leadlag",
-    "classical_decomposition",
-    "atkinson_index",
-    "dbscan_clusters",
-    "silhouette_simplified",
-    "huber_irls_regression",
-    "langid_confusion_audit",
-    "kmeans_lloyd",
-    "ab_srm_check",
-    "matrix_profile_motifs",
-    "matrix_profile_discords",
-    "winnowing_fingerprints",
-    "moss_shared_fingerprints",
-    "markov_transition_matrix",
-    "markov_attribution_removal",
-    "kde_gaussian_grid",
-    "anderson_darling_2sample",
-    "cox_ph_newton",
-    "logrank_test",
-    "spatial_clark_evans",
-    "em_exponential_mixture",
-    "var_expected_shortfall",
-    "sortino_downside_risk",
-    "decision_stump_gini",
-    "page_hinkley_drift",
+    # ROUND-9 WINDOW — registry still frozen (VERDICT r5 #1): the
+    # steady-state re-certification rotation begins, exactly as the
+    # round-8 ROUND-9 NOTE scheduled and VERDICT r8 #1 prescribed.
+    # Priority (code age outranks row age): (1) the one never-certified
+    # name — jarque_bera_normality — whose row takes driver coverage to
+    # 342/342; (2) the 15 queries REWRITTEN in round 8 after their
+    # certification row landed (the bucketed-rank/lag program), whose
+    # rows predate the code they vouch for; (3) the oldest (round-1)
+    # rows, in registry order. Rows-only entries (approx_aggs, bpe_*)
+    # stay excluded — their evidence is the differential pytest, and a
+    # window slot spent on a no_oracle row certifies nothing.
+    "jarque_bera_normality",
+    # -- rewritten-since-row (round-8 bucketed-rank/lag rewires) --
+    "window_topk_per_group",
+    "window_ranks",
+    "window_ntile_dist",
+    "quality_quantile_norm",
+    "class_rebalance",
+    "weighted_median",
+    "ks_test_two_sample",
+    "gini_customer_spend",
+    "mann_whitney_u",
+    "auc_roc",
+    "weighted_quartiles",
+    "sprt_ab_sequential",
+    "exponential_fit_gaps",
+    "heaps_law_fit",
+    "spearman_rank_corr",
+    # -- oldest rows (round 1), registry order --
+    "predicate_between_in",
+    "filter_like",
+    "null_predicates",
+    "cast_semantics",
+    "arithmetic_ops",
+    "literals_no_from",
+    "sqrt_fn",
+    "geo_udt",
+    "agg_having",
+    "agg_count_distinct_group",
+    "agg_rollup",
+    "pivot_linestatus",
+    "sort_limit_topk",
+    "distinct_pairs",
+    "join_inner_3way",
+    "join_left_outer",
+    "join_semi",
+    "join_full_outer",
+    "cte_scalar_subquery",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "window_running",
+    "json_extract",
+    "try_cast_nulls",
+    "string_funcs",
+    "date_funcs",
+    "case_when",
+    "try_divide_nulls",
+    "setop_union_all",
+    "agg_cube",
+    "agg_grouping_sets",
+    "in_subquery",
+    "percentiles",
 ]
 
-# ROUND-9 NOTE (next certification window): the never-certified
-# backlog ends this round — after CORRECTNESS_r08 lands, every
-# registered oracle-backed name except jarque_bera_normality has a
-# driver row. Round 9 begins the steady-state re-certification
-# rotation prescribed by VERDICT r7 #5, AMENDED late in round 8 for
-# the bucketed-rank/lag program: 15 certified queries were REWRITTEN
-# after their row landed (the low-cardinality/global window
-# retirement), and a row that predates the code it vouches for is
-# weaker evidence than a merely old row — so code age outranks row
-# age. Priority: (1) never-certified, (2) rewritten-since-row names
-# by row age, (3) oldest rows, ties by registry order. (The five
-# other round-8 rewires — wasserstein_drift, anderson_darling_2sample,
-# em_exponential_mixture, eb_shrinkage_rates, runs_test_random — sit
-# in the round-8 window itself, so their r8 rows certify the new
-# code already.) The exact 50:
-#   jarque_bera_normality, window_topk_per_group, window_ranks,
-#   window_ntile_dist, quality_quantile_norm, class_rebalance,
-#   weighted_median, ks_test_two_sample, gini_customer_spend,
-#   mann_whitney_u, auc_roc, weighted_quartiles, sprt_ab_sequential,
-#   exponential_fit_gaps, heaps_law_fit, spearman_rank_corr,
-#   predicate_between_in, filter_like, null_predicates,
-#   cast_semantics, arithmetic_ops, literals_no_from, sqrt_fn,
-#   geo_udt, agg_having, agg_count_distinct_group, agg_rollup,
-#   pivot_linestatus, sort_limit_topk, distinct_pairs, join_inner_3way,
-#   join_left_outer, join_semi, join_full_outer, cte_scalar_subquery,
-#   setop_union, setop_intersect, setop_except, window_running,
-#   json_extract, try_cast_nulls, string_funcs, date_funcs, case_when,
-#   try_divide_nulls, setop_union_all, agg_cube, agg_grouping_sets,
-#   in_subquery, percentiles
-# (the r1-only tail continues into round 10 with events_time_bucket,
-# events_asof_join, events_range_join, …). Subsequent rounds continue
-# the same rotation; recompute against the CORRECTNESS_r{N}.json
-# union each round in case a sweep turns a row red, and fold in any
-# future rewritten-since-row names the same way. The full local sweep
+# ROUND-10 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5, r8 #6). After CORRECTNESS_r09
+# lands, every registered name has a driver row and every round-8
+# rewire is certified against its current code — so round 10 is pure
+# oldest-first re-certification. Priority unchanged: (1)
+# never-certified (none expected), (2) rewritten-since-row (none
+# pending — fold in any new rewires), (3) oldest rows by latest green
+# round, ties by registry order. Computed from the CORRECTNESS_r{1..8}
+# union (the r1-only tail, then the round-3 wave in registry order) —
+# recompute against the r{1..9} union before swapping in, in case a
+# sweep turns a row red. The exact 50:
+#   events_time_bucket, events_asof_join, events_range_join,
+#   events_multi_rollup, events_distinct_kmv, text_stats,
+#   text_lang_id, text_fingerprint, join_anti, text_clean,
+#   dedup_exact, dedup_ngram_jaccard, dedup_minhash_signatures,
+#   dedup_minhash_lsh, dedup_clusters, dedup_simhash_signatures,
+#   dedup_simhash_pairs, ann_bruteforce, embedding_near_dup, ann_lsh,
+#   ann_ivf, multimodal_decode, multimodal_frame_sample, array_ops,
+#   posexplode_ordinality, struct_access, q4_order_priority,
+#   q6_forecast_revenue, q10_returned_items, q12_priority_shipping,
+#   q14_promo_effect, q18_large_volume, q19_disjunctive_predicates,
+#   window_frames, nulls_ordering, regexp_extract,
+#   q13_customer_distribution, q15_top_supplier,
+#   q17_small_quantity_revenue, q22_global_sales_opportunity,
+#   map_funcs, sample_deterministic, q9_product_type_profit,
+#   q11_important_stock, q16_parts_supplier_relationship,
+#   q20_potential_part_promotion, q21_suppliers_kept_orders_waiting,
+#   stats_aggs, argminmax_aggs, collect_agg
+# Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
-# ORACLE_CHECK_VANILLA=1 variant) is committed per-round as
+# ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
 # tools/oracle_sweep_r{N}.log to keep the locally-green claim
-# auditable — all 15 rewritten names are green there in both
-# configurations this round.
+# auditable.
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before
