@@ -354,6 +354,36 @@ def _check_grouped_key_dtype(df: DataFrame, key: str) -> None:
         )
 
 
+def _check_weighted_key_dtype(df: DataFrame, key: str) -> None:
+    """The WEIGHTED grouped search matches groups by VALUE, not by
+    string form: selected keys round-trip driver-side through
+    ``collect() → createDataFrame()`` / literal filters and rejoin via
+    ``eqNullSafe``. That round-trip is lossless for every atomic type
+    (string, integrals, float/double — a collected float widens to a
+    Python double and narrows back exactly — boolean, date,
+    timestamp, decimal), so this guard is deliberately wider than
+    :func:`_check_grouped_key_dtype`'s string-form contract, which
+    does not apply here (ADVICE r8 #3). It rejects only non-atomic
+    keys (array/map/struct/binary), whose literal filters are not
+    value-faithful. Float NaN keys are rejected separately after the
+    stats pass: Spark groups NaNs together, but driver-side dict
+    lookups across two collects see two different NaN objects and
+    silently miss."""
+    dtype = dict(df.dtypes).get(key)
+    ok = dtype in (
+        "string", "tinyint", "smallint", "int", "bigint",
+        "float", "double", "boolean", "date",
+    ) or (dtype or "").startswith(("decimal", "timestamp"))
+    if not ok:
+        raise ValueError(
+            f"weighted grouped quantile search: key column {key!r} "
+            f"has dtype {dtype}; only atomic keys survive the "
+            "driver-side collect/createDataFrame round-trip that the "
+            "eqNullSafe group matching relies on. Cast the key to an "
+            "atomic type first."
+        )
+
+
 def exact_grouped_quantiles(
     df: DataFrame,
     key: str,
@@ -669,14 +699,15 @@ def weighted_lower_quantiles_grouped(
     makes cumulative weight non-monotone and raises); values must be
     NaN-free (weighted rank has no Spark aggregate to pin NaN
     semantics against — callers filter or fail); the key column
-    follows :func:`_check_grouped_key_dtype`.
+    follows :func:`_check_weighted_key_dtype` (any atomic type — this
+    path matches groups by value via eqNullSafe, not by string form).
     """
     from pyspark.sql import Window
 
     for num, den in targets:
         if den <= 0 or num < 0:
             raise ValueError(f"bad target fraction {num}/{den}")
-    _check_grouped_key_dtype(df, key)
+    _check_weighted_key_dtype(df, key)
     raw = df.select(
         F.col(key).alias("_k"),
         F.col(col).cast("double").alias("_v"),
@@ -709,6 +740,14 @@ def weighted_lower_quantiles_grouped(
         raise ValueError(
             "weighted_lower_quantiles_grouped: negative weights make "
             "cumulative weight non-monotone — fix the weight column"
+        )
+    if dict(df.dtypes).get(key) in ("float", "double") and any(
+        row._k is not None and math.isnan(row._k) for row in stats
+    ):
+        raise ValueError(
+            "weighted_lower_quantiles_grouped: NaN group key — Spark "
+            "groups NaNs together but driver-side matching cannot "
+            "(NaN != NaN across collects); filter or coalesce it"
         )
     if any((row.n_nan or 0) > 0 for row in stats):
         raise ValueError(
