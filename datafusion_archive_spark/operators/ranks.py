@@ -113,10 +113,21 @@ def _date_safe_value(df: DataFrame, value: str) -> tuple[DataFrame, str, str | N
     dense-rank / lag / tie decision over it equals the decision over
     the date itself, and NULL dates stay NULL) and order on that
     instead. Returns ``(df, effective_value, internal_col_to_drop)``.
+
+    The internal name is checked against the input's columns first:
+    ``withColumn`` on an existing name would silently REPLACE the
+    user's column and the epilogue drop would remove it from the
+    output (ADVICE r9 #1) — fail fast naming the clash instead.
     """
     if dict(df.dtypes).get(value) != "date":
         return df, value, None
     internal = f"_ord_{value}"
+    if internal in df.columns:
+        raise ValueError(
+            f"date-ordered ranking: internal column name {internal!r} "
+            f"already exists in the input; rename that column — the "
+            f"date twin of {value!r} would overwrite and then drop it."
+        )
     return (
         df.withColumn(internal, F.unix_date(F.col(value))),
         internal,
@@ -176,6 +187,7 @@ def bucketed_group_rank(
     ordered via its ``unix_date`` day number.
     """
     key_cols = [F.col(k) for k in keys]
+    orig_value = value  # user-facing name for error text (ADVICE r9 #2)
     df, value, _ord_drop = _date_safe_value(df, value)
     v = F.col(value)
     _check_value_dtype(df, value, "bucketed_group_rank")
@@ -218,8 +230,9 @@ def bucketed_group_rank(
         )
     if any(r["_has_nan"] for r in stats_rows):
         raise ValueError(
-            f"bucketed_group_rank: NaN in {value!r}; NaN sorts after "
-            "+inf but has no histogram bucket — filter or map it first."
+            f"bucketed_group_rank: NaN in {orig_value!r}; NaN sorts "
+            "after +inf but has no histogram bucket — filter or map "
+            "it first."
         )
     if any(any(r[k] is None for k in keys) for r in stats_rows):
         raise ValueError(
@@ -361,6 +374,7 @@ def bucketed_group_lag(
             "tiebreak columns."
         )
     key_cols = [F.col(k) for k in keys]
+    orig_value = value  # user-facing name for error text (ADVICE r9 #2)
     df, value, _ord_drop = _date_safe_value(df, value)
     v = F.col(value)
     _check_value_dtype(df, value, "bucketed_group_lag")
@@ -384,13 +398,13 @@ def bucketed_group_lag(
         )
     if any(r["_has_nan"] for r in stats_rows):
         raise ValueError(
-            f"bucketed_group_lag: NaN in {value!r}; filter or map it "
-            "first."
+            f"bucketed_group_lag: NaN in {orig_value!r}; filter or "
+            "map it first."
         )
     if any(r["_has_null"] for r in stats_rows):
         raise ValueError(
-            f"bucketed_group_lag: NULL in {value!r}; a null row has "
-            "no bucket position — filter or coalesce first."
+            f"bucketed_group_lag: NULL in {orig_value!r}; a null row "
+            "has no bucket position — filter or coalesce first."
         )
     if keys and any(
         any(r[k] is None for k in keys) for r in stats_rows

@@ -237,99 +237,96 @@ ROWS_ONLY = {
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-9 WINDOW — registry still frozen (VERDICT r5 #1): the
-    # steady-state re-certification rotation begins, exactly as the
-    # round-8 ROUND-9 NOTE scheduled and VERDICT r8 #1 prescribed.
-    # Priority (code age outranks row age): (1) the one never-certified
-    # name — jarque_bera_normality — whose row takes driver coverage to
-    # 342/342; (2) the 15 queries REWRITTEN in round 8 after their
-    # certification row landed (the bucketed-rank/lag program), whose
-    # rows predate the code they vouch for; (3) the oldest (round-1)
-    # rows, in registry order. Rows-only entries (approx_aggs, bpe_*)
-    # stay excluded — their evidence is the differential pytest, and a
-    # window slot spent on a no_oracle row certifies nothing.
-    "jarque_bera_normality",
-    # -- rewritten-since-row (round-8 bucketed-rank/lag rewires) --
-    "window_topk_per_group",
-    "window_ranks",
-    "window_ntile_dist",
-    "quality_quantile_norm",
-    "class_rebalance",
-    "weighted_median",
-    "ks_test_two_sample",
-    "gini_customer_spend",
-    "mann_whitney_u",
-    "auc_roc",
-    "weighted_quartiles",
-    "sprt_ab_sequential",
-    "exponential_fit_gaps",
-    "heaps_law_fit",
-    "spearman_rank_corr",
-    # -- oldest rows (round 1), registry order --
-    "predicate_between_in",
-    "filter_like",
-    "null_predicates",
-    "cast_semantics",
-    "arithmetic_ops",
-    "literals_no_from",
-    "sqrt_fn",
-    "geo_udt",
-    "agg_having",
-    "agg_count_distinct_group",
-    "agg_rollup",
-    "pivot_linestatus",
-    "sort_limit_topk",
-    "distinct_pairs",
-    "join_inner_3way",
-    "join_left_outer",
-    "join_semi",
-    "join_full_outer",
-    "cte_scalar_subquery",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "window_running",
-    "json_extract",
-    "try_cast_nulls",
-    "string_funcs",
-    "date_funcs",
-    "case_when",
-    "try_divide_nulls",
-    "setop_union_all",
-    "agg_cube",
-    "agg_grouping_sets",
-    "in_subquery",
-    "percentiles",
+    # ROUND-10 WINDOW — registry still frozen (VERDICT r5 #1): pure
+    # oldest-first re-certification, exactly the 50 the round-9
+    # ROUND-10 NOTE scheduled (recomputed against the r1..r9 union
+    # before the swap — byte-identical; no red rows, no new rewires,
+    # so priority classes (1) and (2) are empty and this is class
+    # (3): oldest rows by latest green round — the r1-only tail,
+    # then the round-3 wave — ties by registry order). Rows-only
+    # entries (approx_aggs, bpe_*) stay excluded: their evidence is
+    # the differential pytest, and a window slot spent on a
+    # no_oracle row certifies nothing.
+    "events_time_bucket",
+    "events_asof_join",
+    "events_range_join",
+    "events_multi_rollup",
+    "events_distinct_kmv",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "join_anti",
+    "text_clean",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "ann_bruteforce",
+    "embedding_near_dup",
+    "ann_lsh",
+    "ann_ivf",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "array_ops",
+    "posexplode_ordinality",
+    "struct_access",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_disjunctive_predicates",
+    "window_frames",
+    "nulls_ordering",
+    "regexp_extract",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "map_funcs",
+    "sample_deterministic",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_part_promotion",
+    "q21_suppliers_kept_orders_waiting",
+    "stats_aggs",
+    "argminmax_aggs",
+    "collect_agg",
 ]
 
-# ROUND-10 NOTE (next certification window): the steady-state
-# rotation continues (VERDICT r7 #5, r8 #6). After CORRECTNESS_r09
-# lands, every registered name has a driver row and every round-8
-# rewire is certified against its current code — so round 10 is pure
-# oldest-first re-certification. Priority unchanged: (1)
-# never-certified (none expected), (2) rewritten-since-row (none
-# pending — fold in any new rewires), (3) oldest rows by latest green
-# round, ties by registry order. Computed from the CORRECTNESS_r{1..8}
-# union (the r1-only tail, then the round-3 wave in registry order) —
-# recompute against the r{1..9} union before swapping in, in case a
-# sweep turns a row red. The exact 50:
-#   events_time_bucket, events_asof_join, events_range_join,
-#   events_multi_rollup, events_distinct_kmv, text_stats,
-#   text_lang_id, text_fingerprint, join_anti, text_clean,
-#   dedup_exact, dedup_ngram_jaccard, dedup_minhash_signatures,
-#   dedup_minhash_lsh, dedup_clusters, dedup_simhash_signatures,
-#   dedup_simhash_pairs, ann_bruteforce, embedding_near_dup, ann_lsh,
-#   ann_ivf, multimodal_decode, multimodal_frame_sample, array_ops,
-#   posexplode_ordinality, struct_access, q4_order_priority,
-#   q6_forecast_revenue, q10_returned_items, q12_priority_shipping,
-#   q14_promo_effect, q18_large_volume, q19_disjunctive_predicates,
-#   window_frames, nulls_ordering, regexp_extract,
-#   q13_customer_distribution, q15_top_supplier,
-#   q17_small_quantity_revenue, q22_global_sales_opportunity,
-#   map_funcs, sample_deterministic, q9_product_type_profit,
-#   q11_important_stock, q16_parts_supplier_relationship,
-#   q20_potential_part_promotion, q21_suppliers_kept_orders_waiting,
-#   stats_aggs, argminmax_aggs, collect_agg
+
+# ROUND-11 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5, r8 #6, r9 #8). Priority
+# unchanged: (1) never-certified (none — coverage is 342/342 since
+# r9), (2) rewritten-since-row (none pending — fold in any new
+# rewires first), (3) oldest rows by latest green round, ties by
+# registry order. Computed from the CORRECTNESS_r{1..9} union with
+# the round-10 window assumed green (it is pure re-certification of
+# already-green rows) — recompute against the r{1..10} union before
+# swapping in, in case a sweep turns a row red. The exact 50 (the
+# remaining round-3 rows, then the round-4 wave in registry order):
+#   q2_min_per_group_subquery, unpivot_stack, expr_misc,
+#   pipeline_clean_corpus, text_quality_zscore,
+#   q7_volume_between_nations, q8_market_share, scan_filter_project,
+#   agg_global, q1_pricing_summary, q3_shipping_priority,
+#   q5_local_supplier, setop_intersect_all, setop_except_all,
+#   events_sessionize, events_attribution_join, events_hopping_window,
+#   cohort_retention, events_funnel, embedding_near_dup_exact,
+#   decontaminate_ngram_overlap, vocab_topk, udaf_median_tokens,
+#   chunk_documents, pack_sequences, train_val_test_split, bm25_topk,
+#   dedup_editdistance, profile_columns, sources_roundtrip,
+#   salted_join_agg, planir_roundtrip, partitioned_pruning,
+#   window_nav_nulls, latest_per_key, agg_filtered, grouping_flags,
+#   string_agg_ordered, cross_join_grid, exists_correlated,
+#   registry_udf_expr, events_gapfill_locf, text_repetition_gopher,
+#   dedup_incremental, stratified_sample, winsorized_aggs,
+#   text_token_entropy, weighted_sample, weighted_sample_per_lang,
+#   recursive_month_grid
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as

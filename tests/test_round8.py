@@ -91,19 +91,34 @@ def test_grouped_quantiles_guard_fires_without_full_collect(spark):
 
 
 def test_grouped_quantiles_rejects_nonstring_key_dtype(spark):
-    """ADVICE r7 #5: a boolean/float/date key silently matched nothing
-    in the concat_ws selection filter; now it fails fast naming the
-    fallback."""
+    """ADVICE r7 #5 (exact path): a boolean/float/date key silently
+    matched nothing in the concat_ws selection filter; the EXACT
+    grouped search still fails fast naming the fallback.
+
+    ADVICE r8 #3 relaxed the WEIGHTED path to all atomic key types —
+    it matches groups by value via eqNullSafe, not by string form —
+    so the old pin that a double key raises is replaced by the new
+    contract: a double key is ACCEPTED and the unit-weight quantiles
+    bit-match the built-in grouped ``percentile``."""
     df = spark.createDataFrame(
         [(True, 1.0), (False, 2.0)], "k boolean, x double"
     )
     with pytest.raises(ValueError, match="string/integral"):
         Q.exact_grouped_quantiles(df, "k", "x", [0.5])
-    dfd = spark.createDataFrame([(1.5, 1.0)], "k double, x double")
-    with pytest.raises(ValueError, match="percentile"):
-        Q.weighted_lower_quantiles_grouped(
-            dfd, "k", "x", F.lit(1), [(1, 2)]
-        )
+    # weighted path: double key accepted, values match percentile(0.0)
+    # (the lower quantile at num/den=1/2 over unit weights equals the
+    # smallest v with rank*2 >= n — the discrete lower median).
+    rows = [
+        (1.5, 10.0), (1.5, 20.0), (1.5, 30.0), (1.5, 40.0),
+        (2.5, 7.0), (2.5, 9.0),
+    ]
+    dfd = spark.createDataFrame(rows, "k double, x double")
+    got = Q.weighted_lower_quantiles_grouped(
+        dfd, "k", "x", F.lit(1), [(1, 2), (1, 1)]
+    )
+    assert set(got) == {1.5, 2.5}
+    assert got[1.5] == ([20.0, 40.0], 4)
+    assert got[2.5] == ([7.0, 9.0], 2)
 
 
 def test_lit_cutpoints_null_safe_on_empty_input(spark):

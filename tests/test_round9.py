@@ -1,0 +1,214 @@
+"""Round-9/10 regression pins for the three round-9 guard changes
+(VERDICT r9 "What's wrong" — none of the new paths had a test) plus
+the two ADVICE r9 items:
+
+1. date-valued ``bucketed_group_rank`` / ``bucketed_group_lag``
+   (``ranks._date_safe_value``, the ADVICE r8 #1 fix) equals the
+   plain window form on a small frame — the first-ever execution of
+   that path — and the internal ``_ord_*`` twin never leaks into the
+   output schema;
+2. the derived broadcast-budget group cap (``ranks._MAX_RANK_GROUPS``,
+   VERDICT r8 #2): the >cap input raises naming the 32 MiB budget,
+   and the grid at the cap stays inside
+   ``_GRID_BROADCAST_BUDGET_BYTES`` by the module's own row model;
+3. ``weighted_lower_quantiles_grouped`` rejects NaN float keys
+   (``quantiles.py`` post-stats guard) and non-atomic (array) keys
+   (``_check_weighted_key_dtype``);
+4. ADVICE r9 #1: a pre-existing user column named like the internal
+   date twin raises instead of being silently overwritten+dropped;
+5. ADVICE r9 #2: guard errors name the CALLER's column, not the
+   internal ``_ord_*`` rewrite.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators import quantiles as Q
+from datafusion_archive_spark.operators import ranks as R
+
+
+def _date_frame(spark):
+    """Small grouped frame with a DATE ordering column, ties included
+    (two rows share 2024-01-03 in group a), plus an integral payload
+    for running sums / lag."""
+    rows = [
+        ("a", "2024-01-03", 1, 10),
+        ("a", "2024-01-01", 2, 20),
+        ("a", "2024-01-03", 3, 30),
+        ("a", "2024-02-10", 4, 40),
+        ("b", "2023-12-31", 5, 50),
+        ("b", "2024-01-02", 6, 60),
+    ]
+    return spark.createDataFrame(
+        rows, "g string, d string, tb int, x int"
+    ).withColumn("d", F.to_date("d"))
+
+
+# ------------------------------------------------ 1. date-valued path
+
+
+def test_bucketed_group_rank_date_value_matches_window(spark):
+    df = _date_frame(spark)
+    got = R.bucketed_group_rank(
+        df, ["g"], "d", tiebreak=["tb"], dense_col="_dense",
+        running=[("x", "_run")],
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("d").asc_nulls_first(), F.col("tb").asc_nulls_first()
+    )
+    want = (
+        df.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .withColumn(
+            "_dense",
+            F.dense_rank().over(Window.partitionBy("g").orderBy("d")),
+        )
+        .withColumn(
+            "_run",
+            F.sum("x").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    cols = ["g", "d", "tb", "x", "_rank", "_n", "_dense", "_run"]
+    assert sorted(got.columns) == sorted(cols)  # no _ord_d leak
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_bucketed_group_rank_date_rank_semantics(spark):
+    # tiebreak=None -> rank(): the two tied dates share position 2
+    df = _date_frame(spark)
+    got = R.bucketed_group_rank(df, ["g"], "d")
+    w = Window.partitionBy("g").orderBy(F.col("d").asc_nulls_first())
+    want = df.withColumn("_rank", F.rank().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    cols = ["g", "d", "tb", "x", "_rank", "_n"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_bucketed_group_lag_date_value_matches_window(spark):
+    df = _date_frame(spark)
+    got = R.bucketed_group_lag(
+        df, ["g"], "d", tiebreak=["tb"], lag_of=[("x", "prev_x")]
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("d").asc_nulls_first(), F.col("tb").asc_nulls_first()
+    )
+    want = df.withColumn("prev_x", F.lag("x").over(w))
+    cols = ["g", "d", "tb", "x", "prev_x"]
+    assert sorted(got.columns) == sorted(cols)
+    assert sorted(
+        map(tuple, got.select(*cols).collect()), key=str
+    ) == sorted(map(tuple, want.select(*cols).collect()), key=str)
+
+
+# --------------------------------------- 2. derived broadcast-grid cap
+
+
+def test_rank_group_cap_raises_naming_budget(spark):
+    n = R._MAX_RANK_GROUPS + 10
+    df = spark.range(n).select(
+        F.col("id").alias("g"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="32 MiB broadcast budget"):
+        R.bucketed_group_rank(df, ["g"], "v")
+    with pytest.raises(ValueError, match="32 MiB broadcast budget"):
+        R.bucketed_group_lag(
+            df, ["g"], "v", tiebreak=["g"], lag_of=[("v", "p")]
+        )
+
+
+def test_rank_group_cap_is_derived_from_budget():
+    """The cap must be a consequence of the budget, not a constant
+    that drifts from it: at the cap, the grid's worst-case size by the
+    module's own row model fits the budget, and one more group would
+    not."""
+    grid_rows_per_group = R._BUCKETS + 2
+    at_cap = R._MAX_RANK_GROUPS * grid_rows_per_group * R._GRID_ROW_BYTES
+    over = (
+        (R._MAX_RANK_GROUPS + 1) * grid_rows_per_group * R._GRID_ROW_BYTES
+    )
+    assert at_cap <= R._GRID_BROADCAST_BUDGET_BYTES < over
+    # sanity: the derivation actually bites (cap is small, per the
+    # operator's low-cardinality contract)
+    assert R._MAX_RANK_GROUPS == R._GRID_BROADCAST_BUDGET_BYTES // (
+        R._GRID_ROW_BYTES * grid_rows_per_group
+    )
+
+
+# ------------------------------- 3. weighted quantile key-type guards
+
+
+def test_weighted_grouped_rejects_nan_float_key(spark):
+    df = spark.createDataFrame(
+        [(float("nan"), 1.0), (1.0, 2.0)], "k double, x double"
+    )
+    with pytest.raises(ValueError, match="NaN group key"):
+        Q.weighted_lower_quantiles_grouped(
+            df, "k", "x", F.lit(1), [(1, 2)]
+        )
+
+
+def test_weighted_grouped_rejects_array_key(spark):
+    df = spark.createDataFrame(
+        [([1, 2], 1.0)], "k array<int>, x double"
+    )
+    with pytest.raises(ValueError, match="atomic"):
+        Q.weighted_lower_quantiles_grouped(
+            df, "k", "x", F.lit(1), [(1, 2)]
+        )
+
+
+def test_weighted_grouped_accepts_boolean_and_date_keys(spark):
+    # the widened contract (ADVICE r8 #3): value-faithful atomic keys
+    dfb = spark.createDataFrame(
+        [(True, 1.0), (True, 3.0), (False, 5.0)], "k boolean, x double"
+    )
+    got = Q.weighted_lower_quantiles_grouped(
+        dfb, "k", "x", F.lit(1), [(1, 1)]
+    )
+    assert got[True] == ([3.0], 2) and got[False] == ([5.0], 1)
+    dfd = spark.createDataFrame(
+        [("2024-01-01", 2.0), ("2024-01-01", 4.0)], "k string, x double"
+    ).withColumn("k", F.to_date("k"))
+    got = Q.weighted_lower_quantiles_grouped(
+        dfd, "k", "x", F.lit(1), [(1, 2)]
+    )
+    (key, ([median], total)), = got.items()
+    assert str(key) == "2024-01-01" and median == 2.0 and total == 2
+
+
+# --------------------------------------------- 4+5. ADVICE r9 pins
+
+
+def test_date_twin_name_collision_raises(spark):
+    df = _date_frame(spark).withColumn("_ord_d", F.lit(0))
+    with pytest.raises(ValueError, match="_ord_d"):
+        R.bucketed_group_rank(df, ["g"], "d", tiebreak=["tb"])
+    with pytest.raises(ValueError, match="rename that column"):
+        R.bucketed_group_lag(
+            df, ["g"], "d", tiebreak=["tb"], lag_of=[("x", "p")]
+        )
+
+
+def test_guard_errors_name_callers_column_not_internal(spark):
+    # a NULL date hits bucketed_group_lag's null guard AFTER the
+    # _ord_ rewrite; the message must name 'd', not '_ord_d'
+    df = _date_frame(spark).union(
+        _date_frame(spark).limit(1).withColumn("d", F.lit(None).cast("date"))
+    )
+    with pytest.raises(ValueError) as ei:
+        R.bucketed_group_lag(
+            df, ["g"], "d", tiebreak=["tb"], lag_of=[("x", "p")]
+        )
+    assert "'d'" in str(ei.value) and "_ord_" not in str(ei.value)
