@@ -50,9 +50,28 @@ def summarize(df: DataFrame) -> PlanSummary:
     # scan details — simple truncates long attribute lists with "..."
     plan = plan_string(df, "simple")
     detail = plan_string(df, "formatted")
+    # hash exchanges deduped by formatted node id (VERDICT r8 #5):
+    # simple mode re-prints a cached subtree's whole plan at EVERY
+    # InMemoryTableScan reference, so a 17-exchange plan with a
+    # heavily fanned-out cached rollup counted as 172+. In formatted
+    # mode every physical node is numbered once — the detail header
+    # is "(N) Exchange" (the tree section prints "Exchange (N)", so
+    # the id-prefixed pattern cannot double count) and the node's
+    # Arguments line carries the partitioning kind. joins stay
+    # counted from the simple string on purpose: it is the superset
+    # that includes cached-subtree re-prints, so a CartesianProduct
+    # hiding inside a cached branch still surfaces in `joins`.
+    hash_exchange_ids = {
+        nid
+        for nid, args in re.findall(
+            r"\((\d+)\) Exchange\n(?:[^\n]+\n)*?Arguments: ([^\n]*)",
+            detail,
+        )
+        if "hashpartitioning" in args
+    }
     return PlanSummary(
         joins=[j for j in re.findall("|".join(_JOIN_KINDS), plan)],
-        n_hash_exchanges=len(re.findall(r"Exchange hashpartitioning", plan)),
+        n_hash_exchanges=len(hash_exchange_ids),
         # numbered tree nodes only: formatted mode prints each scan
         # twice (once in the tree, once in the detail section), so a
         # bare substring count reports 2x the real scan count

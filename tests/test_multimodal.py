@@ -51,3 +51,43 @@ def test_frame_sample(media):
 def test_decode_stub_rejects_empty_payload():
     with pytest.raises(ValueError):
         multimodal._decode_stub(b"")
+
+
+def test_decoder_resolver_prefers_pillow_else_stub():
+    """VERDICT r9 #6: the codec path is a guarded per-executor import —
+    Pillow when present (dormant in this container), the deterministic
+    stub otherwise. Behavior without the dep must be byte-identical to
+    the pre-guard code, which test_decode_stub_deterministic already
+    pins end-to-end; here we pin the selection itself."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+    expected = (
+        multimodal._decode_pillow if have_pillow else multimodal._decode_stub
+    )
+    assert multimodal._resolve_decoder() is expected
+
+
+def test_decode_pillow_roundtrip(media):
+    """Runs only where Pillow exists: a real PNG round-trips through
+    the SAME mapInPandas plumbing as the stub (schema, batch shape),
+    with the true dimensions and a ValueError on corrupt bytes."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert multimodal._decode_pillow(png) == (37, 21, 1)
+    with pytest.raises(ValueError, match="corrupt"):
+        multimodal._decode_pillow(b"\x00not-an-image")
+    spark = media.sparkSession
+    df = multimodal.attach_media(
+        spark.createDataFrame([(1, png)], "doc_id long, payload binary"),
+        "payload",
+    )
+    row, = multimodal.decode_media(df, "payload").collect()
+    assert (row.width, row.height, row.n_frames) == (37, 21, 1)

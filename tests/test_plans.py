@@ -416,3 +416,28 @@ def test_bucketed_rank_spreads_low_cardinality_windows(spark, sf_dir):
             "_bkt" in e and (key is None or key in e)
             for e in s.raw.split("hashpartitioning")[1:]
         ), (name, s.raw)
+
+
+def test_exchange_count_dedupes_cached_subtree_reprints(spark):
+    """VERDICT r8 #5: simple-mode explain re-prints a cached subtree's
+    plan at every InMemoryTableScan reference, so a fan-out over one
+    cached 1-exchange rollup counted as 7 exchanges (and the chained
+    rewires as 172+). n_hash_exchanges now dedupes by formatted node
+    id: the 7-way fan-out must report the ONE real exchange."""
+    base = (
+        spark.range(100)
+        .groupBy((F.col("id") % 5).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    try:
+        fan = base
+        for _ in range(6):
+            fan = fan.unionByName(base)
+        s = summarize(fan)
+        # the inflation is still visible in the raw simple string...
+        assert s.raw.count("Exchange hashpartitioning") == 7
+        # ...but the deduped count reports the single physical node
+        assert s.n_hash_exchanges == 1
+    finally:
+        base.unpersist()

@@ -152,3 +152,93 @@ def test_exact_duplicates_survivor_properties(spark, rows):
                           else F.lit(False))
     again = exact_duplicates(survivors).collect()
     assert all(r.n_copies == 1 for r in again)
+
+
+# ---------------------------------------------------------------------
+# VERDICT r9 #7: the weighted grouped-quantile key guard was widened to
+# ALL atomic types (ADVICE r8 #3) on the reasoning that the
+# collect/createDataFrame/eqNullSafe round-trip is value-faithful for
+# every one of them. Property-test that reasoning: draw the key dtype
+# across the atomic matrix and random (key, value, weight) tables, and
+# compare against a brute-force Python reference of the documented
+# contract (smallest v with W(v)*den >= total*num over positive
+# integer weights; zero-weight rows lossless to drop; empty groups
+# omitted). 7 dtypes x 30 examples = 210 differentials per run.
+
+import datetime as _dt
+import decimal as _decimal
+
+_WQ_POOLS = {
+    "string": ["a", "b", "c"],
+    "bigint": [0, 1, 2],
+    "double": [0.25, 1.5, 2.75],
+    "boolean": [True, False],
+    "date": [
+        _dt.date(2024, 1, 1),
+        _dt.date(2024, 6, 30),
+        _dt.date(1999, 12, 31),
+    ],
+    "timestamp": [
+        _dt.datetime(2024, 1, 1, 0, 0, 1),
+        _dt.datetime(2024, 1, 1, 12, 30, 0),
+        _dt.datetime(2030, 7, 4, 23, 59, 59),
+    ],
+    "decimal(5,2)": [
+        _decimal.Decimal("1.10"),
+        _decimal.Decimal("2.20"),
+        _decimal.Decimal("-3.30"),
+    ],
+}
+_WQ_TARGETS = [(1, 4), (1, 2), (3, 4), (1, 1)]
+_WQ_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),   # key pool index
+        st.integers(0, 9),   # value
+        st.integers(0, 3),   # weight (0 must be lossless to drop)
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _wq_reference(rows, pool):
+    groups: dict = {}
+    for ki, v, w in rows:
+        if w > 0:
+            groups.setdefault(pool[ki % len(pool)], []).append((float(v), w))
+    expected = {}
+    for k, vw in groups.items():
+        total = sum(w for _, w in vw)
+        res = []
+        for num, den in _WQ_TARGETS:
+            thr = -(-total * num // den)  # exact ceil in int space
+            cum, ans = 0, None
+            for v, w in sorted(vw):
+                cum += w
+                if cum >= thr:
+                    ans = v
+                    break
+            res.append(ans)
+        expected[k] = (res, total)
+    return expected
+
+
+@pytest.mark.parametrize("dtype", sorted(_WQ_POOLS))
+@given(rows=_WQ_ROWS)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_grouped_quantiles_key_dtype_matrix(spark, dtype, rows):
+    from datafusion_archive_spark.operators import quantiles as Q
+
+    pool = _WQ_POOLS[dtype]
+    data = [
+        (pool[ki % len(pool)], float(v), w) for ki, v, w in rows
+    ]
+    df = spark.createDataFrame(data or [], f"k {dtype}, v double, w int")
+    got = Q.weighted_lower_quantiles_grouped(
+        df, "k", "v", "w", _WQ_TARGETS
+    )
+    assert got == _wq_reference(rows, pool)
