@@ -212,3 +212,78 @@ def test_guard_errors_name_callers_column_not_internal(spark):
             df, ["g"], "d", tiebreak=["tb"], lag_of=[("x", "p")]
         )
     assert "'d'" in str(ei.value) and "_ord_" not in str(ei.value)
+
+
+# ----------------------------------- date-valued special-value fuzz
+
+
+def _date_slab(spark, seed, n=4000, with_nulls=True):
+    """Random date slab in the r8 fuzz style: pre-epoch dates, the
+    epoch itself, far-future dates, heavy ties (a handful of cluster
+    days), and (for the rank path) NULLs."""
+    import datetime as _dt
+    import random as _r
+
+    _r.seed(seed)
+    pool = [
+        _dt.date(1, 1, 1),
+        _dt.date(1969, 12, 31),
+        _dt.date(1970, 1, 1),
+        _dt.date(2024, 2, 29),
+        _dt.date(9999, 12, 31),
+        _dt.date(2024, 6, 1),
+        _dt.date(2024, 6, 2),
+    ]
+    rows = []
+    for i in range(n):
+        d = None if (with_nulls and _r.random() < 0.05) else _r.choice(
+            pool + [_dt.date(2000 + _r.randint(0, 30), _r.randint(1, 12), 1)]
+        )
+        rows.append((i, _r.choice("abc"), d, _r.randint(0, 3)))
+    return spark.createDataFrame(rows, "id long, g string, d date, x int")
+
+
+def test_bucketed_rank_date_fuzz_differential(spark):
+    """4000-row date slab (extremes, ties, NULLs): rank + dense +
+    running sums over a date ordering == the plain window forms."""
+    got = R.bucketed_group_rank(
+        _date_slab(spark, seed=41), ["g"], "d", tiebreak=["id"],
+        dense_col="_dense", running=[("x", "_run")],
+    )
+    df = _date_slab(spark, seed=41)
+    w = Window.partitionBy("g").orderBy(F.col("d").asc_nulls_first(), "id")
+    want = (
+        df.withColumn("_rank", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .withColumn(
+            "_dense",
+            F.dense_rank().over(
+                Window.partitionBy("g").orderBy(F.col("d").asc_nulls_first())
+            ).cast("long"),
+        )
+        .withColumn(
+            "_run",
+            F.sum(F.coalesce("x", F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    a = {r.id: (r._rank, r._n, r._dense, r._run) for r in got.collect()}
+    b = {r.id: (r._rank, r._n, r._dense, r._run) for r in want.collect()}
+    assert a == b
+
+
+def test_bucketed_lag_date_fuzz_differential(spark):
+    """Date slab without NULLs: lag over the date ordering == the
+    plain window lag, including across bucket boundaries."""
+    df = _date_slab(spark, seed=43, with_nulls=False)
+    got = R.bucketed_group_lag(
+        df, ["g"], "d", tiebreak=["id"], lag_of=[("x", "px"), ("id", "pid")]
+    )
+    w = Window.partitionBy("g").orderBy(F.col("d").asc_nulls_first(), "id")
+    want = df.withColumn("px", F.lag("x").over(w)).withColumn(
+        "pid", F.lag("id").over(w)
+    )
+    a = {r.id: (r.px, r.pid) for r in got.collect()}
+    b = {r.id: (r.px, r.pid) for r in want.collect()}
+    assert a == b
