@@ -401,8 +401,10 @@ def test_bucketed_rank_derived_window_functions(spark):
 
 
 def test_bucketed_rank_guards(spark):
-    """NaN values, >256 groups, and NULL group keys all fail fast
-    (silent wrong answers are the failure mode each guard blocks)."""
+    """NaN values, over-cap group counts (cap now derived from the
+    32 MiB broadcast budget — see test_round9), and NULL group keys
+    all fail fast (silent wrong answers are the failure mode each
+    guard blocks)."""
     from datafusion_archive_spark.operators.ranks import bucketed_group_rank
 
     df = _rank_slab(spark, seed=17, n=500)

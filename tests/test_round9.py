@@ -287,3 +287,47 @@ def test_bucketed_lag_date_fuzz_differential(spark):
     a = {r.id: (r.px, r.pid) for r in got.collect()}
     b = {r.id: (r.px, r.pid) for r in want.collect()}
     assert a == b
+
+
+def test_bucketed_rank_and_lag_timestamp_value_differential(spark):
+    """_check_value_dtype admits timestamps (cast to double = epoch
+    seconds, monotone — non-strictly for far-future values where the
+    double mantissa coarsens below microseconds, which is still safe:
+    equal-cast values share a bucket and the in-bucket sort orders by
+    the timestamp itself). No registry query ranks on a raw timestamp,
+    so pin the path here, extremes included."""
+    import datetime as _dt
+    import random as _r
+
+    _r.seed(47)
+    pool = [
+        _dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        _dt.datetime(1970, 1, 1, 0, 0, 0),
+        _dt.datetime(2024, 6, 1, 12, 0, 0, 1),
+        _dt.datetime(2024, 6, 1, 12, 0, 0, 2),
+        _dt.datetime(9999, 12, 30, 0, 0, 0),
+        _dt.datetime(9999, 12, 30, 0, 0, 0, 1),
+    ]
+    rows = [
+        (
+            i,
+            _r.choice("ab"),
+            _r.choice(pool + [_dt.datetime(2020, 1, 1 + _r.randint(0, 27))]),
+            _r.randint(0, 3),
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, t timestamp, x int")
+    w = Window.partitionBy("g").orderBy(F.col("t").asc_nulls_first(), "id")
+    got = R.bucketed_group_rank(df, ["g"], "t", tiebreak=["id"])
+    want = df.withColumn("_rank", F.row_number().over(w).cast("long"))
+    a = {r.id: r._rank for r in got.collect()}
+    b = {r.id: r._rank for r in want.collect()}
+    assert a == b
+    gotl = R.bucketed_group_lag(
+        df, ["g"], "t", tiebreak=["id"], lag_of=[("x", "px")]
+    )
+    wantl = df.withColumn("px", F.lag("x").over(w))
+    al = {r.id: r.px for r in gotl.collect()}
+    bl = {r.id: r.px for r in wantl.collect()}
+    assert al == bl
