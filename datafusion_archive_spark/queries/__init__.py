@@ -331,7 +331,10 @@ _FIRST_50 = [
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
 # tools/oracle_sweep_r{N}.log to keep the locally-green claim
-# auditable.
+# auditable, alongside the gated registry plan scan
+# (tools/plan_scan.py -> tools/plan_scan_r{N}.log: zero cartesian,
+# zero build errors, exchanges within the documented iterative-trainer
+# ceiling).
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before

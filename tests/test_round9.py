@@ -22,8 +22,6 @@ the two ADVICE r9 items:
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
