@@ -242,3 +242,33 @@ def test_weighted_grouped_quantiles_key_dtype_matrix(spark, dtype, rows):
         df, "k", "v", "w", _WQ_TARGETS
     )
     assert got == _wq_reference(rows, pool)
+
+
+@given(rows=_ROWS)
+@_SLOW
+def test_bucketed_group_lag_matches_bruteforce(spark, rows):
+    """bucketed_group_lag == per-row predecessor under the total
+    (value, tiebreak) ordering, on hypothesis-drawn collision-heavy
+    tables — the property form of the seeded r8/r9 slabs. Each drawn
+    row is (key, value, payload); the rowid tiebreak makes the
+    ordering total."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_lag
+
+    data = [(k, v, p, i) for i, (k, v, p) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data or [], "k int, v int, p int, rowid int"
+    )
+    got = {
+        r.rowid: r.prev_p
+        for r in bucketed_group_lag(
+            df, ["k"], "v", tiebreak=["rowid"], lag_of=[("p", "prev_p")]
+        ).collect()
+    }
+    for k, v, p, i in data:
+        preds = [
+            (vv, ii, pp)
+            for kk, vv, pp, ii in data
+            if kk == k and (vv, ii) < (v, i)
+        ]
+        want = max(preds)[2] if preds else None
+        assert got[i] == want, (i, k, v, got[i], want)
