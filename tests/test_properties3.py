@@ -272,3 +272,33 @@ def test_bucketed_group_lag_matches_bruteforce(spark, rows):
         ]
         want = max(preds)[2] if preds else None
         assert got[i] == want, (i, k, v, got[i], want)
+
+
+@given(rows=_ROWS)
+@_SLOW
+def test_bucketed_group_rank_matches_bruteforce(spark, rows):
+    """bucketed_group_rank == 1 + count of strict (value, tiebreak)
+    predecessors in the group (row_number semantics), and with
+    tiebreak=None == 1 + count of strictly smaller values (rank
+    semantics) — the rank twin of the lag property above."""
+    from datafusion_archive_spark.operators.ranks import bucketed_group_rank
+
+    data = [(k, v, i) for i, (k, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data or [], "k int, v int, rowid int")
+    got_rn = {
+        r.rowid: r._rank
+        for r in bucketed_group_rank(
+            df, ["k"], "v", tiebreak=["rowid"]
+        ).collect()
+    }
+    got_rk = {
+        (r.k, r.v): r._rank
+        for r in bucketed_group_rank(df, ["k"], "v").collect()
+    }
+    for k, v, i in data:
+        rn = 1 + sum(
+            1 for kk, vv, ii in data if kk == k and (vv, ii) < (v, i)
+        )
+        assert got_rn[i] == rn, ("row_number", i, got_rn[i], rn)
+        rk = 1 + sum(1 for kk, vv, _ in data if kk == k and vv < v)
+        assert got_rk[(k, v)] == rk, ("rank", k, v, got_rk[(k, v)], rk)
