@@ -340,8 +340,15 @@ ORACLES = {
                AND p_size BETWEEN 1 AND 15)
     """,
     "window_ranks": """
+        -- drank gets its own VALUE-ONLY window: dense_rank over an
+        -- ordering that includes the unique c_custkey tiebreak
+        -- degenerates to row_number, which only agrees with the
+        -- value-dense engine semantics while c_acctbal happens to be
+        -- collision-free (true at sf0.01, false at sf0.1 — the r10
+        -- cross-sf sweep caught exactly that divergence; pinned on a
+        -- tie-heavy frame in tests/test_round10.py).
         SELECT c_custkey, c_mktsegment,
-               CAST(dense_rank() OVER w AS INTEGER) AS drank,
+               CAST(dense_rank() OVER wd AS INTEGER) AS drank,
                floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0
                  AS prank,
                floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0
@@ -349,7 +356,9 @@ ORACLES = {
                CAST(ntile(4) OVER w AS INTEGER) AS quartile
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment
-                     ORDER BY c_acctbal DESC, c_custkey)
+                     ORDER BY c_acctbal DESC, c_custkey),
+               wd AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC)
     """,
     "window_frames": """
         SELECT o_orderkey, o_custkey,

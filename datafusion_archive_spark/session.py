@@ -39,9 +39,19 @@ def get_spark(
             )
         )
 
+    # Local mode runs driver + all executor threads in ONE JVM whose
+    # default 1g heap OOMs in shuffle writes well before the data does
+    # (scale_probe_r8: sf0.1-scale graph/iterative queries die at 1g,
+    # run comfortably at 8-16g; the r10 registry sweep at sf0.1
+    # reproduced the crash). 8g is modest for the 128 GiB test box and
+    # irrelevant on a real cluster, where driver/executor memory comes
+    # from the submit config, not this factory.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         # AQE: runtime re-planning — coalesces tiny shuffle partitions,
         # splits skewed ones, converts sort-merge joins to broadcast when
         # runtime stats allow. Essential at 100 TB, harmless at sf0.001.
