@@ -303,14 +303,19 @@ _FIRST_50 = [
 # ROUND-11 NOTE (next certification window): the steady-state
 # rotation continues (VERDICT r7 #5, r8 #6, r9 #8). Priority
 # unchanged: (1) never-certified (none — coverage is 342/342 since
-# r9), (2) rewritten-since-row (none pending — fold in any new
-# rewires first), (3) oldest rows by latest green round, ties by
-# registry order. Computed from the CORRECTNESS_r{1..9} union with
-# the round-10 window assumed green (it is pure re-certification of
-# already-green rows) — recompute against the r{1..10} union before
-# swapping in, in case a sweep turns a row red. The exact 50 (the
-# remaining round-3 rows, then the round-4 wave in registry order):
-#   q2_min_per_group_subquery, unpivot_stack, expr_misc,
+# r9), (2) rewritten-since-row: window_ranks — its ORACLE gained the
+# value-only dense_rank window late in round 10 (the engine did not
+# change and its r9 row stays valid at sf0.01 where no balance ties
+# exist, but the certified comparison text is now different, so the
+# name leads the r11 window), (3) oldest rows by latest green round,
+# ties by registry order. Computed from the CORRECTNESS_r{1..9} union
+# with the round-10 window assumed green (it is pure
+# re-certification of already-green rows) — recompute against the
+# r{1..10} union before swapping in, in case a sweep turns a row red.
+# The exact 50 (window_ranks, then the remaining round-3 rows, then
+# the round-4 wave in registry order, dropping the overflow tail
+# name):
+#   window_ranks, q2_min_per_group_subquery, unpivot_stack, expr_misc,
 #   pipeline_clean_corpus, text_quality_zscore,
 #   q7_volume_between_nations, q8_market_share, scan_filter_project,
 #   agg_global, q1_pricing_summary, q3_shipping_priority,
@@ -325,8 +330,8 @@ _FIRST_50 = [
 #   string_agg_ordered, cross_join_grid, exists_correlated,
 #   registry_udf_expr, events_gapfill_locf, text_repetition_gopher,
 #   dedup_incremental, stratified_sample, winsorized_aggs,
-#   text_token_entropy, weighted_sample, weighted_sample_per_lang,
-#   recursive_month_grid
+#   text_token_entropy, weighted_sample, weighted_sample_per_lang
+#   (recursive_month_grid moves to the r12 head as the overflow)
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
