@@ -339,7 +339,10 @@ _FIRST_50 = [
 # auditable, alongside the gated registry plan scan
 # (tools/plan_scan.py -> tools/plan_scan_r{N}.log: zero cartesian,
 # zero build errors, exchanges within the documented iterative-trainer
-# ceiling).
+# ceiling) and the round-10-introduced CROSS-SCALE sweeps
+# (tools/check_oracle.py at sf0.001 and sf0.1 ->
+# tools/oracle_sweep_r{N}_sf{0001,01}.log — the sf0.01 gate cannot see
+# scale-dependent divergence; both r10 catches came from these).
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before

@@ -7,6 +7,13 @@ floats as-is — the query layer is responsible for rounding anything
 engine-order-dependent).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Per-round standard (round 10 onward): run the full registry at THREE
+scale factors — sf0.01 (the driver gate's scale), sf0.001, and sf0.1 —
+and commit the logs. The sf0.01 gate is structurally blind to
+scale-dependent divergence: the r10 sf0.1 sweep caught a latent
+dense_rank tie bug in an oracle (value collisions first appear at
+sf0.1) and a 1g-heap OOM that sf0.01 never triggers.
 """
 
 from __future__ import annotations
