@@ -218,12 +218,11 @@ ROWS_ONLY = {
     # BPE merge training is iterative (merge i depends on the rewrite
     # from merge i-1) — not expressible as one SQL statement; pinned
     # differentially against a pure-Python reference BPE in
-    # tests/test_round5b.py.
+    # tests/test_round5b.py. (bpe_encode_tokens graduated OUT of this
+    # set in round 11: with the merge count fixed at 8 the trainer
+    # unrolls into CTE stages, so the encode row now carries an exact
+    # DuckDB oracle — pipeline4._bpe_oracle_sql.)
     "bpe_merges",
-    # the encode side consumes the iterative trainer's merge list, so
-    # it inherits the same non-SQL-expressible status; the encoder
-    # kernel itself is differentially pinned (tests/test_round5c.py).
-    "bpe_encode_tokens",
 }
 
 #: The certification window (driver checks entries [:50]).
@@ -237,101 +236,104 @@ ROWS_ONLY = {
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-10 WINDOW — registry still frozen (VERDICT r5 #1): pure
-    # oldest-first re-certification, exactly the 50 the round-9
-    # ROUND-10 NOTE scheduled (recomputed against the r1..r9 union
-    # before the swap — byte-identical; no red rows, no new rewires,
-    # so priority classes (1) and (2) are empty and this is class
-    # (3): oldest rows by latest green round — the r1-only tail,
-    # then the round-3 wave — ties by registry order). Rows-only
-    # entries (approx_aggs, bpe_*) stay excluded: their evidence is
-    # the differential pytest, and a window slot spent on a
-    # no_oracle row certifies nothing.
-    "events_time_bucket",
-    "events_asof_join",
-    "events_range_join",
-    "events_multi_rollup",
-    "events_distinct_kmv",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "join_anti",
-    "text_clean",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "ann_bruteforce",
-    "embedding_near_dup",
-    "ann_lsh",
-    "ann_ivf",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "array_ops",
-    "posexplode_ordinality",
-    "struct_access",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_disjunctive_predicates",
-    "window_frames",
-    "nulls_ordering",
-    "regexp_extract",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "map_funcs",
-    "sample_deterministic",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_part_promotion",
-    "q21_suppliers_kept_orders_waiting",
-    "stats_aggs",
-    "argminmax_aggs",
-    "collect_agg",
+    # ROUND-11 WINDOW — registry still frozen (VERDICT r5 #1).
+    # Recomputed this round against the full r1..r10 union (script in
+    # the round-11 commit message): byte-identical to the round-10
+    # ROUND-11 NOTE's schedule. Priority class (2) has exactly one
+    # member — window_ranks, whose ORACLE gained the value-only
+    # dense_rank tie fix after its r9 driver row (engine unchanged) —
+    # so it leads; the remaining 49 are class (3): oldest rows by
+    # latest green round (the round-3 wave, then the round-4 wave),
+    # ties by registry order. Rows-only entries (approx_aggs,
+    # bpe_merges) stay excluded; bpe_encode_tokens graduated to an
+    # exact oracle this round (delimited-string output) and enters
+    # the rotation as a never-certified-exact name from r12 on.
+    "window_ranks",
+    "q2_min_per_group_subquery",
+    "unpivot_stack",
+    "expr_misc",
+    "pipeline_clean_corpus",
+    "text_quality_zscore",
+    "q7_volume_between_nations",
+    "q8_market_share",
+    "scan_filter_project",
+    "agg_global",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "setop_intersect_all",
+    "setop_except_all",
+    "events_sessionize",
+    "events_attribution_join",
+    "events_hopping_window",
+    "cohort_retention",
+    "events_funnel",
+    "embedding_near_dup_exact",
+    "decontaminate_ngram_overlap",
+    "vocab_topk",
+    "udaf_median_tokens",
+    "chunk_documents",
+    "pack_sequences",
+    "train_val_test_split",
+    "bm25_topk",
+    "dedup_editdistance",
+    "profile_columns",
+    "sources_roundtrip",
+    "salted_join_agg",
+    "planir_roundtrip",
+    "partitioned_pruning",
+    "window_nav_nulls",
+    "latest_per_key",
+    "agg_filtered",
+    "grouping_flags",
+    "string_agg_ordered",
+    "cross_join_grid",
+    "exists_correlated",
+    "registry_udf_expr",
+    "events_gapfill_locf",
+    "text_repetition_gopher",
+    "dedup_incremental",
+    "stratified_sample",
+    "winsorized_aggs",
+    "text_token_entropy",
+    "weighted_sample",
+    "weighted_sample_per_lang",
 ]
 
 
-# ROUND-11 NOTE (next certification window): the steady-state
-# rotation continues (VERDICT r7 #5, r8 #6, r9 #8). Priority
-# unchanged: (1) never-certified (none — coverage is 342/342 since
-# r9), (2) rewritten-since-row: window_ranks — its ORACLE gained the
-# value-only dense_rank window late in round 10 (the engine did not
-# change and its r9 row stays valid at sf0.01 where no balance ties
-# exist, but the certified comparison text is now different, so the
-# name leads the r11 window), (3) oldest rows by latest green round,
-# ties by registry order. Computed from the CORRECTNESS_r{1..9} union
-# with the round-10 window assumed green (it is pure
-# re-certification of already-green rows) — recompute against the
-# r{1..10} union before swapping in, in case a sweep turns a row red.
-# The exact 50 (window_ranks, then the remaining round-3 rows, then
-# the round-4 wave in registry order, dropping the overflow tail
-# name):
-#   window_ranks, q2_min_per_group_subquery, unpivot_stack, expr_misc,
-#   pipeline_clean_corpus, text_quality_zscore,
-#   q7_volume_between_nations, q8_market_share, scan_filter_project,
-#   agg_global, q1_pricing_summary, q3_shipping_priority,
-#   q5_local_supplier, setop_intersect_all, setop_except_all,
-#   events_sessionize, events_attribution_join, events_hopping_window,
-#   cohort_retention, events_funnel, embedding_near_dup_exact,
-#   decontaminate_ngram_overlap, vocab_topk, udaf_median_tokens,
-#   chunk_documents, pack_sequences, train_val_test_split, bm25_topk,
-#   dedup_editdistance, profile_columns, sources_roundtrip,
-#   salted_join_agg, planir_roundtrip, partitioned_pruning,
-#   window_nav_nulls, latest_per_key, agg_filtered, grouping_flags,
-#   string_agg_ordered, cross_join_grid, exists_correlated,
-#   registry_udf_expr, events_gapfill_locf, text_repetition_gopher,
-#   dedup_incremental, stratified_sample, winsorized_aggs,
-#   text_token_entropy, weighted_sample, weighted_sample_per_lang
-#   (recursive_month_grid moves to the r12 head as the overflow)
+# ROUND-12 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5, r8 #6, r9 #8, r10 #7). Priority
+# unchanged: (1) never-certified — after round 11 this class holds
+# bpe_encode_tokens (its oracle was added in round 11, so it has no
+# exact driver row yet; slot it first), (2) rewritten-since-row
+# (none known at pre-write time), (3) oldest rows by latest green
+# round, ties by registry order. Computed from the CORRECTNESS_r{1..10}
+# union with the round-11 window assumed green (pure re-certification
+# of already-green rows plus window_ranks' oracle re-run) — recompute
+# against the r{1..11} union before swapping in, in case a sweep or
+# the driver turns a row red. The exact 50 (bpe_encode_tokens, then
+# the class-3 tail starting at the r11 overflow recursive_month_grid,
+# dropping the last name to make room):
+#   bpe_encode_tokens,
+#   recursive_month_grid, lateral_top2_per_priority,
+#   merge_upsert_orders, join_null_safe, histogram_equi_depth,
+#   console_script_sql, window_range_1h,
+#   weighted_sample_per_lang_salted, heavy_hitters_topk,
+#   schema_evolution_merge, quarantine_corrupt_rows,
+#   collocations_pmi, dedup_containment, outliers_mad,
+#   tfidf_topk_terms, quality_filter_pipeline, events_transitions,
+#   mixture_weights, pii_redact, dedup_passages, perplexity_bigram,
+#   curation_funnel, snapshot_diff, semantic_dedup_clusters,
+#   skyline_orders, scd2_event_state, time_decay_agg,
+#   shard_manifest, events_anomaly_zscore, temporal_split_last_k,
+#   events_hopping_distinct_users, sales_share_shift,
+#   regression_aggs, data_quality_checks, assoc_rules_pairs,
+#   gaps_islands, bloom_prefilter_semi_join, graph_triangle_count,
+#   graph_pagerank, rrf_fusion, median_mode_aggs,
+#   window_running_distinct, interval_union_time, moving_corr,
+#   ab_test_ztest, contingency_stats, phrase_search_inverted,
+#   histogram_dense, xml_roundtrip
+#   (window_rolling_median moves to the r13 head as the overflow)
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
@@ -339,10 +341,11 @@ _FIRST_50 = [
 # auditable, alongside the gated registry plan scan
 # (tools/plan_scan.py -> tools/plan_scan_r{N}.log: zero cartesian,
 # zero build errors, exchanges within the documented iterative-trainer
-# ceiling) and the round-10-introduced CROSS-SCALE sweeps
-# (tools/check_oracle.py at sf0.001 and sf0.1 ->
-# tools/oracle_sweep_r{N}_sf{0001,01}.log — the sf0.01 gate cannot see
-# scale-dependent divergence; both r10 catches came from these).
+# ceiling, file scans within the per-query ceiling added in r11) and
+# the round-10-introduced CROSS-SCALE sweeps (tools/check_oracle.py at
+# sf0.001 and sf0.1 -> tools/oracle_sweep_r{N}_sf{0001,01}.log — the
+# sf0.01 gate cannot see scale-dependent divergence; both r10 catches
+# came from these).
 
 def _wrap(fn):
     """Release the previous query's operator-internal caches before

@@ -377,11 +377,14 @@ def q_bpe_merges(spark, sf):
 def q_bpe_encode_tokens(spark, sf):
     """Apply the corpus-trained merges back to the corpus — the
     encode side of the tokenizer (operators/bpe.bpe_encode). Encoding
-    itself is a map-only JVM regexp chain; the row is rows-only
-    because the merge list it consumes comes from the iterative
-    trainer. tests/test_round5c.py pins the encoder differentially
-    against a pure-Python greedy-left reference and checks the
-    trained-segmentation consistency property."""
+    itself is a map-only JVM regexp chain. tests/test_round5c.py pins
+    the encoder differentially against a pure-Python greedy-left
+    reference and checks the trained-segmentation consistency
+    property; since round 11 the row ALSO carries an exact DuckDB
+    oracle (the 8-merge training loop unrolled as CTE stages — see
+    _bpe_oracle_sql), so the registry's only remaining rows-only
+    entries are the genuinely non-oracle-able sketches and the
+    merge-table row itself."""
     from datafusion_archive_spark.operators import bpe
 
     d = _t(spark, sf, "documents")
@@ -396,6 +399,92 @@ def q_bpe_encode_tokens(spark, sf):
         # driver's rows-only canonicalization cannot sort ARRAY columns
         F.concat_ws("|", F.slice(F.col("tokens"), 1, 8)).alias("head_tokens"),
     )
+
+
+def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB twin of train-then-encode BPE, with the iterative
+    trainer UNROLLED into ``n_merges`` CTE stages (fixed small merge
+    count makes the "not SQL-expressible" objection moot).
+
+    The engine's rewrite is a Java regex with zero-width boundary
+    lookarounds (operators/bpe.py); DuckDB's RE2 has no lookarounds,
+    so the oracle reproduces the identical greedy left-to-right
+    non-overlapping merge with plain ``replace`` on a DOUBLE-SPACED
+    symbol string: every token boundary is two spaces and each end is
+    one, so the pattern ``' l  r '`` consumes one space from each
+    neighbouring boundary and the replacement ``' lr '`` restores the
+    invariant — adjacent matches never compete for the same delimiter
+    character, which is exactly the non-overlap semantics of the
+    lookaround regex. Verified cell-identical to the Spark query at
+    sf0.001 / sf0.01 / sf0.1 (round-11 sweep logs). Corpus is ASCII
+    (TESTDATA.md), so Java's UTF-16 code-unit ``(.)`` char-split and
+    RE2's codepoint ``(.)`` agree.
+
+    Assumes the corpus yields at least ``n_merges`` distinct pairs
+    (an exhausted-vocabulary stage would produce an empty 1-row CTE
+    and empty out the cross join); holds at every shipped SF.
+    """
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    parts = [
+        f"""vocab0 AS (
+          SELECT count(*) AS freq,
+                 trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                   || ' </w>' AS syms
+          FROM (SELECT unnest(string_split({norm}, ' ')) AS word
+                FROM documents)
+          WHERE word <> ''
+          GROUP BY 2
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""pairs{k - 1} AS (
+          SELECT freq,
+                 unnest([l[i] || ' ' || l[i+1]
+                         for i in range(1, len(l))]) AS pair
+          FROM (SELECT freq, string_split(syms, ' ') AS l
+                FROM vocab{k - 1})
+        ),
+        m{k} AS (
+          SELECT string_split(pair, ' ')[1] AS l,
+                 string_split(pair, ' ')[2] AS r
+          FROM (SELECT pair, sum(freq) AS n FROM pairs{k - 1}
+                GROUP BY pair ORDER BY n DESC, pair LIMIT 1)
+        ),
+        vocab{k} AS (
+          SELECT freq,
+                 trim(replace(replace(
+                   ' ' || replace(syms, ' ', '  ') || ' ',
+                   ' ' || m.l || '  ' || m.r || ' ',
+                   ' ' || m.l || m.r || ' '), '  ', ' ')) AS syms
+          FROM vocab{k - 1}, m{k} m
+        )"""
+        )
+    mm_cols = ", ".join(
+        f"m{k}.l AS l{k}, m{k}.r AS r{k}" for k in range(1, n_merges + 1)
+    )
+    mm_from = ", ".join(f"m{k}" for k in range(1, n_merges + 1))
+    parts.append(f"mm AS (SELECT {mm_cols} FROM {mm_from})")
+    word_expr = (
+        "' ' || replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+        " || ' </w>', ' ', '  ') || ' '"
+    )
+    for k in range(1, n_merges + 1):
+        word_expr = (
+            f"replace({word_expr}, ' ' || l{k} || '  ' || r{k} || ' ',"
+            f" ' ' || l{k} || r{k} || ' ')"
+        )
+    tokens_w = f"string_split(trim(replace({word_expr}, '  ', ' ')), ' ')"
+    return f"""WITH {','.join(parts)},
+        enc AS (
+          SELECT doc_id,
+                 flatten([{tokens_w} for w in words if w <> '']) AS tokens
+          FROM (SELECT doc_id, string_split({norm}, ' ') AS words
+                FROM documents), mm
+        )
+        SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+               array_to_string(tokens[1:8], '|') AS head_tokens
+        FROM enc"""
 
 
 QUERIES = {
@@ -543,4 +632,5 @@ ORACLES = {
         ORDER BY avg_nll DESC, doc_id
         LIMIT {_PPL_TOP}
     """,
+    "bpe_encode_tokens": _bpe_oracle_sql(),
 }
