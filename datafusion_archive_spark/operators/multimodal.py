@@ -102,7 +102,14 @@ def _decode_pillow(payload: bytes) -> tuple[int, int, int]:
                 int(img.height),
                 int(getattr(img, "n_frames", 1)),
             )
-    except UnidentifiedImageError as e:
+    # UnidentifiedImageError: no codec recognizes the header.
+    # OSError/EOFError/SyntaxError: a codec DID claim the payload but
+    # it is truncated/inconsistent — PIL raises these from size
+    # parsing and n_frames probing (e.g. a cut-short GIF/TIFF), and
+    # letting them escape raw would break the documented corrupt ->
+    # ValueError contract on clusters where this path is live
+    # (ADVICE r10).
+    except (UnidentifiedImageError, OSError, EOFError, SyntaxError) as e:
         raise ValueError(f"corrupt media payload: {e}") from e
 
 

@@ -69,6 +69,19 @@ def summarize(df: DataFrame) -> PlanSummary:
         )
         if "hashpartitioning" in args
     }
+    # Parse-drift guard (ADVICE r10): the plan_scan gate now depends
+    # on this count, and a silent regex miss (a future Spark changing
+    # the detail-section layout or dropping the Arguments line) would
+    # read as "0 exchanges" — a PASS. If simple mode shows hash
+    # exchanges but the formatted parse found none, the parse is
+    # broken: fail loudly instead of under-reporting.
+    if not hash_exchange_ids and "Exchange hashpartitioning" in plan:
+        raise RuntimeError(
+            "plan-inspect parse drift: simple plan contains hash "
+            "exchanges but the formatted-mode node-id parse found "
+            "none — the explain layout changed; fix the regex in "
+            "plans/inspect.py before trusting exchange counts"
+        )
     return PlanSummary(
         joins=[j for j in re.findall("|".join(_JOIN_KINDS), plan)],
         n_hash_exchanges=len(hash_exchange_ids),

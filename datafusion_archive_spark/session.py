@@ -74,5 +74,27 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # spark.driver.memory only binds at JVM launch: if some earlier
+    # code already created a session (the 1g default), getOrCreate
+    # returns it and the OOM protection above silently does not apply
+    # (ADVICE r10). Make that visible instead of tribal. NB: read the
+    # SparkCONTEXT conf — getOrCreate copies builder options into the
+    # session conf map even when the JVM ignored them, so
+    # spark.conf.get would happily echo the requested value back.
+    effective = spark.sparkContext.getConf().get(
+        "spark.driver.memory", "1g"
+    )
+    if effective != driver_mem:
+        import warnings
+
+        warnings.warn(
+            f"get_spark requested spark.driver.memory={driver_mem} but "
+            f"an existing session has {effective}; sf0.1-scale "
+            "graph/iterative queries may OOM on a 1g heap (stop the "
+            "stale session or set SPARK_GRAFT_DRIVER_MEMORY before "
+            "first session creation)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

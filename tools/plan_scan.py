@@ -13,9 +13,17 @@ The GATE (exit status):
 - any query above ``--max-exchanges`` (default 20) → fail — the
   known-worst iterative trainers sit at 17 (see PERF.md round-10
   notes), so a breach means either a new unjustified fan-out or a
-  regression in an existing plan.
+  regression in an existing plan;
+- any query above ``--max-scans`` (default 6) → fail — the registry's
+  widest plans are the 6-table TPC-H joins (q5/q7/q21) and the
+  multi-table referential-integrity audit, all 6 DISTINCT tables; a
+  breach is the uncached fan-out-recompute class (one source re-read
+  per branch of a reused subtree — the r8 spearman/wasserstein bug
+  shape), which exchange counts alone can miss when the re-reads are
+  scan-only.
 
 Usage: python tools/plan_scan.py [sf_dir] [--max-exchanges N]
+       [--max-scans N]
 Redirect stdout to tools/plan_scan_r{N}.log per-round.
 """
 
@@ -37,6 +45,11 @@ def main() -> int:
         i = args.index("--max-exchanges")
         max_exchanges = int(args[i + 1])
         del args[i : i + 2]
+    max_scans = 6
+    if "--max-scans" in args:
+        i = args.index("--max-scans")
+        max_scans = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     spark = get_spark("plan_scan")
@@ -44,10 +57,11 @@ def main() -> int:
     print(f"# {sf_dir}): columns = name, hash exchanges (deduped by")
     print("# formatted plan-node id), numbered file scans,")
     print("# CartesianProduct present. Gate: no cartesian, no build")
-    print(f"# errors, exchanges <= {max_exchanges}.")
+    print(f"# errors, exchanges <= {max_exchanges}, scans <= {max_scans}.")
     print("name exchanges scans cartesian")
     worst = ("-", -1)
-    n_err = n_cart = n_over = 0
+    worst_scans = ("-", -1)
+    n_err = n_cart = n_over = n_scans_over = 0
     for name in sorted(QUERIES):
         try:
             s = summarize(QUERIES[name](spark, sf_dir))
@@ -58,14 +72,19 @@ def main() -> int:
         cart = "CartesianProduct" in s.joins
         n_cart += cart
         n_over += s.n_hash_exchanges > max_exchanges
+        n_scans_over += s.n_scans > max_scans
         if s.n_hash_exchanges > worst[1]:
             worst = (name, s.n_hash_exchanges)
+        if s.n_scans > worst_scans[1]:
+            worst_scans = (name, s.n_scans)
         print(name, s.n_hash_exchanges, s.n_scans, cart)
     print(
-        f"# WORST-EXCHANGES {worst[0]} {worst[1]}; errors={n_err}; "
-        f"cartesian={n_cart}; over-cap={n_over}"
+        f"# WORST-EXCHANGES {worst[0]} {worst[1]}; "
+        f"WORST-SCANS {worst_scans[0]} {worst_scans[1]}; "
+        f"errors={n_err}; cartesian={n_cart}; over-cap={n_over}; "
+        f"scans-over-cap={n_scans_over}"
     )
-    ok = n_err == 0 and n_cart == 0 and n_over == 0
+    ok = n_err == 0 and n_cart == 0 and n_over == 0 and n_scans_over == 0
     print(f"# GATE {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
