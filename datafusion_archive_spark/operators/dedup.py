@@ -427,30 +427,89 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     blocking_bands: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Pairs of documents whose SimHash Hamming distance ≤
     ``max_hamming``.
 
-    Blocking: split the signature into ``blocking_bands`` contiguous
-    bit-bands; by pigeonhole, any pair within distance
-    ``blocking_bands - 1`` agrees exactly on at least one band, so the
-    candidate join keys on (band index, band value) — linear, not
-    quadratic. Verification computes the true popcount of XOR.
+    Blocking (``n_blocks=None``, the simple scheme): split the
+    signature into ``blocking_bands`` contiguous bit-bands; by
+    pigeonhole, any pair within distance ``blocking_bands - 1`` agrees
+    exactly on at least one band, so the candidate join keys on
+    (band index, band value) — never the doc² cross product.
+    Verification computes the true popcount of XOR, so the OUTPUT is
+    exact under either scheme; blocking only sets candidate volume.
+
+    Combination blocking (``n_blocks`` set — Manku, Jain & Sarma,
+    WWW'07): the simple scheme's band width is pinned to
+    ``bits / (max_hamming + 1)`` (15 bits here), so RANDOM band
+    collisions grow ~n²/2^15 — measurably super-linear once the corpus
+    passes ~2^15 docs (tools/scale_probe_r11.log: 1022 → 9456 → 125398
+    candidates at 2.5k/10k/40k docs). Instead split into ``n_blocks``
+    blocks and key each candidate table on a COMBINATION of
+    ``n_blocks - max_hamming`` blocks: ≤ ``max_hamming`` differing
+    bits can dirty at most ``max_hamming`` blocks, so some kept
+    combination agrees fully — the same pigeonhole exactness — while
+    the join key widens to ``(n_blocks - max_hamming) * width`` bits
+    (30 here for n_blocks=6), pushing random collisions out to ~2^30
+    docs. Cost: C(n_blocks, n_blocks - max_hamming) exploded rows per
+    doc (20 for (6,3)) — a constant factor on a linear shuffle, the
+    right trade at 100 TB. Re-probed with (6,3): 733 → 2781 → 11763
+    candidates at the same sizes — linear in docs, with the OUTPUT
+    pair sets byte-identical to the simple scheme at every size.
     """
     bits = min(bits, 60)
     # persisted: the band explode + self-join would recompute the
     # packed vote aggregation per plan branch otherwise
     sig = cached(simhash64(df, text_col, id_col, bits))
-    band_width = bits // blocking_bands
-    band_structs = [
-        F.struct(
-            F.lit(bidx).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), bidx * band_width)
-            .bitwiseAND(F.lit((1 << band_width) - 1))
-            .alias("band_val"),
-        )
-        for bidx in range(blocking_bands)
-    ]
+    if n_blocks is None:
+        band_width = bits // blocking_bands
+        band_structs = [
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bidx * band_width)
+                .bitwiseAND(F.lit((1 << band_width) - 1))
+                .alias("band_val"),
+            )
+            for bidx in range(blocking_bands)
+        ]
+    else:
+        from itertools import combinations
+
+        if bits % n_blocks:
+            raise ValueError(
+                f"n_blocks={n_blocks} must divide the usable "
+                f"signature width {bits}"
+            )
+        combo_size = n_blocks - max_hamming
+        if combo_size < 1:
+            raise ValueError(
+                f"combination blocking needs n_blocks > max_hamming "
+                f"(got {n_blocks} <= {max_hamming})"
+            )
+        width = bits // n_blocks
+        block = [
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(n_blocks)
+        ]
+        band_structs = []
+        for cidx, combo in enumerate(
+            combinations(range(n_blocks), combo_size)
+        ):
+            # pack the combo's blocks into one long (combo_size*width
+            # <= bits <= 60, always fits)
+            val = block[combo[0]]
+            for pos, i in enumerate(combo[1:], start=1):
+                val = val.bitwiseOR(
+                    F.shiftleft(block[i], pos * width)
+                )
+            band_structs.append(
+                F.struct(
+                    F.lit(cidx).alias("band"), val.alias("band_val")
+                )
+            )
     blocked = sig.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select(

@@ -411,7 +411,17 @@ def ivf_topk(
     """IVF query: probe the ``nprobe`` nearest inverted lists, exact
     cosine within them. At scale the assigned corpus is written
     partitioned by ``list_id`` so a probe reads only its partitions
-    (partition pruning does the index lookup)."""
+    (partition pruning does the index lookup).
+
+    Sizing rule (r11 scale probe, tools/scale_probe_r11.log): a FIXED
+    ``centroid_stride`` makes nlist grow with the corpus, so the
+    assignment join costs n * (n/stride) — quadratic; the probe
+    measured 1.7 s -> 15.7 s for 4x the vectors. Choose
+    ``centroid_stride ~ sqrt(n)`` (nlist ~ sqrt(n), the standard IVF
+    sizing): assignment drops to n^1.5 and each probed list stays
+    ~sqrt(n) long (3.3x faster at 40k vectors, recall within 4 pts).
+    The certified query keeps stride=50 because its gate corpus is
+    500 vectors, where 50 IS ~sqrt(n)."""
     assigned = ivf_assign(corpus, centroid_stride, id_col, vec_col)
     cents = _normalized(
         corpus.filter(F.col(id_col) % centroid_stride == 0),

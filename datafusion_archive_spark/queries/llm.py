@@ -156,11 +156,17 @@ def q_dedup_simhash_signatures(spark, sf):
 
 
 def q_dedup_simhash_pairs(spark, sf):
+    """Combination blocking (n_blocks=6 -> C(6,3)=20 30-bit keys):
+    output-identical to the simple 4-band scheme (verification is
+    exact hamming; the oracle is brute-force XOR popcount), but
+    candidate volume stays linear in docs past ~2^15 of them — the
+    r11 scale probe caught the simple scheme's random 15-bit band
+    collisions growing ~n² (tools/scale_probe_r11.log)."""
     return dedup.simhash_near_pairs(
         _t(spark, sf, "documents"),
-        max_hamming=_SIMHASH_BANDS - 1,  # pigeonhole-exact with 4 bands
+        max_hamming=_SIMHASH_BANDS - 1,  # pigeonhole-exact either way
         bits=_SIMHASH_BITS,
-        blocking_bands=_SIMHASH_BANDS,
+        n_blocks=6,
     )
 
 

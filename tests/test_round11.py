@@ -1,0 +1,270 @@
+"""Round-11 regression pins.
+
+1. The bpe_encode_tokens DuckDB oracle (pipeline4._bpe_oracle_sql):
+   the trainer unrolls into CTE stages and the greedy left-to-right
+   non-overlapping merge is reproduced with plain ``replace`` on a
+   double-spaced symbol string (DuckDB's RE2 has no lookarounds).
+   Pinned on an overlap-HEAVY synthetic corpus — runs of identical
+   symbols and alternating pairs are exactly where a naive
+   single-spaced replace diverges from the engine's lookaround regex
+   (" a a a " consumes the shared delimiter and misses the second
+   pair), so this corpus fails immediately if the delimiter-doubling
+   invariant is ever broken.
+
+2. ADVICE r10 fixes:
+   - multimodal._decode_pillow maps truncated-payload OSError (and
+     frame-probe EOFError/SyntaxError) to ValueError, not just
+     UnidentifiedImageError;
+   - plans.inspect.summarize raises on formatted-parse drift instead
+     of silently reporting 0 hash exchanges;
+   - session.get_spark warns when getOrCreate returns a pre-existing
+     session whose spark.driver.memory differs from the requested
+     value (the sf0.1 OOM-protection boundary).
+
+3. The plan-scan scans-ceiling (VERDICT r10 #5): the registry's
+   widest plans are 6 distinct-table scans; the uncached
+   fan-out-recompute class (same source re-read per reused-subtree
+   branch) must keep tripping the gate.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+import warnings
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# 1. BPE encode oracle differential on overlap-heavy words
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_oracle_matches_engine_on_overlap_heavy_corpus(
+    spark, tmp_path
+):
+    from datafusion_archive_spark.queries.pipeline4 import (
+        _bpe_oracle_sql,
+        q_bpe_encode_tokens,
+    )
+
+    docs = [
+        # runs of one letter: merge (a,a) must go greedy-left
+        # ("aaa" -> [aa, a]), the case plain single-space replace gets
+        # wrong by consuming the shared delimiter
+        "aaa aaaa aaaaa aa a",
+        # alternating pairs: every adjacent (a,b) merges in ONE pass
+        "abababab abab ab ba",
+        # repeated-word mass to steer the early merges onto the
+        # pathological shapes above
+        "aaa aaa aaa aaa abab abab abab baba",
+        "aa aa aa aa aa ab ab ab ab",
+        # mixed-case + extra whitespace exercises normalize_text
+        "  AAA   aBaB  \t aa  ",
+    ]
+    pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs, "lang": "en"}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = (
+        q_bpe_encode_tokens(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+        + str(tmp_path / "documents.parquet")
+        + "')"
+    )
+    want = (
+        con.execute(_bpe_oracle_sql())
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_tokens": "int64"}),
+        want.astype({"n_tokens": "int64"}),
+    )
+    # the corpus really did hit the greedy-left shape: some token is a
+    # multi-merge run (aaaa-or-longer collapsed), proving the merges
+    # touched the overlap cases rather than stopping at digraphs
+    toks = set(got["head_tokens"].str.split("|").explode())
+    assert any(len(t.replace("</w>", "")) >= 3 for t in toks), toks
+
+
+# ---------------------------------------------------------------------------
+# 2a. Pillow decode maps truncated-payload errors to ValueError
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raised", [OSError("broken header"), EOFError(), SyntaxError("gif")]
+)
+def test_decode_pillow_maps_truncation_errors(monkeypatch, raised):
+    # fake PIL: identified-but-truncated payload -> raises from open()
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+
+    class UnidentifiedImageError(Exception):
+        pass
+
+    def _open(_buf):
+        raise raised
+
+    image_mod.open = _open
+    pil.Image = image_mod
+    pil.UnidentifiedImageError = UnidentifiedImageError
+    image_mod.UnidentifiedImageError = UnidentifiedImageError
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    from datafusion_archive_spark.operators.multimodal import (
+        _decode_pillow,
+    )
+
+    with pytest.raises(ValueError, match="corrupt media payload"):
+        _decode_pillow(b"\x89PNG truncated")
+
+
+# ---------------------------------------------------------------------------
+# 2b. plan-inspect parse-drift guard
+# ---------------------------------------------------------------------------
+
+
+def test_summarize_raises_on_formatted_parse_drift(monkeypatch):
+    from datafusion_archive_spark.plans import inspect as I
+
+    plans = {
+        "simple": "*(2) Exchange hashpartitioning(k#1, 8)\n+- Scan\n",
+        # formatted layout WITHOUT the "(N) Exchange" detail header the
+        # regex needs — the drift shape ADVICE r10 flagged
+        "formatted": "Exchange [2]\nArguments: hashpartitioning(k)\n",
+    }
+    monkeypatch.setattr(
+        I, "plan_string", lambda df, mode="simple": plans[mode]
+    )
+    with pytest.raises(RuntimeError, match="parse drift"):
+        I.summarize(object())
+
+
+def test_summarize_still_counts_real_exchanges(spark, sf_dir):
+    # sanity alongside the guard: a real shuffling plan parses fine
+    from datafusion_archive_spark.operators.util import load_table
+    from datafusion_archive_spark.plans import summarize
+
+    df = load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").count()
+    s = summarize(df)
+    assert s.n_hash_exchanges >= 1
+
+
+# ---------------------------------------------------------------------------
+# 2c. session factory warns when a stale under-provisioned JVM wins
+# ---------------------------------------------------------------------------
+
+
+def test_get_spark_warns_on_driver_memory_mismatch(spark, monkeypatch):
+    from datafusion_archive_spark.session import get_spark
+
+    current = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+    # request something the already-running JVM cannot have
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEMORY", "2g")
+    assert current != "2g"
+    with pytest.warns(RuntimeWarning, match="spark.driver.memory"):
+        got = get_spark("mismatch_probe")
+    assert got is spark  # getOrCreate returned the existing session
+
+
+def test_get_spark_quiet_when_memory_matches(spark, monkeypatch):
+    from datafusion_archive_spark.session import get_spark
+
+    current = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEMORY", current)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        get_spark("match_probe")
+
+
+# ---------------------------------------------------------------------------
+# 3. scans ceiling — the widest legitimate plans stay at 6 distinct
+#    tables; a fan-out recompute would push past it
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["q21_suppliers_kept_orders_waiting", "q5_local_supplier"]
+)
+def test_widest_plans_hold_the_scan_ceiling(spark, sf_dir, name):
+    from datafusion_archive_spark.plans import summarize
+    from datafusion_archive_spark.queries import _ALL_QUERIES
+
+    s = summarize(_ALL_QUERIES[name](spark, sf_dir))
+    assert s.n_scans <= 6, (name, s.n_scans)
+
+
+# ---------------------------------------------------------------------------
+# 4. simhash combination blocking (Manku WWW'07) is output-identical
+#    to the simple contiguous-band scheme AND to brute-force hamming
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_combination_blocking_is_exact(spark):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from datafusion_archive_spark.operators import dedup
+
+    # clustered corpus: groups of near-identical docs (simhash-close)
+    # plus unique docs; distinct group vocabularies keep groups apart
+    rows = []
+    did = 0
+    for g in range(12):
+        base = [f"g{g}w{j}" for j in range(40)]
+        for v in range(3):
+            words = list(base)
+            for j in range(v):  # v words perturbed -> tiny hamming
+                words[7 * j + 3] = f"g{g}v{v}j{j}"
+            rows.append({"doc_id": did, "text": " ".join(words)})
+            did += 1
+    df = spark.createDataFrame(rows)
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_pairs(
+                df, max_hamming=3, bits=64, **kw
+            ).collect()
+        }
+
+    simple = pairs(blocking_bands=4)
+    combo = pairs(n_blocks=6)
+    # brute-force ground truth from the signatures themselves
+    sigs = {
+        r.id: r.simhash for r in dedup.simhash64(df, bits=64).collect()
+    }
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert brute, "corpus must actually contain near pairs"
+    assert simple == brute
+    assert combo == brute
+
+
+def test_simhash_combination_blocking_validates_params(spark):
+    from datafusion_archive_spark.operators import dedup
+
+    df = spark.createDataFrame([{"doc_id": 0, "text": "a b c"}])
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.simhash_near_pairs(df, bits=64, n_blocks=7).collect()
+    with pytest.raises(ValueError, match="n_blocks > max_hamming"):
+        dedup.simhash_near_pairs(
+            df, bits=64, max_hamming=6, n_blocks=6
+        ).collect()
