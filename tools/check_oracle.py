@@ -37,7 +37,17 @@ def _session():
     """ORACLE_CHECK_VANILLA=1 replicates the driver's configuration —
     a bare SparkSession with none of the session factory's conf — so
     the sweep artifact proves the queries don't depend on get_spark
-    defaults (the driver will not use our factory)."""
+    defaults (the driver will not use our factory).
+
+    HEAP BOUNDARY (VERDICT r10 #6): vanilla means the JVM launches
+    with the 1g spark.driver.memory default, shared by the driver and
+    every executor thread. That holds the whole registry at the
+    sf0.01 gate (the committed vanilla sweeps prove it), but the
+    sf0.1 GRAPH queries cross it — graph_triangle_count reproducibly
+    OOMs a 1g heap at sf0.1 (pinned by tests/test_round11.py). Run
+    sf0.1 sweeps through get_spark (8g default), and read any vanilla
+    sf0.1 graph failure via session.diagnose_heap_oom — the per-query
+    FAIL line below already does."""
     if os.environ.get("ORACLE_CHECK_VANILLA"):
         from pyspark.sql import SparkSession
 
@@ -127,7 +137,16 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            from datafusion_archive_spark.session import diagnose_heap_oom
+
+            diag = diagnose_heap_oom(e)
+            if diag is not None:
+                # vanilla mode runs on the driver's bare 1g JVM — at
+                # sf0.1 the graph queries cross the heap boundary
+                # there; say so instead of dumping the executor stack
+                print(f"FAIL {name}: {diag}")
+            else:
+                print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if name not in oracles:
