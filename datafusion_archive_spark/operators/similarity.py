@@ -374,16 +374,29 @@ def lsh_cosine_pairs(
 # -- IVF --------------------------------------------------------------------
 
 
+def _auto_stride(corpus: DataFrame) -> int:
+    """centroid_stride ~ sqrt(n): nlist ~ sqrt(n) and each list ~
+    sqrt(n) long — the standard IVF sizing the r11 scale probe
+    validated (a FIXED stride makes nlist grow with the corpus and
+    the assignment join quadratic; see ivf_topk's sizing note). Costs
+    one count() of the corpus, which an index build amortizes."""
+    n = corpus.count()
+    return max(1, int(round(n**0.5)))
+
+
 def ivf_assign(
     corpus: DataFrame,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid. Centroids are the
     deterministic subset ``id % stride == 0`` (a real system would run
     k-means; the index structure and query path are identical).
-    Returns corpus rows + ``list_id``."""
+    ``centroid_stride=None`` auto-sizes to ~sqrt(corpus) — see
+    :func:`_auto_stride`. Returns corpus rows + ``list_id``."""
+    if centroid_stride is None:
+        centroid_stride = _auto_stride(corpus)
     c = _normalized(corpus, id_col, vec_col, "nid", "v")
     cents = c.filter(F.col("nid") % centroid_stride == 0).select(
         F.col("nid").alias("list_id"), F.col("v").alias("cv")
@@ -404,7 +417,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -420,8 +433,11 @@ def ivf_topk(
     ``centroid_stride ~ sqrt(n)`` (nlist ~ sqrt(n), the standard IVF
     sizing): assignment drops to n^1.5 and each probed list stays
     ~sqrt(n) long (3.3x faster at 40k vectors, recall within 4 pts).
-    The certified query keeps stride=50 because its gate corpus is
-    500 vectors, where 50 IS ~sqrt(n)."""
+    Pass ``centroid_stride=None`` to auto-size that way. The certified
+    query keeps stride=50 because its gate corpus is 500 vectors,
+    where 50 IS ~sqrt(n)."""
+    if centroid_stride is None:
+        centroid_stride = _auto_stride(corpus)
     assigned = ivf_assign(corpus, centroid_stride, id_col, vec_col)
     cents = _normalized(
         corpus.filter(F.col(id_col) % centroid_stride == 0),
@@ -463,7 +479,7 @@ def ivf_topk(
 def ivf_index_write(
     corpus: DataFrame,
     base_path: str,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -472,7 +488,11 @@ def ivf_index_write(
     the small centroid table alongside. This is the layout that turns
     an IVF probe into *partition pruning* — the query below reads only
     its probed lists' directories, which is the whole point of an IVF
-    index at 100 TB."""
+    index at 100 TB. ``centroid_stride=None`` auto-sizes to
+    ~sqrt(corpus) (see :func:`_auto_stride`) — the natural choice
+    here, where the build cost is amortized over every future probe."""
+    if centroid_stride is None:
+        centroid_stride = _auto_stride(corpus)
     assigned = ivf_assign(corpus, centroid_stride, id_col, vec_col)
     (
         assigned.write.mode("overwrite")

@@ -319,6 +319,43 @@ def test_sf01_graph_on_1g_heap_passes_or_diagnoses():
     )
 
 
+# ---------------------------------------------------------------------------
+# 5. IVF auto stride (~sqrt n) — the scale-probe sizing rule as API
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_auto_stride_sizes_and_recalls(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_archive_spark.operators import similarity
+
+    n = 400
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") / 20).cast("long").alias("cl"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: (F.pmod(F.xxhash64(F.col("cl"), j), F.lit(2001)) / 1000.0 - 1.0)
+        + 0.2
+        * (
+            F.pmod(F.xxhash64(F.col("vec_id"), j, F.lit(5)), F.lit(2001))
+            / 1000.0
+            - 1.0
+        ),
+    )
+    corpus = base.select("vec_id", vec.alias("embedding"))
+    assert similarity._auto_stride(corpus) == 20  # round(sqrt(400))
+
+    queries = corpus.filter(F.col("vec_id") % 40 == 0).limit(5)
+    brute = similarity.cosine_topk(corpus, queries, k=5)
+    auto = similarity.ivf_topk(
+        corpus, queries, k=5, nprobe=2, centroid_stride=None
+    )
+    hits = auto.join(brute, ["query_id", "neighbor_id"], "semi").count()
+    assert hits / brute.count() >= 0.6  # clustered data: probes land
+
+
 def test_simhash_combination_blocking_validates_params(spark):
     from datafusion_archive_spark.operators import dedup
 
