@@ -213,16 +213,14 @@ for mod in QUERY_MODULES:
 ROWS_ONLY = {
     # approximate aggregates: HLL/KLL sketch outputs are
     # implementation-defined; tests/test_approx_bounds.py pins their
-    # relative error against exact DuckDB values instead.
+    # relative error against exact DuckDB values instead. This is the
+    # registry's LAST rows-only entry: bpe_encode_tokens and
+    # bpe_merges both graduated to exact DuckDB oracles in round 11 —
+    # with the merge count fixed at 8 the iterative trainer unrolls
+    # into CTE stages (pipeline4._bpe_trainer_ctes), giving the encode
+    # row a full corpus twin (_bpe_oracle_sql) and the merge-table row
+    # a stage-union twin (_bpe_merges_oracle_sql).
     "approx_aggs",
-    # BPE merge training is iterative (merge i depends on the rewrite
-    # from merge i-1) — not expressible as one SQL statement; pinned
-    # differentially against a pure-Python reference BPE in
-    # tests/test_round5b.py. (bpe_encode_tokens graduated OUT of this
-    # set in round 11: with the merge count fixed at 8 the trainer
-    # unrolls into CTE stages, so the encode row now carries an exact
-    # DuckDB oracle — pipeline4._bpe_oracle_sql.)
-    "bpe_merges",
 }
 
 #: The certification window (driver checks entries [:50]).
@@ -244,10 +242,11 @@ _FIRST_50 = [
     # dense_rank tie fix after its r9 driver row (engine unchanged) —
     # so it leads; the remaining 49 are class (3): oldest rows by
     # latest green round (the round-3 wave, then the round-4 wave),
-    # ties by registry order. Rows-only entries (approx_aggs,
-    # bpe_merges) stay excluded; bpe_encode_tokens graduated to an
-    # exact oracle this round (delimited-string output) and enters
-    # the rotation as a never-certified-exact name from r12 on.
+    # ties by registry order. The rows-only entry (approx_aggs) stays
+    # excluded; bpe_encode_tokens AND bpe_merges graduated to exact
+    # oracles this round (delimited-string output / stage-union merge
+    # table) and enter the rotation as never-certified-exact names
+    # from r12 on.
     "window_ranks",
     "q2_min_per_group_subquery",
     "unpivot_stack",
@@ -304,17 +303,18 @@ _FIRST_50 = [
 # ROUND-12 NOTE (next certification window): the steady-state
 # rotation continues (VERDICT r7 #5, r8 #6, r9 #8, r10 #7). Priority
 # unchanged: (1) never-certified — after round 11 this class holds
-# bpe_encode_tokens (its oracle was added in round 11, so it has no
-# exact driver row yet; slot it first), (2) rewritten-since-row
-# (none known at pre-write time), (3) oldest rows by latest green
-# round, ties by registry order. Computed from the CORRECTNESS_r{1..10}
-# union with the round-11 window assumed green (pure re-certification
-# of already-green rows plus window_ranks' oracle re-run) — recompute
-# against the r{1..11} union before swapping in, in case a sweep or
-# the driver turns a row red. The exact 50 (bpe_encode_tokens, then
-# the class-3 tail starting at the r11 overflow recursive_month_grid,
-# dropping the last name to make room):
-#   bpe_encode_tokens,
+# bpe_encode_tokens AND bpe_merges (both oracles were added in round
+# 11, so neither has an exact driver row yet; slot them first),
+# (2) rewritten-since-row (none known at pre-write time), (3) oldest
+# rows by latest green round, ties by registry order. Computed from
+# the CORRECTNESS_r{1..10} union with the round-11 window assumed
+# green (pure re-certification of already-green rows plus
+# window_ranks' oracle re-run) — recompute against the r{1..11} union
+# before swapping in, in case a sweep or the driver turns a row red.
+# The exact 50 (the two never-certified-exact names, then the class-3
+# tail starting at the r11 overflow recursive_month_grid, dropping
+# the last two names to make room):
+#   bpe_encode_tokens, bpe_merges,
 #   recursive_month_grid, lateral_top2_per_priority,
 #   merge_upsert_orders, join_null_safe, histogram_equi_depth,
 #   console_script_sql, window_range_1h,
@@ -332,8 +332,9 @@ _FIRST_50 = [
 #   graph_pagerank, rrf_fusion, median_mode_aggs,
 #   window_running_distinct, interval_union_time, moving_corr,
 #   ab_test_ztest, contingency_stats, phrase_search_inverted,
-#   histogram_dense, xml_roundtrip
-#   (window_rolling_median moves to the r13 head as the overflow)
+#   histogram_dense
+#   (xml_roundtrip and window_rolling_median move to the r13 head as
+#   the overflow)
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as

@@ -362,12 +362,13 @@ _BPE_MERGES = 8
 
 def q_bpe_merges(spark, sf):
     """First 8 byte-pair-encoding merges learned from the corpus —
-    the iterative tokenizer-training pass. Not SQL-expressible (each
-    merge depends on the previous rewrite), so this row is rows-only;
-    tests/test_round5b.py pins it differentially against a pure-Python
-    reference BPE. Scale story in operators/bpe.py: one corpus-sized
-    word-count shuffle, then vocab-sized iterations with only the
-    per-iteration argmax row reaching the driver."""
+    the iterative tokenizer-training pass. Since round 11 this row
+    carries an exact DuckDB oracle (the trainer unrolled into CTE
+    stages — _bpe_merges_oracle_sql; merge k IS the m{k} stage row);
+    tests/test_round5b.py additionally pins it differentially against
+    a pure-Python reference BPE. Scale story in operators/bpe.py: one
+    corpus-sized word-count shuffle, then vocab-sized iterations with
+    only the per-iteration argmax row reaching the driver."""
     from datafusion_archive_spark.operators import bpe
 
     d = _t(spark, sf, "documents")
@@ -382,9 +383,9 @@ def q_bpe_encode_tokens(spark, sf):
     reference and checks the trained-segmentation consistency
     property; since round 11 the row ALSO carries an exact DuckDB
     oracle (the 8-merge training loop unrolled as CTE stages — see
-    _bpe_oracle_sql), so the registry's only remaining rows-only
-    entries are the genuinely non-oracle-able sketches and the
-    merge-table row itself."""
+    _bpe_oracle_sql), and the merge-table row gained its own oracle
+    from the same stages, so the registry's only remaining rows-only
+    entry is the genuinely non-oracle-able sketch row (approx_aggs)."""
     from datafusion_archive_spark.operators import bpe
 
     d = _t(spark, sf, "documents")
@@ -401,10 +402,13 @@ def q_bpe_encode_tokens(spark, sf):
     )
 
 
-def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
-    """DuckDB twin of train-then-encode BPE, with the iterative
-    trainer UNROLLED into ``n_merges`` CTE stages (fixed small merge
-    count makes the "not SQL-expressible" objection moot).
+_BPE_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _bpe_trainer_ctes(n_merges: int) -> list[str]:
+    """The iterative BPE trainer UNROLLED into ``n_merges`` CTE stages
+    (fixed small merge count makes the "not SQL-expressible" objection
+    moot) — shared by the encode oracle and the merge-table oracle.
 
     The engine's rewrite is a Java regex with zero-width boundary
     lookarounds (operators/bpe.py); DuckDB's RE2 has no lookarounds,
@@ -423,14 +427,17 @@ def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
     Assumes the corpus yields at least ``n_merges`` distinct pairs
     (an exhausted-vocabulary stage would produce an empty 1-row CTE
     and empty out the cross join); holds at every shipped SF.
+
+    Stage ``k`` exposes ``m{{k}}(l, r, n)`` — the k-th merge pair and
+    its frequency at selection time — and ``vocab{{k}}``, the symbol
+    table after applying it.
     """
-    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     parts = [
         f"""vocab0 AS (
           SELECT count(*) AS freq,
                  trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
                    || ' </w>' AS syms
-          FROM (SELECT unnest(string_split({norm}, ' ')) AS word
+          FROM (SELECT unnest(string_split({_BPE_NORM}, ' ')) AS word
                 FROM documents)
           WHERE word <> ''
           GROUP BY 2
@@ -447,7 +454,8 @@ def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
         ),
         m{k} AS (
           SELECT string_split(pair, ' ')[1] AS l,
-                 string_split(pair, ' ')[2] AS r
+                 string_split(pair, ' ')[2] AS r,
+                 n
           FROM (SELECT pair, sum(freq) AS n FROM pairs{k - 1}
                 GROUP BY pair ORDER BY n DESC, pair LIMIT 1)
         ),
@@ -460,6 +468,31 @@ def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
           FROM vocab{k - 1}, m{k} m
         )"""
         )
+    return parts
+
+
+def _bpe_merges_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB twin of the merge TABLE itself: with the trainer
+    unrolled (see _bpe_trainer_ctes), merge ``k`` is exactly the one
+    row of ``m{k}`` — union the stages and number them. ``merge_idx``
+    is 0-based to match operators/bpe.bpe_merges; LEFT/RIGHT are
+    reserved words in DuckDB, hence the quoting."""
+    stage = (
+        'SELECT CAST({i} AS INTEGER) AS merge_idx, l AS "left",'
+        ' r AS "right", CAST(n AS BIGINT) AS pair_freq FROM m{k}'
+    )
+    union = "\n        UNION ALL ".join(
+        stage.format(i=k - 1, k=k) for k in range(1, n_merges + 1)
+    )
+    return f"WITH {','.join(_bpe_trainer_ctes(n_merges))}\n        {union}"
+
+
+def _bpe_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB twin of train-then-encode BPE — the unrolled trainer
+    stages (_bpe_trainer_ctes) feeding the same double-spaced greedy
+    rewrite applied corpus-wide."""
+    norm = _BPE_NORM
+    parts = _bpe_trainer_ctes(n_merges)
     mm_cols = ", ".join(
         f"m{k}.l AS l{k}, m{k}.r AS r{k}" for k in range(1, n_merges + 1)
     )
@@ -633,4 +666,5 @@ ORACLES = {
         LIMIT {_PPL_TOP}
     """,
     "bpe_encode_tokens": _bpe_oracle_sql(),
+    "bpe_merges": _bpe_merges_oracle_sql(),
 }

@@ -9,7 +9,9 @@
    single-spaced replace diverges from the engine's lookaround regex
    (" a a a " consumes the shared delimiter and misses the second
    pair), so this corpus fails immediately if the delimiter-doubling
-   invariant is ever broken.
+   invariant is ever broken. The merge-TABLE oracle
+   (_bpe_merges_oracle_sql, added late in round 11 — each unrolled
+   stage m{k} IS merge k) is pinned on the same corpus.
 
 2. ADVICE r10 fixes:
    - multimodal._decode_pillow maps truncated-payload OSError (and
@@ -96,6 +98,59 @@ def test_bpe_oracle_matches_engine_on_overlap_heavy_corpus(
     # touched the overlap cases rather than stopping at digraphs
     toks = set(got["head_tokens"].str.split("|").explode())
     assert any(len(t.replace("</w>", "")) >= 3 for t in toks), toks
+
+
+def test_bpe_merges_oracle_matches_engine_on_overlap_heavy_corpus(
+    spark, tmp_path
+):
+    """The merge TABLE oracle (_bpe_merges_oracle_sql) — each unrolled
+    trainer stage m{k} is exactly merge k, including its selection-time
+    pair frequency, on the same pathological corpus as the encode pin
+    (greedy-left rewrites change the pair counts every stage, so a
+    delimiter-semantics bug shows up in pair_freq even when the chosen
+    pairs happen to agree)."""
+    from datafusion_archive_spark.queries.pipeline4 import (
+        _bpe_merges_oracle_sql,
+        q_bpe_merges,
+    )
+
+    docs = [
+        "aaa aaaa aaaaa aa a",
+        "abababab abab ab ba",
+        "aaa aaa aaa aaa abab abab abab baba",
+        "aa aa aa aa aa ab ab ab ab",
+        "  AAA   aBaB  \t aa  ",
+    ]
+    pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs, "lang": "en"}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = (
+        q_bpe_merges(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("merge_idx")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+        + str(tmp_path / "documents.parquet")
+        + "')"
+    )
+    want = (
+        con.execute(_bpe_merges_oracle_sql())
+        .fetchdf()
+        .sort_values("merge_idx")
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"merge_idx": "int64", "pair_freq": "int64"}),
+        want.astype({"merge_idx": "int64", "pair_freq": "int64"}),
+    )
+    # single-letter runs force at least one merge whose LEFT side is
+    # itself a merged symbol (e.g. (aa, a)) — the stage-dependence the
+    # unrolled CTEs must reproduce
+    assert any(len(l) >= 2 for l in got["left"].tolist()), got
 
 
 # ---------------------------------------------------------------------------
