@@ -8,10 +8,13 @@ and clustering evaluation.
   _MIN_PTS neighbors, clusters are the connected components of the
   core-core graph (the already-certified min-label/pointer-jump
   operator), and border points attach to any adjacent core's
-  cluster. ε is chosen subcritical (mean degree ≈ 3) so components
-  stay small. Output: clusters / core / border / noise counts and
-  the largest-cluster size. The oracle replays the same definition
-  with a recursive min-label CTE.
+  cluster. ε is DENSITY-ADAPTIVE (ε(n) = _EPS·sqrt(_N_REF/n), see
+  _eps_for) so the ε-graph stays subcritical (mean degree ≈ 3) at
+  every scale — fixed ε went supercritical at sf0.1 and cost the
+  round-10 sweep 34 min in the oracle's recursive CTE. Output:
+  clusters / core / border / noise counts and the largest-cluster
+  size. The oracle replays the same definition (including the ε
+  expression and cell blocking) with a recursive min-label CTE.
 - ``silhouette_simplified`` — the centroid-form silhouette over the
   labeled embedding corpus: a = distance to own-label centroid,
   b = min distance to any other label's centroid,
@@ -24,6 +27,8 @@ The reference has no joins or arrays (``/root/reference/ROADMAP.md``).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.operators import dedup
@@ -33,18 +38,27 @@ from datafusion_archive_spark.queries.pipeline10 import _synth_point
 _EPS = 0.25
 _MIN_PTS = 3  # neighbors (excluding self) to be a core point
 _DIM = 64
+_N_REF = 1500  # density anchor: ε is calibrated at the sf0.01 scale
 
 
-def _neighbor_pairs(spark, sf):
-    """Symmetric ε-neighbor pairs (a != b) via the cell-bucket join."""
-    pts = (
-        spark.read.parquet(f"{sf}/customer.parquet")
-        .select(
-            F.col("c_custkey").alias("id"),
-            *_synth_point(F.col("c_custkey"), "p"),
-        )
-    )
-    r = _EPS
+def _eps_for(n: int) -> float:
+    """Density-adaptive radius: ε(n) = _EPS · sqrt(_N_REF / n) keeps
+    the expected ε-degree constant (n·π·ε²/span² ≈ 3, subcritical) as
+    the corpus grows. A FIXED radius goes supercritical at 10× density
+    (mean degree ≈ 30 at sf0.1 → one giant component), which is both
+    degenerate clustering and a scale cliff: the engine's component
+    labels still converge, but the DuckDB oracle's recursive min-label
+    CTE materializes s² label pairs per size-s component (34 min at
+    sf0.1 in the round-10 sweep — found and fixed in round 11).
+    Anchored at _N_REF so the certified sf0.01 output is unchanged;
+    the same expression is computed in SQL by the oracle (identical
+    IEEE double ops ⇒ identical ε bit-for-bit)."""
+    return _EPS * math.sqrt(_N_REF / n)
+
+
+def _neighbor_pairs(pts, r):
+    """Symmetric ε-neighbor pairs (a != b) via the cell-bucket join
+    (cell size = r ⇒ every true pair meets in one of 9 buckets)."""
     a = pts.select(
         F.col("id").alias("ida"),
         F.col("p_lat").alias("xa"),
@@ -89,10 +103,15 @@ def _neighbor_pairs(spark, sf):
 
 def q_dbscan_clusters(spark, sf):
     """DBSCAN summary: clusters, core/border/noise, max size."""
+    pts = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        *_synth_point(F.col("c_custkey"), "p"),
+    )
+    n_pts = pts.count()
     # cached (registry-released, not a bare persist that would leak
     # across driver/bench sessions): pairs feeds the degree, core-core
     # restriction, and border passes
-    pairs = cached(_neighbor_pairs(spark, sf))
+    pairs = cached(_neighbor_pairs(pts, _eps_for(n_pts)))
     deg = pairs.groupBy(F.col("ida").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -128,7 +147,6 @@ def q_dbscan_clusters(spark, sf):
         .groupBy(F.col("ida").alias("node"))
         .agg(F.min("comp").alias("component"))
     )
-    n_pts = spark.read.parquet(f"{sf}/customer.parquet").count()
     sizes = (
         labels.unionByName(border)
         .groupBy("component")
@@ -233,13 +251,33 @@ def _dbscan_oracle() -> str:
           SELECT c_custkey AS id, {lat} AS x, {lon} AS y
           FROM customer
         ),
+        eps AS MATERIALIZED (
+          -- density-adaptive radius, same IEEE expression as the
+          -- engine's _eps_for (constant expected degree at any SF —
+          -- a fixed radius made this CTE chain supercritical at
+          -- sf0.1: s² recursive label pairs, 34 min)
+          SELECT {_EPS} * sqrt({float(_N_REF)} / count(*)) AS r
+          FROM pts
+        ),
+        cells AS MATERIALIZED (
+          SELECT id, x, y,
+                 CAST(floor(x / e.r) AS BIGINT) AS cx,
+                 CAST(floor(y / e.r) AS BIGINT) AS cy
+          FROM pts, eps e
+        ),
         pairs AS MATERIALIZED (
+          -- cell-bucketed candidates (cell size = r ⇒ every true pair
+          -- meets in one of the 9 neighbor buckets), exact distance
+          -- predicate closes — blocking is exactness-preserving
           SELECT a.id AS ida, b.id AS idb
-          FROM pts a JOIN pts b
-            ON a.id != b.id
-           AND abs(a.x - b.x) < {_EPS}
-           AND abs(a.y - b.y) < {_EPS}
-           AND (a.x - b.x) ** 2 + (a.y - b.y) ** 2 < {_EPS * _EPS}
+          FROM cells a, eps e,
+               (SELECT c.id, c.x, c.y,
+                       c.cx + ox.dx AS cx, c.cy + oy.dy AS cy
+                FROM cells c, range(-1, 2) ox(dx),
+                     range(-1, 2) oy(dy)) b
+          WHERE a.cx = b.cx AND a.cy = b.cy
+            AND a.id != b.id
+            AND (a.x - b.x) ** 2 + (a.y - b.y) ** 2 < e.r * e.r
         ),
         core AS MATERIALIZED (
           SELECT ida AS id FROM pairs GROUP BY 1

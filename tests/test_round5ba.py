@@ -20,17 +20,16 @@ def _pt(key, seed):
 
 
 class TestDbscan:
-    def test_matches_python_dbscan(self, spark, monkeypatch):
+    def test_matches_python_dbscan(self, spark):
         from datafusion_archive_spark.queries.pipeline10 import (
             _GEO_SEED_LAT,
             _GEO_SEED_LON,
         )
 
-        # sf0.001 has only 150 points in the 10x10 space — densify
-        # epsilon so the differential exercises real clusters (the
-        # query reads _EPS at call time; the sf0.01 oracle run uses
-        # the module default)
-        monkeypatch.setattr(P60, "_EPS", 0.8)
+        # ε is density-adaptive (_eps_for): at sf0.001's 150 points
+        # the default already yields mean degree ≈ 3 — real clusters
+        # with no densifying monkeypatch, and the differential
+        # exercises the exact radius the sweeps certify
         ids = [
             r.c_custkey
             for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
@@ -39,7 +38,8 @@ class TestDbscan:
             i: (_pt(i, _GEO_SEED_LAT), _pt(i, _GEO_SEED_LON))
             for i in ids
         }
-        eps2 = P60._EPS * P60._EPS
+        eps = P60._eps_for(len(ids))
+        eps2 = eps * eps
         nbrs = defaultdict(set)
         items = list(pts.items())
         for i in range(len(items)):
@@ -83,15 +83,15 @@ class TestDbscan:
         assert r.n_noise == len(ids) - len(core) - len(border)
         assert r.max_cluster_size == max(sizes.values())
 
-    def test_definitions_hold(self, spark, monkeypatch):
-        monkeypatch.setattr(P60, "_EPS", 0.8)
+    def test_definitions_hold(self, spark):
         r = P60.q_dbscan_clusters(spark, SF).collect()[0]
         assert r.n_core + r.n_border >= r.max_cluster_size
         assert r.n_clusters >= 1
 
-    def test_all_noise_when_sparse(self, spark):
-        # at the default subcritical eps the tiny fixture is all
-        # noise — the summary must degrade to zeros, not NULLs
+    def test_all_noise_when_sparse(self, spark, monkeypatch):
+        # shrink the base radius so even the adaptive ε is deeply
+        # subcritical — the summary must degrade to zeros, not NULLs
+        monkeypatch.setattr(P60, "_EPS", 0.02)
         r = P60.q_dbscan_clusters(spark, SF).collect()[0]
         assert (r.n_clusters, r.n_core, r.n_border) == (0, 0, 0)
         assert r.max_cluster_size == 0
