@@ -206,34 +206,59 @@ _DELTAS_SQL = f"""
 
 ORACLES = {
     "inventory_clamped_scan": f"""
-        WITH RECURSIVE deltas AS ({_DELTAS_SQL}),
-        seq AS (
-          SELECT nation, delta,
-                 row_number() OVER (PARTITION BY nation ORDER BY d)
-                   AS rn
-          FROM deltas
+        -- the recurrence b_t = clamp(b_t-1 + δ_t, 0, cap) replayed as
+        -- a per-nation ordered-list fold (list_reduce with a struct
+        -- accumulator carrying the running balance and the three
+        -- counters). One pass over the day grid — the previous
+        -- RECURSIVE CTE re-joined the whole (nation, rn) table once
+        -- per day-step (~2400 steps at sf0.1 → 151 s in the r10
+        -- sweep); the fold is the same row-by-row recurrence without
+        -- the per-iteration re-scan
+        WITH deltas AS ({_DELTAS_SQL}),
+        lst AS (
+          SELECT nation, list(delta ORDER BY d) AS ds
+          FROM deltas GROUP BY 1
         ),
-        scan AS (
-          SELECT nation, rn,
-                 LEAST({_CAP}, GREATEST(0, delta)) AS b
-          FROM seq WHERE rn = 1
-          UNION ALL
-          SELECT q.nation, q.rn,
-                 LEAST({_CAP}, GREATEST(0, s.b + q.delta))
-          FROM scan s
-          JOIN seq q ON q.nation = s.nation AND q.rn = s.rn + 1
+        folded AS (
+          -- field order is load-bearing: DuckDB 1.0 evaluates the
+          -- lambda's struct literal with SEQUENTIAL field assignment
+          -- (a later field reading acc.X sees the value just assigned
+          -- to X, not the pre-step one). Assigning 'b' LAST means
+          -- every counter expression reads the pre-update acc.b, so
+          -- this fold is correct under both sequential and parallel
+          -- lambda semantics
+          SELECT nation,
+                 list_reduce(
+                   list_prepend(
+                     {{'d': CAST(0 AS BIGINT), 'mx': CAST(0 AS BIGINT),
+                       'capped': CAST(0 AS BIGINT),
+                       'zero': CAST(0 AS BIGINT),
+                       'b': CAST(0 AS BIGINT)}},
+                     list_transform(ds, d ->
+                       {{'d': CAST(d AS BIGINT), 'mx': CAST(0 AS BIGINT),
+                         'capped': CAST(0 AS BIGINT),
+                         'zero': CAST(0 AS BIGINT),
+                         'b': CAST(0 AS BIGINT)}})),
+                   (acc, x) -> {{
+                     'd': CAST(0 AS BIGINT),
+                     'mx': greatest(acc.mx,
+                       least({_CAP}, greatest(0, acc.b + x.d))),
+                     'capped': acc.capped + CASE
+                       WHEN least({_CAP}, greatest(0, acc.b + x.d))
+                            = {_CAP} THEN 1 ELSE 0 END,
+                     'zero': acc.zero + CASE
+                       WHEN least({_CAP}, greatest(0, acc.b + x.d))
+                            = 0 THEN 1 ELSE 0 END,
+                     'b': least({_CAP}, greatest(0, acc.b + x.d))
+                   }}) AS st
+          FROM lst
         )
         SELECT nation,
-               CAST(max(CASE WHEN rn = (SELECT max(q.rn) FROM seq q
-                    WHERE q.nation = scan.nation) THEN b END)
-                    AS BIGINT) AS final_backlog,
-               CAST(max(b) AS BIGINT) AS max_backlog,
-               CAST(sum(CASE WHEN b = {_CAP} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_days_capped,
-               CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_days_zero
-        FROM scan
-        GROUP BY nation
+               CAST(st.b AS BIGINT) AS final_backlog,
+               CAST(st.mx AS BIGINT) AS max_backlog,
+               CAST(st.capped AS BIGINT) AS n_days_capped,
+               CAST(st.zero AS BIGINT) AS n_days_zero
+        FROM folded
         ORDER BY nation
     """,
     "shapley_attribution": f"""

@@ -290,15 +290,35 @@ ORACLES = {
         GROUP BY label
     """,
     "skyline_orders": """
+        -- the NOT EXISTS dominance spec is the arbiter, but checked
+        -- only against the sorted-sweep candidate set: the sweep's
+        -- removals are sound by construction (a preceding row in
+        -- (date ASC, price DESC) order with running-max price >= own
+        -- price strictly dominates after DISTINCT), so sky is always
+        -- a superset of the true skyline and exclusions stay exact —
+        -- O(n * |skyline|), not the n^2 self-anti-join that cost the
+        -- r10 sf0.1 sweep 56 s
         WITH p AS (
           SELECT DISTINCT o_orderdate AS order_date,
                           o_totalprice AS total_price
           FROM orders
+        ),
+        s AS (
+          SELECT order_date, total_price,
+                 max(total_price) OVER (
+                   ORDER BY order_date ASC, total_price DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS pm
+          FROM p
+        ),
+        sky AS (
+          SELECT order_date, total_price FROM s
+          WHERE pm IS NULL OR pm < total_price
         )
         SELECT order_date, total_price
         FROM p b
         WHERE NOT EXISTS (
-          SELECT 1 FROM p a
+          SELECT 1 FROM sky a
           WHERE a.order_date <= b.order_date
             AND a.total_price >= b.total_price
             AND (a.order_date < b.order_date

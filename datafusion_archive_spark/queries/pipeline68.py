@@ -5,10 +5,22 @@ statistics and EM mixture fitting.
   portable hash-fraction customer points: the Clark–Evans ratio
   R = d̄_NN / (1/(2√λ)) with its z statistic (R < 1 clustered,
   R > 1 dispersed), plus Ripley's K̂(r)/(πr²) at three radii (the
-  multi-scale CSR profile). Exact nearest neighbors come from the
-  full pair join here (quadratic in the ~1.5k CUSTOMER dim — at
-  corpus scale the certified cell-bucket join from the geo/DBSCAN
-  waves replaces it, same semantics).
+  multi-scale CSR profile). Candidates come from the certified
+  cell-bucket join at cell size max(_RADII): every pair closer than
+  the largest K radius meets in one of the 9 neighbor buckets, so
+  the K counts are exact by construction, and a point's blocked
+  nearest-neighbor distance is its TRUE nearest-neighbor distance
+  whenever it is < the cell size (anything outside the 3×3
+  neighborhood is ≥ one full cell away). The rare points with no
+  candidate that close (P ≈ e^{-πλc²} under CSR — a handful at
+  sf0.001, none at sf0.01+) fall back to an exact brute-force pass
+  against the full point set, so the result is byte-identical to the
+  all-pairs formulation at every scale while the work stays
+  ∝ n·occupancy, never n². (The r10 sf0.1 sweep paid 351 s for the
+  old all-pairs join — recomputed twice because it was uncached;
+  fixed in round 11.) At extreme density the K counts themselves
+  grow ∝ n·λ·r² — that is the statistic's own output size; sample
+  before this query if that budget is too high.
 - ``em_exponential_mixture`` — a 2-component exponential mixture fit
   to global event inter-arrival gaps by _EM_ITERS exact EM steps
   (deterministic moment-based init; E-step responsibilities, M-step
@@ -43,38 +55,80 @@ def q_spatial_clark_evans(spark, sf):
         F.col("c_custkey").alias("id"),
         *_synth_point(F.col("c_custkey"), "p"),
     )
+    c = max(_RADII)  # cell size = largest K radius
     a = pts.select(
         F.col("id").alias("ida"),
         F.col("p_lat").alias("xa"),
         F.col("p_lon").alias("ya"),
+        F.floor(F.col("p_lat") / c).alias("cx"),
+        F.floor(F.col("p_lon") / c).alias("cy"),
     )
-    b = pts.select(
-        F.col("id").alias("idb"),
-        F.col("p_lat").alias("xb"),
-        F.col("p_lon").alias("yb"),
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = (
+        pts.select(
+            F.col("id").alias("idb"),
+            F.col("p_lat").alias("xb"),
+            F.col("p_lon").alias("yb"),
+        )
+        .select("*", F.explode(offsets).alias("o"))
+        .select(
+            "idb",
+            "xb",
+            "yb",
+            (F.floor(F.col("xb") / c) + F.col("o.dx")).alias("cx"),
+            (F.floor(F.col("yb") / c) + F.col("o.dy")).alias("cy"),
+        )
     )
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
-    # deliberately NOT cached: the pair table is data-heavy but
-    # compute-light (one subtract/sqrt per row), so re-running the
-    # broadcast join for the second consumer beats materializing the
-    # ~4M-row table (measured warm at sf0.01: ~3.9 s uncached vs
-    # slower with the cache — the same trade outliers_mad documents)
-    pairs = (
-        a.join(b, F.col("ida") != F.col("idb"))
-        .select(
-            "ida", F.sqrt(dx * dx + dy * dy).alias("dist")
-        )
+    dist = F.sqrt(dx * dx + dy * dy)
+    # cached (registry-released): the candidate table feeds both the
+    # NN aggregate and the K counts; it is occupancy-bounded
+    # (∝ n·9λc², never n²), so materializing it is cheap
+    cand = cached(
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("ida") != F.col("idb"))
+        .select("ida", dist.alias("dist"))
     )
-    nn = pairs.groupBy("ida").agg(F.min("dist").alias("nnd"))
-    kstats = pairs.agg(
+    # blocked NN is the TRUE NN whenever it is < the cell size; the
+    # (CSR-exponentially rare) remainder gets an exact brute-force
+    # pass, so the nnd column is byte-identical to all-pairs
+    nnb = (
+        cand.groupBy("ida")
+        .agg(F.min("dist").alias("nnd"))
+        .filter(F.col("nnd") < c)
+    )
+    miss = a.select("ida", "xa", "ya").join(
+        nnb.select("ida"), "ida", "left_anti"
+    )
+    nnm = (
+        F.broadcast(miss)
+        .join(
+            pts.select(
+                F.col("id").alias("idb"),
+                F.col("p_lat").alias("xb"),
+                F.col("p_lon").alias("yb"),
+            ),
+            F.col("ida") != F.col("idb"),
+        )
+        .select("ida", dist.alias("dist"))
+        .groupBy("ida")
+        .agg(F.min("dist").alias("nnd"))
+    )
+    nn = nnb.unionByName(nnm)
+    kstats = cand.agg(
         *[
             F.sum((F.col("dist") < r).cast("long")).alias(
                 f"k{int(r * 100)}"
             )
             for r in _RADII
-        ],
-        F.count(F.lit(1)).alias("n_ordered_pairs"),
+        ]
     )
     ce = nn.agg(
         F.count(F.lit(1)).alias("n"),
@@ -201,23 +255,52 @@ def _ce_oracle() -> str:
         f" AS k_ratio_{int(r * 100)}"
         for r in _RADII
     )
+    c = max(_RADII)
     return f"""
         WITH pts AS MATERIALIZED (
           SELECT c_custkey AS id, {lat} AS x, {lon} AS y
           FROM customer
         ),
-        pairs AS MATERIALIZED (
+        cells AS MATERIALIZED (
+          SELECT id, x, y,
+                 CAST(floor(x / {c!r}) AS BIGINT) AS cx,
+                 CAST(floor(y / {c!r}) AS BIGINT) AS cy
+          FROM pts
+        ),
+        cand AS MATERIALIZED (
+          -- cell-bucket candidates at cell size max(_RADII): every
+          -- pair closer than the largest K radius meets here, so the
+          -- K counts are exact and blocked-NN < cell size is true NN
           SELECT a.id AS ida,
                  sqrt((a.x - b.x) ** 2 + (a.y - b.y) ** 2) AS dist
+          FROM cells a
+          JOIN (SELECT cl.id, cl.x, cl.y,
+                       cl.cx + ox.dx AS cx, cl.cy + oy.dy AS cy
+                FROM cells cl, range(-1, 2) ox(dx),
+                     range(-1, 2) oy(dy)) b
+            ON a.cx = b.cx AND a.cy = b.cy AND a.id != b.id
+        ),
+        nnb AS MATERIALIZED (
+          SELECT ida, min(dist) AS nnd FROM cand GROUP BY 1
+          HAVING min(dist) < {c!r}
+        ),
+        nnm AS (
+          -- exact brute-force fallback for points with no candidate
+          -- within one cell (CSR-exponentially rare)
+          SELECT a.id AS ida,
+                 min(sqrt((a.x - b.x) ** 2 + (a.y - b.y) ** 2))
+                   AS nnd
           FROM pts a JOIN pts b ON a.id != b.id
+          WHERE a.id NOT IN (SELECT ida FROM nnb)
+          GROUP BY 1
         ),
         nn AS (
-          SELECT ida, min(dist) AS nnd FROM pairs GROUP BY 1
+          SELECT * FROM nnb UNION ALL SELECT * FROM nnm
         ),
         ce AS (
           SELECT count(*) AS n, avg(nnd) AS dbar FROM nn
         ),
-        ks AS (SELECT {ksel} FROM pairs)
+        ks AS (SELECT {ksel} FROM cand)
         SELECT c.n AS n_points,
                round(c.dbar / (1.0 / (2.0
                  * sqrt(CAST(c.n AS DOUBLE) / {_AREA!r}))), 6)
