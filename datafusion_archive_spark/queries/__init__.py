@@ -342,7 +342,11 @@ _FIRST_50 = [
 # auditable, alongside the gated registry plan scan
 # (tools/plan_scan.py -> tools/plan_scan_r{N}.log: zero cartesian,
 # zero build errors, exchanges within the documented iterative-trainer
-# ceiling, file scans within the per-query ceiling added in r11) and
+# ceiling, file scans within the per-query ceiling added in r11), the
+# r11-introduced sweep-growth gate (tools/sweep_outliers.py over the
+# sf0.01 + sf0.1 logs: per-query growth <= 15x, wall <= 90 s — the
+# mechanized form of the audit that caught the dbscan/clark-evans/
+# skyline/clamped-scan cliffs) and
 # the round-10-introduced CROSS-SCALE sweeps (tools/check_oracle.py at
 # sf0.001 and sf0.1 -> tools/oracle_sweep_r{N}_sf{0001,01}.log — the
 # sf0.01 gate cannot see scale-dependent divergence; both r10 catches

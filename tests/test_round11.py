@@ -27,6 +27,14 @@
    widest plans are 6 distinct-table scans; the uncached
    fan-out-recompute class (same source re-read per reused-subtree
    branch) must keep tripping the gate.
+
+4. The sweep-growth gate (tools/sweep_outliers.py), mechanizing the
+   late-round-11 sweep-cliff audit: per-query wall growth between two
+   sweep logs must stay under the cap, absolute time under the
+   ceiling. The r10 sf0.1 log is kept as the regression fixture — the
+   four cliffs that audit found (dbscan_clusters 2044 s,
+   spatial_clark_evans 351 s, inventory_clamped_scan 151 s,
+   skyline_orders 57 s) must keep tripping it.
 """
 
 from __future__ import annotations
@@ -421,3 +429,60 @@ def test_simhash_combination_blocking_validates_params(spark):
         dedup.simhash_near_pairs(
             df, bits=64, max_hamming=6, n_blocks=6
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# 4. Sweep-growth gate (tools/sweep_outliers.py) — the mechanized
+#    version of the round-11 sweep-cliff audit
+# ---------------------------------------------------------------------------
+
+
+class TestSweepOutliers:
+    def _mod(self):
+        import importlib.util
+        import pathlib
+
+        p = pathlib.Path(__file__).parent.parent / "tools" / "sweep_outliers.py"
+        spec = importlib.util.spec_from_file_location("sweep_outliers", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_flags_superlinear_growth_and_ceiling(self):
+        m = self._mod()
+        small = {"ok": 2.0, "cliff": 3.0, "slow": 20.0}
+        large = {"ok": 14.0, "cliff": 300.0, "slow": 95.0}
+        bad = m.audit(small, large, max_growth=15.0, max_seconds=90.0)
+        # cliff trips growth AND ceiling; slow trips only the ceiling
+        assert sum("cliff" in b for b in bad) == 2
+        assert sum("slow" in b for b in bad) == 1
+        assert not any("ok:" in b for b in bad)
+
+    def test_floor_absorbs_subsecond_noise(self):
+        m = self._mod()
+        # 0.05 s -> 1.2 s is 24x raw but within the 1 s floor's reach —
+        # session noise, not a cliff
+        bad = m.audit({"q": 0.05}, {"q": 1.2}, 15.0, 90.0)
+        assert bad == []
+
+    def test_missing_row_is_loud(self):
+        m = self._mod()
+        bad = m.audit({"a": 1.0, "b": 1.0}, {"a": 1.0}, 15.0, 90.0)
+        assert any("only present" in x for x in bad)
+
+    def test_committed_r11_logs_pass_and_r10_cliffs_fail(self):
+        import pathlib
+
+        m = self._mod()
+        tools = pathlib.Path(__file__).parent.parent / "tools"
+        small = m.parse_log(tools / "oracle_sweep_r11.log")
+        large = m.parse_log(tools / "oracle_sweep_r11_sf01.log")
+        assert len(small) == 342 and len(large) == 342
+        assert m.audit(small, large, 15.0, 90.0) == []
+        # the r10 sf0.1 log is the regression fixture: the four cliffs
+        # the round-11 audit found must keep tripping the gate
+        old = m.parse_log(tools / "oracle_sweep_r10_sf01.log")
+        bad = "\n".join(m.audit(small, old, 15.0, 90.0))
+        for q in ("dbscan_clusters", "spatial_clark_evans",
+                  "skyline_orders", "inventory_clamped_scan"):
+            assert q in bad, q
