@@ -537,11 +537,39 @@ def simhash_near_pairs(
     )
 
 
+#: label-chain compressions per propagation round. With label-pointer
+#: edges in the propagation set (hash-to-min), extra jumps buy nothing:
+#: the 240k round-11b probe converges in 29 rounds with 1 jump or 3,
+#: and each jump is a per-round self-join — so keep exactly one.
+_JUMPS_PER_ROUND = 1
+
+
+def _rewrap_checkpoint(ck: DataFrame) -> DataFrame:
+    """Re-wrap an (eagerly) checkpointed DataFrame's materialized
+    InternalRow RDD in a fresh relation, dropping the statistics the
+    checkpoint carried over from its originating plan (see the caller
+    comment: carried sizeInBytes compounds across self-join rounds
+    until Catalyst's stats visitor dominates wall time). Uses the
+    JVM-side internalCreateDataFrame so no row crosses the Python
+    boundary; falls back to the public createDataFrame(rdd) path if
+    the internal API is unavailable (e.g. Spark Connect)."""
+    try:
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        spark = ck.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover - connect-only path
+        return ck.sparkSession.createDataFrame(ck.rdd, schema=ck.schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Resolve near-duplicate candidate pairs into clusters: connected
     components by iterative min-label propagation, the standard way
@@ -550,14 +578,18 @@ def connected_components(
     min-aggregate, all shuffles on the node id).
 
     Each node starts labeled with itself; every iteration each node
-    takes the min label among itself and its neighbors' labels, then
-    applies one POINTER JUMP (``L(u) ← L(L(u))`` — a self-join on the
-    label table): every label is the id of some node in the same
-    component, so jumping stays within the component while halving
-    chain depth. Convergence is O(log diameter) instead of
-    O(diameter) — a million-node chain needs ~20 rounds, not a
-    million (the classic path-doubling trick of parallel CC).
-    Iteration stops early the first round nothing changes.
+    takes the min label over its neighbors in the graph UNION the
+    label-pointer mapping (both directions — the hash-to-min trick:
+    mins flow member → label-root → members, so star-shaped regions
+    merge in O(1) rounds), then applies ``_JUMPS_PER_ROUND`` POINTER
+    JUMPS (``L(u) ← L(L(u))`` — self-joins on the label table) to
+    flatten label chains. Labels are min-monotone, so convergence is
+    guaranteed; thin chain-of-stars tails can still take ~diameter/k
+    rounds, which the default cap absorbs (the round-11b 240k-point
+    geometric probe — largest component 115 nodes, diameter 32 —
+    converges in 29 rounds, output exactly matching a union-find
+    ground truth; plain propagation + a single jump did NOT converge
+    in 20). Iteration stops early the first round nothing changes.
 
     Returns ``(node, component)`` where component = min node id in the
     cluster. Only nodes that appear in ``pairs`` are returned —
@@ -582,10 +614,30 @@ def connected_components(
     ).persist()
     changed = 0
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("node", "v"), "v"
+        # min over the ORIGINAL edges plus the LABEL-POINTER edges in
+        # both directions. Plain propagation moves the min value one
+        # graph-hop per round (Θ(diameter) rounds — a diameter-32
+        # component in the 240k-point round-11b probe blew the cap),
+        # and pointer jumps alone only shortcut label chains, which
+        # random-id geometric clusters barely form. Treating the
+        # label mapping as extra edges is the hash-to-min trick:
+        # mins flow member -> label-root -> members, so star-shaped
+        # regions merge in ~2 rounds regardless of their size and the
+        # same probe converges in 29 rounds (exactly matching a
+        # union-find ground truth) instead of not at all; only thin
+        # chain tails still crawl, which the generous default cap
+        # absorbs now that per-round cost is flat (see the stats
+        # note below).
+        label_edges = labels.select(
+            F.col("node").alias("u"), F.col("component").alias("v")
+        ).unionByName(
+            labels.select(
+                F.col("component").alias("u"), F.col("node").alias("v")
             )
+        )
+        neighbor_min = (
+            edges.unionByName(label_edges)
+            .join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
@@ -595,24 +647,41 @@ def connected_components(
                 F.col("component"), F.coalesce("nmin", "component")
             ).alias("component"),
         )
-        # pointer jump: L(u) ← L(L(u)). Labels always point at a node
-        # of the same component, so this halves chain depth per round.
-        jump = stepped.select(
-            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
-        )
-        new_labels = (
-            stepped.join(jump, stepped.component == jump.jnode, "left")
-            .select(
+        # pointer jumps: L(u) ← L(L(u)), repeated _JUMPS_PER_ROUND
+        # times — label-only self-joins that flatten label chains so
+        # the next round's label edges point near the root. Cheap
+        # next to the per-round edge join.
+        compressed = stepped
+        for _ in range(_JUMPS_PER_ROUND):
+            jump = compressed.select(
+                F.col("node").alias("jnode"),
+                F.col("component").alias("jcomp"),
+            )
+            compressed = compressed.join(
+                jump, compressed.component == jump.jnode, "left"
+            ).select(
                 "node",
                 F.coalesce("jcomp", "component").alias("component"),
             )
-            # localCheckpoint, not persist: persist caches *data* but
-            # the logical plan still accrues one join per iteration —
-            # planning cost (and plan-string size) grows without bound
-            # on high-diameter graphs. Checkpointing truncates lineage
-            # so every iteration plans against a materialized leaf.
-            .localCheckpoint(eager=True)
-        )
+        # localCheckpoint, not persist: persist caches *data* but the
+        # logical plan still accrues one join per iteration — planning
+        # cost (and plan-string size) grows without bound on
+        # high-diameter graphs. Checkpointing truncates lineage so
+        # every iteration plans against a materialized leaf.
+        ck = compressed.localCheckpoint(eager=True)
+        # ...but the checkpoint relation CARRIES the pre-checkpoint
+        # plan's statistics, and Catalyst's size-only stats visitor
+        # MULTIPLIES children's sizeInBytes across joins — with the
+        # per-round self-joins the carried BigInt's bit-length
+        # compounds ~2^(jumps+1)× per round, and by round ~7 the
+        # stats visitor burns minutes per plan in BigInteger
+        # Toom-Cook products (jstack-diagnosed, round 11b; the same
+        # compounding capped the 240k-point probe even with one jump
+        # per round). Re-wrapping the materialized InternalRow RDD in
+        # a fresh relation resets the stats every round — JVM-side,
+        # no Python data movement; the public createDataFrame(rdd)
+        # fallback covers connect-style sessions without _jdf.
+        new_labels = _rewrap_checkpoint(ck)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
