@@ -210,18 +210,17 @@ for mod in QUERY_MODULES:
 #: Queries intentionally WITHOUT a DuckDB oracle (the driver records a
 #: rows-only check). Every _ALL_QUERIES key must be here or in ORACLES
 #: — tests/test_registration.py enforces it.
-ROWS_ONLY = {
-    # approximate aggregates: HLL/KLL sketch outputs are
-    # implementation-defined; tests/test_approx_bounds.py pins their
-    # relative error against exact DuckDB values instead. This is the
-    # registry's LAST rows-only entry: bpe_encode_tokens and
-    # bpe_merges both graduated to exact DuckDB oracles in round 11 —
-    # with the merge count fixed at 8 the iterative trainer unrolls
-    # into CTE stages (pipeline4._bpe_trainer_ctes), giving the encode
-    # row a full corpus twin (_bpe_oracle_sql) and the merge-table row
-    # a stage-union twin (_bpe_merges_oracle_sql).
-    "approx_aggs",
-}
+#:
+#: EMPTY since round 11b: all 342 registered queries now carry exact
+#: DuckDB oracles. The last three holdouts graduated in round 11:
+#: bpe_encode_tokens / bpe_merges (the 8-merge trainer unrolled as CTE
+#: stages — pipeline4._bpe_trainer_ctes) and approx_aggs (the sketch
+#: values are engine-specific, but the DOCUMENTED error bounds are
+#: exactly checkable — the query emits deterministic within-bounds
+#: flags plus the exact distinct count, and the oracle asserts them;
+#: tests/test_approx_bounds.py still pins the raw sketch error
+#: independently).
+ROWS_ONLY: set[str] = set()
 
 #: The certification window (driver checks entries [:50]).
 #: Policy: a query with NO driver row ever is weaker evidence than one
@@ -242,11 +241,11 @@ _FIRST_50 = [
     # dense_rank tie fix after its r9 driver row (engine unchanged) —
     # so it leads; the remaining 49 are class (3): oldest rows by
     # latest green round (the round-3 wave, then the round-4 wave),
-    # ties by registry order. The rows-only entry (approx_aggs) stays
-    # excluded; bpe_encode_tokens AND bpe_merges graduated to exact
-    # oracles this round (delimited-string output / stage-union merge
-    # table) and enter the rotation as never-certified-exact names
-    # from r12 on.
+    # ties by registry order. bpe_encode_tokens, bpe_merges AND
+    # approx_aggs all graduated to exact oracles this round
+    # (delimited-string output / stage-union merge table /
+    # deterministic error-bound flags) and enter the rotation as
+    # never-certified-exact names from r12 on; ROWS_ONLY is now empty.
     "window_ranks",
     "q2_min_per_group_subquery",
     "unpivot_stack",
@@ -302,19 +301,20 @@ _FIRST_50 = [
 
 # ROUND-12 NOTE (next certification window): the steady-state
 # rotation continues (VERDICT r7 #5, r8 #6, r9 #8, r10 #7). Priority
-# unchanged: (1) never-certified — after round 11 this class holds
-# bpe_encode_tokens AND bpe_merges (both oracles were added in round
-# 11, so neither has an exact driver row yet; slot them first),
+# unchanged: (1) never-certified-exact — after round 11 this class
+# holds bpe_encode_tokens, bpe_merges AND approx_aggs (all three
+# oracles were added in round 11, so none has an exact driver row
+# yet; slot them first),
 # (2) rewritten-since-row (none known at pre-write time), (3) oldest
 # rows by latest green round, ties by registry order. Computed from
 # the CORRECTNESS_r{1..10} union with the round-11 window assumed
 # green (pure re-certification of already-green rows plus
 # window_ranks' oracle re-run) — recompute against the r{1..11} union
 # before swapping in, in case a sweep or the driver turns a row red.
-# The exact 50 (the two never-certified-exact names, then the class-3
-# tail starting at the r11 overflow recursive_month_grid, dropping
-# the last two names to make room):
-#   bpe_encode_tokens, bpe_merges,
+# The exact 50 (the three never-certified-exact names, then the
+# class-3 tail starting at the r11 overflow recursive_month_grid,
+# dropping the last three names to make room):
+#   bpe_encode_tokens, bpe_merges, approx_aggs,
 #   recursive_month_grid, lateral_top2_per_priority,
 #   merge_upsert_orders, join_null_safe, histogram_equi_depth,
 #   console_script_sql, window_range_1h,
@@ -331,10 +331,9 @@ _FIRST_50 = [
 #   gaps_islands, bloom_prefilter_semi_join, graph_triangle_count,
 #   graph_pagerank, rrf_fusion, median_mode_aggs,
 #   window_running_distinct, interval_union_time, moving_corr,
-#   ab_test_ztest, contingency_stats, phrase_search_inverted,
-#   histogram_dense
-#   (xml_roundtrip and window_rolling_median move to the r13 head as
-#   the overflow)
+#   ab_test_ztest, contingency_stats, phrase_search_inverted
+#   (histogram_dense, xml_roundtrip and window_rolling_median move to
+#   the r13 head as the overflow)
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as

@@ -384,8 +384,9 @@ def q_bpe_encode_tokens(spark, sf):
     property; since round 11 the row ALSO carries an exact DuckDB
     oracle (the 8-merge training loop unrolled as CTE stages — see
     _bpe_oracle_sql), and the merge-table row gained its own oracle
-    from the same stages, so the registry's only remaining rows-only
-    entry is the genuinely non-oracle-able sketch row (approx_aggs)."""
+    from the same stages; with approx_aggs certified via its
+    deterministic error-bound flags, the registry has NO rows-only
+    entries left."""
     from datafusion_archive_spark.operators import bpe
 
     d = _t(spark, sf, "documents")

@@ -1,9 +1,12 @@
-"""Bounded-error oracle for `approx_aggs` (rows-only in the driver).
+"""Bounded-error verification for `approx_aggs`.
 
-The sketch outputs are engine-specific, so the driver can only count
-rows — but the whole point of an approximate aggregate is a *bounded*
-error, and that bound is testable: compare each group's sketch output
-against the exact DuckDB value and pin the documented relative error.
+Since round 11b the registered query certifies its own sketches — it
+emits deterministic within-bounds flags (as INT) that the DuckDB
+oracle asserts as literal 1, so the driver row is exact. This module
+keeps the INDEPENDENT check: it recomputes the raw sketch values
+directly (not through the query's own flag logic) and bounds them
+against exact DuckDB values, so a bug in the flag expressions cannot
+self-certify.
 
 - ``approx_count_distinct`` uses HyperLogLog++ with relativeSD=0.02;
   the rsd is a *standard* error, so we assert within 3 sigma (6%)
@@ -18,13 +21,26 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries import _ALL_QUERIES
 
 
 @pytest.fixture(scope="module")
 def results(spark, sf_dir):
-    sdf = _ALL_QUERIES["approx_aggs"](spark, sf_dir).toPandas()
+    raw = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+                "approx_median_price"
+            ),
+        )
+        .toPandas()
+    )
     con = duckdb.connect()
     exact = con.execute(
         f"""
@@ -36,7 +52,7 @@ def results(spark, sf_dir):
         GROUP BY l_returnflag
         """
     ).fetchdf()
-    return sdf.set_index("l_returnflag"), exact.set_index("l_returnflag")
+    return raw.set_index("l_returnflag"), exact.set_index("l_returnflag")
 
 
 def test_groups_match(results):
@@ -66,3 +82,19 @@ def test_approx_median_within_rank_bound(results):
             f"[p49={lo}, p51={hi}] — rank error above 10x the "
             "accuracy=1000 guarantee"
         )
+
+
+def test_registered_query_flags_all_pass(spark, sf_dir, results):
+    """The certified query's self-check flags agree with this module's
+    independent verdict: every group within bounds, exact counts equal
+    to DuckDB's."""
+    _, exact = results
+    rows = _ALL_QUERIES["approx_aggs"](spark, sf_dir).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["approx_orders_ok"] == 1, r
+        assert r["approx_median_ok"] == 1, r
+        assert (
+            r["exact_orders"]
+            == exact.loc[r["l_returnflag"], "exact_orders"]
+        ), r
