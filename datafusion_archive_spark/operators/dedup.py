@@ -543,6 +543,18 @@ def simhash_near_pairs(
 #: and each jump is a per-round self-join — so keep exactly one.
 _JUMPS_PER_ROUND = 1
 
+#: broadcast the label table in the per-round joins when the graph has
+#: at most this many labeled nodes. The round-11b stats reset makes
+#: every rewrapped label relation "unknown size" to Catalyst (the
+#: correct default at scale — the carried stats it replaced were
+#: garbage), which forces shuffle joins even on toy graphs; this
+#: restores the information HONESTLY, from one real count of the node
+#: set (fixed across rounds), not from Catalyst's compounded
+#: estimates. 2M nodes × ~32 B/row ≈ 64 MB — comfortably inside the
+#: executor broadcast budget; a 100 TB-scale graph is far above the
+#: cap and takes the shuffle path unchanged.
+_BROADCAST_NODE_CAP = 2_000_000
+
 
 def _rewrap_checkpoint(ck: DataFrame) -> DataFrame:
     """Re-wrap an (eagerly) checkpointed DataFrame's materialized
@@ -612,6 +624,20 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     ).persist()
+    # one real count of the (round-invariant) node set decides the
+    # join strategy for every label-sized frame below: the stats
+    # reset in _rewrap_checkpoint leaves Catalyst with no size
+    # information, so without the hint even a 500-node toy graph pays
+    # a full shuffle join per round (~2x wall at sf0.1). Label-sized
+    # means <= n_nodes rows by construction (labels, neighbor_min,
+    # the jump table, the changed-check side); `edges` itself can be
+    # much larger and is never broadcast.
+    n_nodes = labels.count()
+    small = n_nodes <= _BROADCAST_NODE_CAP
+
+    def _bc(label_sized: DataFrame) -> DataFrame:
+        return F.broadcast(label_sized) if small else label_sized
+
     changed = 0
     for _ in range(max_iterations):
         # min over the ORIGINAL edges plus the LABEL-POINTER edges in
@@ -637,11 +663,11 @@ def connected_components(
         )
         neighbor_min = (
             edges.unionByName(label_edges)
-            .join(labels.withColumnRenamed("node", "v"), "v")
+            .join(_bc(labels.withColumnRenamed("node", "v")), "v")
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
-        stepped = labels.join(neighbor_min, "node", "left").select(
+        stepped = labels.join(_bc(neighbor_min), "node", "left").select(
             "node",
             F.least(
                 F.col("component"), F.coalesce("nmin", "component")
@@ -658,7 +684,7 @@ def connected_components(
                 F.col("component").alias("jcomp"),
             )
             compressed = compressed.join(
-                jump, compressed.component == jump.jnode, "left"
+                _bc(jump), compressed.component == jump.jnode, "left"
             ).select(
                 "node",
                 F.coalesce("jcomp", "component").alias("component"),
@@ -684,7 +710,7 @@ def connected_components(
         new_labels = _rewrap_checkpoint(ck)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(_bc(labels.alias("o")), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
