@@ -134,3 +134,33 @@ def test_lsh_near_dup_recall_vs_exact(spark):
     assert len(exact) >= 25  # the planted pairs are really there
     assert len(lsh) / len(exact) >= 0.95, (len(lsh), len(exact))
     op_util.release_caches()
+
+
+def test_connected_components_shuffle_path_matches_broadcast(
+    spark, monkeypatch
+):
+    """The node-count gate (round 11b follow-up) picks broadcast joins
+    on small graphs and shuffle joins past _BROADCAST_NODE_CAP; force
+    the cap to 0 so the shuffle path runs at toy scale and assert both
+    strategies label every component identically (two chains + a star
+    + an isolated pair)."""
+    from datafusion_archive_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(5)]
+        + [Row(id_a=100, id_b=101), Row(id_a=100, id_b=102),
+           Row(id_a=100, id_b=103)]
+        + [Row(id_a=200, id_b=201)]
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dd, "_BROADCAST_NODE_CAP", 0)
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+    assert {c for _, c in got} == {0, 100, 200}
+    op_util.release_caches()
