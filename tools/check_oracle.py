@@ -58,6 +58,28 @@ def _session():
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
+    if os.environ.get("ORACLE_CHECK_PARTITIONS"):
+        # PARTITION-INVARIANCE sweep (round 11c): every certified
+        # result must be independent of the cluster's parallelism —
+        # the property that makes a local[32] green row meaningful on
+        # a 1000-executor cluster. Run the registry under a skewed
+        # parallelism (e.g. local[4] with 5 shuffle partitions, or
+        # 200) and the value hashes must still match the oracle
+        # byte-for-byte; a query that leans on partition count,
+        # partition ordering, or monotonically_increasing_id breaks
+        # HERE before it breaks on a real cluster.
+        from pyspark.sql import SparkSession
+
+        parts = os.environ["ORACLE_CHECK_PARTITIONS"]
+        cores = os.environ.get("ORACLE_CHECK_CORES", "4")
+        return (
+            SparkSession.builder.master(f"local[{cores}]")
+            .appName(f"oracle_check_parts{parts}")
+            .config("spark.sql.shuffle.partitions", parts)
+            .config("spark.driver.memory", "8g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
     return get_spark("oracle_check")
 
 
