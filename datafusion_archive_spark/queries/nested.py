@@ -91,38 +91,48 @@ def q_approx_aggs(spark, sf):
     Both checks are deterministic booleans (as INT for the driver
     hash) — the oracle asserts them as literal 1 alongside the exact
     distinct count, so this row is now an EXACT driver row, not
-    rows-only. The exact companion aggregates exist only to certify
-    the sketches; a production 100 TB run keeps the sketch columns
-    and drops the exact ones (they are the cost the sketch replaces).
-    Single hash-aggregate plan either way."""
-    g = (
-        _t(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-                "approx_orders"
-            ),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
-                "approx_median_price"
-            ),
-            F.count_distinct("l_orderkey").alias("exact_orders"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.49D, 0.51D))"
-            ).alias("q_band"),
-        )
+    rows-only. The exact companions are themselves scale-safe: the
+    distinct count is an ordinary distinct aggregate, and the quantile
+    band comes from the engine's own
+    :func:`~datafusion_archive_spark.operators.quantiles.
+    exact_grouped_quantiles` (bit-identical to grouped ``percentile``
+    but histogram-pruned — no per-group value buffer in any task), so
+    even the certification form of this query survives fact-scale
+    data. A production run keeps just the sketch columns (the exact
+    companions are the cost the sketch replaces)."""
+    from datafusion_archive_spark.operators.quantiles import (
+        exact_grouped_quantiles,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    band = exact_grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.49, 0.51]
+    )
+    band_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in band.items()],
+        "l_returnflag string, q_lo double, q_hi double",
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+            "approx_orders"
+        ),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+            "approx_median_price"
+        ),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
     )
     tol = F.greatest(
         F.col("exact_orders") * F.lit(0.06), F.lit(5.0)
     )
-    return g.select(
+    return g.join(F.broadcast(band_df), "l_returnflag").select(
         "l_returnflag",
         "exact_orders",
         (
             F.abs(F.col("approx_orders") - F.col("exact_orders")) <= tol
         ).cast("int").alias("approx_orders_ok"),
         (
-            (F.col("approx_median_price") >= F.col("q_band")[0])
-            & (F.col("approx_median_price") <= F.col("q_band")[1])
+            (F.col("approx_median_price") >= F.col("q_lo"))
+            & (F.col("approx_median_price") <= F.col("q_hi"))
         ).cast("int").alias("approx_median_ok"),
     )
 
