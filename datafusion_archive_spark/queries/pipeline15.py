@@ -113,11 +113,34 @@ def q_rfm_segments(spark, sf):
         score("rec").alias("r_score"),
         score("fre").alias("f_score"),
         score("mon").alias("m_score"),
-        "mon",
+        # exact integer cents (mon is an exact 2dp money value whose
+        # double form is within 1 ulp — round() recovers the integer):
+        # the segment AVERAGE must be order-independent too, and a
+        # double avg() sits on a half-cent rounding midpoint for ~1%
+        # of segments, where partition order flips the rounded cent —
+        # caught by the round-11c partition-invariance sweep
+        # (local[4]/5 shuffle partitions vs local[32]/32 disagreed on
+        # one segment). Long cents overflow only past ~9e16 cents per
+        # SEGMENT (~$900T), far above any real corpus.
+        F.round(F.col("mon") * 100).cast("long").alias("mon_cents"),
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    seg = scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("mon"), 2).alias("avg_monetary"),
+        F.sum("mon_cents").alias("sc"),
+    )
+    # half-up integer average in cents: (2*sc + n) DIV (2*n) — exact
+    # bigint arithmetic, so every engine and every partitioning agrees
+    return seg.select(
+        "r_score",
+        "f_score",
+        "m_score",
+        "n_customers",
+        (
+            F.expr(
+                "(2 * sc + n_customers) DIV (2 * n_customers)"
+            ).cast("double")
+            / 100.0
+        ).alias("avg_monetary"),
     )
 
 
@@ -360,14 +383,18 @@ ORACLES = {
                   b -> CASE WHEN w.fre > b THEN 1 ELSE 0 END)) AS f_score,
             1 + list_sum(list_transform(c.mc,
                   b -> CASE WHEN w.mon > b THEN 1 ELSE 0 END)) AS m_score,
-            w.mon
+            CAST(round(w.mon * 100) AS BIGINT) AS mon_cents
           FROM with_rec w CROSS JOIN cuts c
         )
+        -- avg in exact integer cents with a half-up integer formula:
+        -- a double avg() lands on half-cent midpoints where addition
+        -- order flips the rounded cent (round-11c partition sweep)
         SELECT CAST(r_score AS INTEGER) AS r_score,
                CAST(f_score AS INTEGER) AS f_score,
                CAST(m_score AS INTEGER) AS m_score,
                count(*) AS n_customers,
-               round(avg(mon), 2) AS avg_monetary
+               CAST((2 * sum(mon_cents) + count(*))
+                    // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_monetary
         FROM scored GROUP BY 1, 2, 3
     """,
     "pareto_abc_parts": f"""

@@ -104,7 +104,17 @@ def q_atkinson_index(spark, sf):
     med = exact_quantiles_cont(spend, "y", [0.5])[0]
     return spend.agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("y"), 2).alias("mean_spend"),
+        # exact half-up cents average (same shape as rfm_segments'
+        # avg_monetary): a double avg of 2dp money values can land on
+        # a half-cent midpoint where addition order flips the rounded
+        # cent — the round-11c partition-invariance sweep's bug class
+        (
+            F.expr(
+                "CAST((2 * sum(CAST(round(y * 100) AS BIGINT)) + "
+                "count(1)) DIV (2 * count(1)) AS DOUBLE)"
+            )
+            / 100.0
+        ).alias("mean_spend"),
         F.round(F.lit(med).cast("double"), 2).alias("median_spend"),
         F.round(
             1.0 - F.exp(F.avg(F.log("y"))) / F.avg("y"), 6
@@ -168,7 +178,9 @@ ORACLES = {
           FROM orders GROUP BY 1
         )
         SELECT count(*) AS n_customers,
-               round(avg(y), 2) AS mean_spend,
+               -- exact half-up cents average (see the Spark twin)
+               CAST((2 * sum(CAST(round(y * 100) AS BIGINT)) + count(*))
+                    // (2 * count(*)) AS DOUBLE) / 100.0 AS mean_spend,
                round(quantile_cont(y, 0.5), 2) AS median_spend,
                round(1.0 - exp(avg(ln(y))) / avg(y), 6)
                  AS atkinson_eps1,
