@@ -555,6 +555,62 @@ _JUMPS_PER_ROUND = 1
 #: cap and takes the shuffle path unchanged.
 _BROADCAST_NODE_CAP = 2_000_000
 
+#: rows per shuffle partition for the propagation loop. Every shuffle
+#: inside the loop is label- or edge-sized (2-3 longs per row, ~24 B),
+#: so the right shuffle width is measured-data / this — not the
+#: session's fact-scan width. 1M rows ≈ 24 MB per task; a billion-node
+#: graph gets ~1-2k partitions, a toy graph gets 1.
+_LOOP_ROWS_PER_PARTITION = 1_000_000
+
+
+class _loop_conf:
+    """Scope the session conf to the propagation loop: AQE re-plans
+    and materializes every tiny per-round query stage (~0.4 s/round of
+    pure re-optimization overhead on a toy graph), and the session's
+    shuffle width is sized for fact scans, not the label-sized loop
+    shuffles. Sizing the width to ONE real count of the (round-
+    invariant) node+edge set and switching AQE off for the loop cut
+    the sf0.1 DBSCAN component resolution 23.7 s → 10.1 s with
+    byte-identical labels; at fact scale the computed width grows with
+    the measured graph, so this is the same knob a cluster job would
+    set, derived the same way. Both settings are restored on exit
+    (including on error) — every action the loop runs happens inside
+    the scope, and the returned labels are already materialized, so
+    downstream consumers execute under the caller's conf."""
+
+    def __init__(self, spark, n_rows: int):
+        self._spark = spark
+        self._parts = max(
+            1, -(-n_rows // _LOOP_ROWS_PER_PARTITION)
+        )
+
+    @staticmethod
+    def _get(conf, key):
+        try:
+            return conf.get(key)
+        except Exception:
+            return None
+
+    def __enter__(self):
+        conf = self._spark.conf
+        self._old_aqe = self._get(conf, "spark.sql.adaptive.enabled")
+        self._old_parts = self._get(conf, "spark.sql.shuffle.partitions")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(self._parts))
+        return self
+
+    def __exit__(self, *exc):
+        conf = self._spark.conf
+        for key, old in (
+            ("spark.sql.adaptive.enabled", self._old_aqe),
+            ("spark.sql.shuffle.partitions", self._old_parts),
+        ):
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
+        return False
+
 
 def _rewrap_checkpoint(ck: DataFrame) -> DataFrame:
     """Re-wrap an (eagerly) checkpointed DataFrame's materialized
@@ -624,6 +680,12 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     ).persist()
+    # the de-dup shuffle of the raw pair list (potentially the large
+    # input) runs HERE, under the caller's conf — full shuffle width
+    # and AQE apply to the one data-sized stage. Counting edges and
+    # nodes materializes both persisted frames and gives the real
+    # sizes the loop scope below is derived from.
+    n_edges = edges.count()
     # one real count of the (round-invariant) node set decides the
     # join strategy for every label-sized frame below: the stats
     # reset in _rewrap_checkpoint leaves Catalyst with no size
@@ -639,86 +701,87 @@ def connected_components(
         return F.broadcast(label_sized) if small else label_sized
 
     changed = 0
-    for _ in range(max_iterations):
-        # min over the ORIGINAL edges plus the LABEL-POINTER edges in
-        # both directions. Plain propagation moves the min value one
-        # graph-hop per round (Θ(diameter) rounds — a diameter-32
-        # component in the 240k-point round-11b probe blew the cap),
-        # and pointer jumps alone only shortcut label chains, which
-        # random-id geometric clusters barely form. Treating the
-        # label mapping as extra edges is the hash-to-min trick:
-        # mins flow member -> label-root -> members, so star-shaped
-        # regions merge in ~2 rounds regardless of their size and the
-        # same probe converges in 29 rounds (exactly matching a
-        # union-find ground truth) instead of not at all; only thin
-        # chain tails still crawl, which the generous default cap
-        # absorbs now that per-round cost is flat (see the stats
-        # note below).
-        label_edges = labels.select(
-            F.col("node").alias("u"), F.col("component").alias("v")
-        ).unionByName(
-            labels.select(
-                F.col("component").alias("u"), F.col("node").alias("v")
+    with _loop_conf(pairs.sparkSession, 2 * n_nodes + n_edges):
+        for _ in range(max_iterations):
+            # min over the ORIGINAL edges plus the LABEL-POINTER edges in
+            # both directions. Plain propagation moves the min value one
+            # graph-hop per round (Θ(diameter) rounds — a diameter-32
+            # component in the 240k-point round-11b probe blew the cap),
+            # and pointer jumps alone only shortcut label chains, which
+            # random-id geometric clusters barely form. Treating the
+            # label mapping as extra edges is the hash-to-min trick:
+            # mins flow member -> label-root -> members, so star-shaped
+            # regions merge in ~2 rounds regardless of their size and the
+            # same probe converges in 29 rounds (exactly matching a
+            # union-find ground truth) instead of not at all; only thin
+            # chain tails still crawl, which the generous default cap
+            # absorbs now that per-round cost is flat (see the stats
+            # note below).
+            label_edges = labels.select(
+                F.col("node").alias("u"), F.col("component").alias("v")
+            ).unionByName(
+                labels.select(
+                    F.col("component").alias("u"), F.col("node").alias("v")
+                )
             )
-        )
-        neighbor_min = (
-            edges.unionByName(label_edges)
-            .join(_bc(labels.withColumnRenamed("node", "v")), "v")
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        stepped = labels.join(_bc(neighbor_min), "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("nmin", "component")
-            ).alias("component"),
-        )
-        # pointer jumps: L(u) ← L(L(u)), repeated _JUMPS_PER_ROUND
-        # times — label-only self-joins that flatten label chains so
-        # the next round's label edges point near the root. Cheap
-        # next to the per-round edge join.
-        compressed = stepped
-        for _ in range(_JUMPS_PER_ROUND):
-            jump = compressed.select(
-                F.col("node").alias("jnode"),
-                F.col("component").alias("jcomp"),
+            neighbor_min = (
+                edges.unionByName(label_edges)
+                .join(_bc(labels.withColumnRenamed("node", "v")), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("component").alias("nmin"))
             )
-            compressed = compressed.join(
-                _bc(jump), compressed.component == jump.jnode, "left"
-            ).select(
+            stepped = labels.join(_bc(neighbor_min), "node", "left").select(
                 "node",
-                F.coalesce("jcomp", "component").alias("component"),
+                F.least(
+                    F.col("component"), F.coalesce("nmin", "component")
+                ).alias("component"),
             )
-        # localCheckpoint, not persist: persist caches *data* but the
-        # logical plan still accrues one join per iteration — planning
-        # cost (and plan-string size) grows without bound on
-        # high-diameter graphs. Checkpointing truncates lineage so
-        # every iteration plans against a materialized leaf.
-        ck = compressed.localCheckpoint(eager=True)
-        # ...but the checkpoint relation CARRIES the pre-checkpoint
-        # plan's statistics, and Catalyst's size-only stats visitor
-        # MULTIPLIES children's sizeInBytes across joins — with the
-        # per-round self-joins the carried BigInt's bit-length
-        # compounds ~2^(jumps+1)× per round, and by round ~7 the
-        # stats visitor burns minutes per plan in BigInteger
-        # Toom-Cook products (jstack-diagnosed, round 11b; the same
-        # compounding capped the 240k-point probe even with one jump
-        # per round). Re-wrapping the materialized InternalRow RDD in
-        # a fresh relation resets the stats every round — JVM-side,
-        # no Python data movement; the public createDataFrame(rdd)
-        # fallback covers connect-style sessions without _jdf.
-        new_labels = _rewrap_checkpoint(ck)
-        changed = (
-            new_labels.alias("n")
-            .join(_bc(labels.alias("o")), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            # pointer jumps: L(u) ← L(L(u)), repeated _JUMPS_PER_ROUND
+            # times — label-only self-joins that flatten label chains so
+            # the next round's label edges point near the root. Cheap
+            # next to the per-round edge join.
+            compressed = stepped
+            for _ in range(_JUMPS_PER_ROUND):
+                jump = compressed.select(
+                    F.col("node").alias("jnode"),
+                    F.col("component").alias("jcomp"),
+                )
+                compressed = compressed.join(
+                    _bc(jump), compressed.component == jump.jnode, "left"
+                ).select(
+                    "node",
+                    F.coalesce("jcomp", "component").alias("component"),
+                )
+            # localCheckpoint, not persist: persist caches *data* but the
+            # logical plan still accrues one join per iteration — planning
+            # cost (and plan-string size) grows without bound on
+            # high-diameter graphs. Checkpointing truncates lineage so
+            # every iteration plans against a materialized leaf.
+            ck = compressed.localCheckpoint(eager=True)
+            # ...but the checkpoint relation CARRIES the pre-checkpoint
+            # plan's statistics, and Catalyst's size-only stats visitor
+            # MULTIPLIES children's sizeInBytes across joins — with the
+            # per-round self-joins the carried BigInt's bit-length
+            # compounds ~2^(jumps+1)× per round, and by round ~7 the
+            # stats visitor burns minutes per plan in BigInteger
+            # Toom-Cook products (jstack-diagnosed, round 11b; the same
+            # compounding capped the 240k-point probe even with one jump
+            # per round). Re-wrapping the materialized InternalRow RDD in
+            # a fresh relation resets the stats every round — JVM-side,
+            # no Python data movement; the public createDataFrame(rdd)
+            # fallback covers connect-style sessions without _jdf.
+            new_labels = _rewrap_checkpoint(ck)
+            changed = (
+                new_labels.alias("n")
+                .join(_bc(labels.alias("o")), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
     edges.unpersist()
     if changed != 0:
         labels.unpersist()

@@ -112,15 +112,30 @@ def q_approx_aggs(spark, sf):
         [(k, v[0], v[1]) for k, v in band.items()],
         "l_returnflag string, q_lo double, q_hi double",
     )
-    g = li.groupBy("l_returnflag").agg(
+    # The sketch aggregates and the exact distinct run as SEPARATE
+    # aggregations joined on the 3-row group key: putting
+    # count_distinct in the same agg as percentile_approx forces
+    # Catalyst's Expand plan (one duplicated row-stream per distinct
+    # group) and knocks the TypedImperativeAggregate sketch out of
+    # ObjectHashAggregate into SortAggregate — 15 s vs 2.8 s at sf0.1,
+    # and the expanded sort grows with fact rows, exactly the shape
+    # that dies at 100 TB. Split, each side is a codegen two-phase
+    # hash aggregate with map-side combine.
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
             "approx_orders"
         ),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
             "approx_median_price"
         ),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+    ex = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    g = sk.join(ex, "l_returnflag")
     tol = F.greatest(
         F.col("exact_orders") * F.lit(0.06), F.lit(5.0)
     )

@@ -1,0 +1,97 @@
+"""Round-11 continuation pins: the two engine-side perf fixes.
+
+1. ``connected_components`` runs its propagation loop under a scoped
+   session conf (AQE off + shuffle width sized to the measured
+   node+edge count — 23.7 s -> ~10 s on the sf0.1 DBSCAN graph). The
+   scope must RESTORE the caller's conf on exit and on error, produce
+   labels identical to a union-find ground truth, and the width must
+   scale with the measured graph (1 partition on a toy graph, ~n/1M
+   at fact scale).
+
+2. ``approx_aggs`` computes its sketch aggregates and its exact
+   distinct in SEPARATE aggregations joined on the group key: putting
+   ``count_distinct`` in the same agg as ``percentile_approx`` forces
+   Catalyst's Expand plan and knocks the TypedImperativeAggregate
+   sketch out of ObjectHashAggregate into SortAggregate (15 s vs
+   2.8 s at sf0.1, and the expanded sort grows with fact rows). The
+   physical plan must stay Expand-free.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_archive_spark.operators import dedup
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestLoopConf:
+    def test_restores_set_conf(self, spark):
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        with dedup._loop_conf(spark, 3_500_000):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            # ceil(3.5M / 1M) = 4 partitions inside the scope
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+
+    def test_restores_on_error(self, spark):
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        with pytest.raises(RuntimeError):
+            with dedup._loop_conf(spark, 10):
+                assert (
+                    spark.conf.get("spark.sql.shuffle.partitions") == "1"
+                )
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+
+    def test_width_scales_with_graph(self, spark):
+        assert dedup._loop_conf(spark, 1)._parts == 1
+        assert dedup._loop_conf(spark, 10_000)._parts == 1
+        assert dedup._loop_conf(spark, 2_000_000_000)._parts == 2000
+
+    def test_labels_match_union_find_and_conf_survives(self, spark):
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        # chain + star + two singleton-pair components, plus a cycle
+        pairs = (
+            [(i, i + 1) for i in range(1, 12)]  # chain 1..12
+            + [(100, k) for k in range(101, 110)]  # star at 100
+            + [(200, 201), (300, 301)]
+            + [(400, 401), (401, 402), (402, 400)]  # triangle
+        )
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r.node: r.component
+            for r in dedup.connected_components(pdf).collect()
+        }
+        assert got == _union_find(pairs)
+        # the loop scope must not leak into the session
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+
+
+def test_approx_aggs_plan_has_no_expand(spark, sf_dir):
+    from datafusion_archive_spark.queries.nested import q_approx_aggs
+
+    df = q_approx_aggs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    # and the sketch agg must not have degraded to a sort aggregate
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
