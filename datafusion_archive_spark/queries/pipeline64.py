@@ -17,7 +17,17 @@ copies.
   positions, selected fingerprints, observed density (tests pin it
   near 2/(w+1)).
 - ``moss_shared_fingerprints`` — the plagiarism readout: top-10
-  document pairs by count of shared selected fingerprint hashes.
+  document pairs by count of shared selected fingerprint hashes,
+  restricted to fingerprints appearing in at most ``_MAX_HASH_DF``
+  documents. The document-frequency cap is part of the published
+  MOSS design (Schleimer et al., SIGMOD 2003 §5: fingerprints shared
+  by many documents are boilerplate, not copying) and is also the
+  scale guard: without it the hash self-join enumerates C(df, 2)
+  rows per fingerprint, and the synthetic corpus's boilerplate
+  8-grams already make that QUADRATIC between the certified scales
+  (sf0.01 → sf0.1 is 10× docs but 1.08M → 107M join candidates).
+  With the cap, per-hash work is bounded by C(_MAX_HASH_DF, 2) and
+  total candidates track the distinct-hash count — linear in docs.
 
 The reference has no string functions (``/root/reference/ROADMAP.md``).
 """
@@ -34,6 +44,7 @@ _K = 8
 _WIN = 4
 _SEED = 5
 _TOP = 10
+_MAX_HASH_DF = 50
 
 
 def _selected(spark, sf):
@@ -47,6 +58,13 @@ def _selected(spark, sf):
         )
         .filter(F.length("t") >= _K + _WIN - 1)
     )
+    return _selected_from(d)
+
+
+def _selected_from(d):
+    """Winnowing selection over a pre-normalized ``(doc_id, source,
+    t)`` frame — split from :func:`_selected` so the scale probe can
+    run the EXACT certified kernel on synthetic corpora."""
     pos = d.select(
         "doc_id",
         "source",
@@ -117,10 +135,20 @@ def q_winnowing_fingerprints(spark, sf):
 
 
 def q_moss_shared_fingerprints(spark, sf):
-    """Top-10 doc pairs by shared winnowing fingerprint hashes."""
+    """Top-10 doc pairs by shared RARE winnowing fingerprint hashes
+    (document frequency <= _MAX_HASH_DF — see the module docstring:
+    the MOSS boilerplate filter, which is also what keeps the self-
+    join linear in documents instead of quadratic)."""
     sel = _selected(spark, sf).select(
         "doc_id", F.substring("sel", 1, 19).alias("h")
     ).distinct()
+    rare = (
+        sel.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_HASH_DF)
+        .select("h")
+    )
+    sel = sel.join(rare, "h")
     a = sel.alias("a")
     b = sel.alias("b")
     return (
@@ -201,9 +229,18 @@ ORACLES = {
     """,
     "moss_shared_fingerprints": f"""
         WITH {_SEL_SQL},
-        hashes AS (
+        all_hashes AS (
           SELECT DISTINCT doc_id, substr(sel, 1, 19) AS h
           FROM selected
+        ),
+        -- MOSS boilerplate filter: fingerprints in more than
+        -- {_MAX_HASH_DF} documents are shared prose, not copying,
+        -- and each would contribute C(df, 2) join rows (quadratic
+        -- between sf0.01 and sf0.1 on this corpus without the cap)
+        hashes AS (
+          SELECT doc_id, h FROM all_hashes
+          WHERE h IN (SELECT h FROM all_hashes
+                      GROUP BY 1 HAVING count(*) <= {_MAX_HASH_DF})
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS shared

@@ -87,6 +87,49 @@ class TestLoopConf:
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
 
 
+class TestMossBoilerplateCap:
+    """moss_shared_fingerprints prunes fingerprints whose document
+    frequency exceeds _MAX_HASH_DF (the published MOSS boilerplate
+    filter, and the guard that keeps the hash self-join linear in
+    docs — uncapped, the certified corpus grows 1.08M -> 107M join
+    candidates between sf0.01 and sf0.1). On a corpus where 60 docs
+    share one long footer and exactly two docs share a unique
+    passage, the capped top pair must be that unique pair, and no
+    boilerplate-only pair may appear."""
+
+    def test_cap_drops_boilerplate_pairs(self, spark, tmp_path):
+        from datafusion_archive_spark.queries import pipeline64 as p64
+
+        assert p64._MAX_HASH_DF == 50
+        footer = " ".join(f"boiler{i} shared footer{i}" for i in range(8))
+        rows = []
+        for i in range(60):
+            body = " ".join(f"unique{i}word{j}" for j in range(12))
+            rows.append((i, "s", f"{body} {footer}"))
+        # docs 100 and 101 share a genuine copied passage, no footer
+        passage = " ".join(f"copied{j}" for j in range(12))
+        rows.append((100, "s", f"{passage} tail100 tail100b"))
+        rows.append((101, "s", f"head101 head101b {passage}"))
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = p64.q_moss_shared_fingerprints(
+            spark, str(tmp_path)
+        ).collect()
+        assert out, "capped output must keep the genuine copy pair"
+        top = out[0]
+        assert (top.doc_a, top.doc_b) == (100, 101)
+        # footer-interior fingerprints (df=60 > cap) are pruned, so
+        # no boilerplate pair can rival the genuine copy: whatever
+        # leaks through is boundary grams (selection context differs
+        # near the body->footer seam), worth at most a few shared
+        # hashes vs the passage's dozens
+        boiler = [r for r in out if r.doc_a < 60 and r.doc_b < 60]
+        assert all(r.shared < top.shared / 2 for r in boiler)
+
+
 def test_approx_aggs_plan_has_no_expand(spark, sf_dir):
     from datafusion_archive_spark.queries.nested import q_approx_aggs
 
