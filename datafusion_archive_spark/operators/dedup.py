@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.functions.rounding import round_half_up
-from datafusion_archive_spark.operators.util import cached, spread
+from datafusion_archive_spark.operators.util import (
+    cached,
+    loop_conf as _loop_conf,
+    spread,
+)
 
 
 def exact_duplicates(
@@ -554,63 +558,6 @@ _JUMPS_PER_ROUND = 1
 #: executor broadcast budget; a 100 TB-scale graph is far above the
 #: cap and takes the shuffle path unchanged.
 _BROADCAST_NODE_CAP = 2_000_000
-
-#: rows per shuffle partition for the propagation loop. Every shuffle
-#: inside the loop is label- or edge-sized (2-3 longs per row, ~24 B),
-#: so the right shuffle width is measured-data / this — not the
-#: session's fact-scan width. 1M rows ≈ 24 MB per task; a billion-node
-#: graph gets ~1-2k partitions, a toy graph gets 1.
-_LOOP_ROWS_PER_PARTITION = 1_000_000
-
-
-class _loop_conf:
-    """Scope the session conf to the propagation loop: AQE re-plans
-    and materializes every tiny per-round query stage (~0.4 s/round of
-    pure re-optimization overhead on a toy graph), and the session's
-    shuffle width is sized for fact scans, not the label-sized loop
-    shuffles. Sizing the width to ONE real count of the (round-
-    invariant) node+edge set and switching AQE off for the loop cut
-    the sf0.1 DBSCAN component resolution 23.7 s → 10.1 s with
-    byte-identical labels; at fact scale the computed width grows with
-    the measured graph, so this is the same knob a cluster job would
-    set, derived the same way. Both settings are restored on exit
-    (including on error) — every action the loop runs happens inside
-    the scope, and the returned labels are already materialized, so
-    downstream consumers execute under the caller's conf."""
-
-    def __init__(self, spark, n_rows: int):
-        self._spark = spark
-        self._parts = max(
-            1, -(-n_rows // _LOOP_ROWS_PER_PARTITION)
-        )
-
-    @staticmethod
-    def _get(conf, key):
-        try:
-            return conf.get(key)
-        except Exception:
-            return None
-
-    def __enter__(self):
-        conf = self._spark.conf
-        self._old_aqe = self._get(conf, "spark.sql.adaptive.enabled")
-        self._old_parts = self._get(conf, "spark.sql.shuffle.partitions")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(self._parts))
-        return self
-
-    def __exit__(self, *exc):
-        conf = self._spark.conf
-        for key, old in (
-            ("spark.sql.adaptive.enabled", self._old_aqe),
-            ("spark.sql.shuffle.partitions", self._old_parts),
-        ):
-            if old is None:
-                conf.unset(key)
-            else:
-                conf.set(key, old)
-        return False
-
 
 def _rewrap_checkpoint(ck: DataFrame) -> DataFrame:
     """Re-wrap an (eagerly) checkpointed DataFrame's materialized

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_archive_spark.operators.util import cached
+from datafusion_archive_spark.operators.util import cached, loop_conf
 
 def _materialize(fn):
     """Run an eager graph materialization (count / localCheckpoint),
@@ -200,25 +200,50 @@ def pagerank(
             deg.withColumnRenamed("node", "src"), "src"
         ).select("src", "dst", "deg")
     )
+    # materializes the cached contribution frame under the CALLER's
+    # conf (the co-occurrence self-join behind it is the data-sized
+    # stage) and gives the real per-iteration row count the loop
+    # scope below is derived from
+    n_directed = out.count()
     ranks = _materialize(
         deg.select(
             "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
         ).localCheckpoint
     )
     base = (1.0 - damping) / float(n)
-    for _ in range(iterations):
-        contrib = (
-            out.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
-        )
-        new_ranks = _materialize(
-            contrib.select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.col("_in")).alias("r"),
-            ).localCheckpoint
-        )
-        ranks = new_ranks
+    # same loop-scoped conf as dedup.connected_components: AQE
+    # re-planning and a fact-scan shuffle width are pure overhead on
+    # the fixed-size per-iteration join+aggregate (sf0.1 co-purchase
+    # graph: 9.2 s -> ~4 s for the 8 iterations); width scales with
+    # the measured graph, conf restored on exit
+    # broadcast the rank vector into the edge join when the node set
+    # is provably small (same honest-size hint as connected_components:
+    # one real count, not Catalyst's carried checkpoint estimates);
+    # a web-scale graph exceeds the cap and shuffles both sides on
+    # the node id unchanged
+    small = n <= 2_000_000
+
+    def _bc(rank_sized):
+        return F.broadcast(rank_sized) if small else rank_sized
+
+    with loop_conf(edges.sparkSession, n_directed + n):
+        for _ in range(iterations):
+            contrib = (
+                out.join(
+                    _bc(ranks.withColumnRenamed("node", "src")), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
+            )
+            new_ranks = _materialize(
+                contrib.select(
+                    "node",
+                    (
+                        F.lit(base) + F.lit(damping) * F.col("_in")
+                    ).alias("r"),
+                ).localCheckpoint
+            )
+            ranks = new_ranks
     return ranks.select(
         "node", (F.col("r") * F.lit(float(n))).alias("rank")
     )

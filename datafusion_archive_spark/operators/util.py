@@ -150,3 +150,72 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+#: per-task row band for the iterative-loop shuffle width. Every
+#: shuffle inside a propagation/power-iteration loop is label- or
+#: edge-sized (2-4 longs per row, ~24-32 B), so the right width comes
+#: from the MEASURED per-iteration row count, not the session's
+#: fact-scan width: at most 1M rows ≈ 24-32 MB per task (memory
+#: bound — forces a billion-row graph to ~1k+ partitions), at least
+#: 50k rows per task (below that, task scheduling overhead exceeds
+#: the work and fewer/larger tasks win).
+LOOP_ROWS_PER_PARTITION = 1_000_000
+LOOP_MIN_ROWS_PER_TASK = 50_000
+
+
+class loop_conf:
+    """Scope the session conf to an iterative loop (connected-
+    components propagation, PageRank power iteration): AQE re-plans
+    and materializes every tiny per-round query stage (~0.4 s/round of
+    pure re-optimization overhead on a toy graph), and the session's
+    shuffle width is sized for fact scans, not the loop's label/edge-
+    sized shuffles. The width is derived from ONE real count of the
+    (round-invariant) per-iteration row set: the cluster's default
+    parallelism, clamped to [rows/1M, rows/50k] so tasks stay between
+    50k rows (scheduling amortization) and 1M rows (memory). Cut the
+    sf0.1 DBSCAN component resolution 23.7 s → 10 s and the sf0.1
+    PageRank loop 9.2 s → ~4 s with byte-identical results; at fact
+    scale the computed width grows with the measured data, the same
+    knob a cluster job would set, derived the same way. Both settings
+    are restored on exit (including on error) — every action the loop
+    runs happens inside the scope, and the returned frame is already
+    materialized, so downstream consumers execute under the caller's
+    conf."""
+
+    def __init__(self, spark, n_rows: int):
+        self._spark = spark
+        lo = max(1, -(-n_rows // LOOP_ROWS_PER_PARTITION))
+        hi = max(1, -(-n_rows // LOOP_MIN_ROWS_PER_TASK))
+        try:
+            dp = spark.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover - connect-style session
+            dp = lo
+        self._parts = min(max(dp, lo), hi)
+
+    @staticmethod
+    def _get(conf, key):
+        try:
+            return conf.get(key)
+        except Exception:
+            return None
+
+    def __enter__(self):
+        conf = self._spark.conf
+        self._old_aqe = self._get(conf, "spark.sql.adaptive.enabled")
+        self._old_parts = self._get(conf, "spark.sql.shuffle.partitions")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(self._parts))
+        return self
+
+    def __exit__(self, *exc):
+        conf = self._spark.conf
+        for key, old in (
+            ("spark.sql.adaptive.enabled", self._old_aqe),
+            ("spark.sql.shuffle.partitions", self._old_parts),
+        ):
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
+        return False

@@ -46,10 +46,12 @@ class TestLoopConf:
     def test_restores_set_conf(self, spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", "7")
-        with dedup._loop_conf(spark, 3_500_000):
+        scope = dedup._loop_conf(spark, 3_500_000)
+        with scope:
             assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-            # ceil(3.5M / 1M) = 4 partitions inside the scope
-            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                scope._parts
+            )
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
 
@@ -64,9 +66,19 @@ class TestLoopConf:
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
 
     def test_width_scales_with_graph(self, spark):
+        dp = spark.sparkContext.defaultParallelism
+        # tiny loops collapse to few large tasks (<= rows/50k)...
         assert dedup._loop_conf(spark, 1)._parts == 1
         assert dedup._loop_conf(spark, 10_000)._parts == 1
-        assert dedup._loop_conf(spark, 2_000_000_000)._parts == 2000
+        assert dedup._loop_conf(spark, 100_000)._parts == min(dp, 2)
+        # ...mid-size loops use the cluster's parallelism...
+        assert dedup._loop_conf(spark, 3_500_000)._parts == min(
+            max(dp, 4), 70
+        )
+        # ...huge loops are memory-bound at ~1M rows/task
+        assert dedup._loop_conf(spark, 2_000_000_000)._parts == max(
+            dp, 2000
+        )
 
     def test_labels_match_union_find_and_conf_survives(self, spark):
         spark.conf.set("spark.sql.shuffle.partitions", "7")
