@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
 
-from datafusion_archive_spark.operators.util import cached
+from datafusion_archive_spark.operators.util import cached, loop_conf
 
 _ITERS = 30
 _CHANNELS = ("view", "click", "signup", "error")
@@ -142,6 +142,12 @@ def q_markov_attribution_removal(spark, sf):
         .agg(F.sum("p").alias("p"))
         .unionByName(absorb)
     )
+    # materialize the batched edge table under the caller's conf and
+    # take its real size — the chain state space is (channels + 3
+    # absorbing states) x variants, a few hundred rows, so the _ITERS
+    # power steps are pure fixed overhead without the scoped loop
+    # conf (AQE off, 1-partition shuffles)
+    n_edges = edges.count()
     v = (
         edges.select("variant")
         .distinct()
@@ -152,23 +158,24 @@ def q_markov_attribution_removal(spark, sf):
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(_ITERS):
-        vr = v.select(
-            F.col("variant").alias("v_variant"),
-            F.col("state").alias("v_state"),
-            "m",
-        )
-        v = (
-            vr.join(
-                edges,
-                (F.col("v_variant") == F.col("variant"))
-                & (F.col("v_state") == F.col("src")),
+    with loop_conf(spark, n_edges):
+        for _ in range(_ITERS):
+            vr = v.select(
+                F.col("variant").alias("v_variant"),
+                F.col("state").alias("v_state"),
+                "m",
             )
-            .groupBy("variant", "dst")
-            .agg(F.sum(F.col("m") * F.col("p")).alias("m"))
-            .withColumnRenamed("dst", "state")
-            .localCheckpoint(eager=True)
-        )
+            v = (
+                vr.join(
+                    edges,
+                    (F.col("v_variant") == F.col("variant"))
+                    & (F.col("v_state") == F.col("src")),
+                )
+                .groupBy("variant", "dst")
+                .agg(F.sum(F.col("m") * F.col("p")).alias("m"))
+                .withColumnRenamed("dst", "state")
+                .localCheckpoint(eager=True)
+            )
     conv = v.filter(F.col("state") == "purchase").select(
         "variant", F.col("m").alias("cv")
     )

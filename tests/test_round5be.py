@@ -81,6 +81,15 @@ class TestWinnowing:
             _, sel = _select(r.text)
             if sel:
                 hashes[r.doc_id] = {s[:19] for s in sel}
+        # the MOSS boilerplate filter (round 11d): fingerprints in
+        # more than _MAX_HASH_DF documents are excluded on both sides
+        from collections import Counter
+
+        df = Counter(h for s in hashes.values() for h in s)
+        hashes = {
+            d: {h for h in s if df[h] <= P64._MAX_HASH_DF}
+            for d, s in hashes.items()
+        }
         pairs = []
         ids = sorted(hashes)
         for i, a in enumerate(ids):
