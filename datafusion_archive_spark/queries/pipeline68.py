@@ -46,16 +46,40 @@ from datafusion_archive_spark.operators.util import cached
 
 _AREA = 100.0  # the synth coordinate space is [0, 10)^2
 _RADII = (0.25, 0.5, 1.0)
+_N_REF = 1500  # density anchor: radii are calibrated at sf0.01 scale
 _EM_ITERS = 3
 
 
+def _radius_scale(n: int) -> float:
+    """Density-adaptive radius factor, the same playbook as DBSCAN's
+    ε(n) (queries/pipeline60._eps_for): the synth space is a FIXED
+    [0,10)² square, so growing the corpus densifies it and the pair
+    count within a fixed radius is Θ(λ²·A·πr²) — quadratic in rows
+    (the round-11d sweep-growth audit measured this query at 14.4×
+    wall for 10× rows, one ambient wobble from the 15× gate).
+    Scaling every radius by sqrt(_N_REF/n) keeps the expected
+    neighbor count per point constant, so candidates grow linearly
+    with rows at any scale; the CSR readouts stay interpretable at
+    any radius (under CSR, K(r)/πr² ≈ 1 and the Clark–Evans R and z
+    don't involve the radii at all). Anchored at _N_REF so the
+    certified sf0.01 output is unchanged; the oracle computes the
+    identical IEEE expression in SQL (dbscan precedent ⇒ identical
+    radii bit-for-bit)."""
+    return math.sqrt(_N_REF / n)
+
+
 def q_spatial_clark_evans(spark, sf):
-    """Clark–Evans CSR test + Ripley K ratios at 3 radii."""
+    """Clark–Evans CSR test + Ripley K ratios at 3 density-adaptive
+    radii (base radii × sqrt(_N_REF/n); columns keep the base-radius
+    labels)."""
     pts = spark.read.parquet(f"{sf}/customer.parquet").select(
         F.col("c_custkey").alias("id"),
         *_synth_point(F.col("c_custkey"), "p"),
     )
-    c = max(_RADII)  # cell size = largest K radius
+    n_pts = pts.count()
+    scale = _radius_scale(n_pts)
+    radii = [r * scale for r in _RADII]
+    c = max(radii)  # cell size = largest K radius
     a = pts.select(
         F.col("id").alias("ida"),
         F.col("p_lat").alias("xa"),
@@ -125,9 +149,9 @@ def q_spatial_clark_evans(spark, sf):
     kstats = cand.agg(
         *[
             F.sum((F.col("dist") < r).cast("long")).alias(
-                f"k{int(r * 100)}"
+                f"k{int(r0 * 100)}"
             )
-            for r in _RADII
+            for r0, r in zip(_RADII, radii)
         ]
     )
     ce = nn.agg(
@@ -140,15 +164,15 @@ def q_spatial_clark_evans(spark, sf):
     expected = 1.0 / (2.0 * F.sqrt(lam))
     se = 0.26136 / F.sqrt(n * lam)
     k_cols = []
-    for r in _RADII:
+    for r0, r in zip(_RADII, radii):
         k_hat = (
             F.lit(_AREA)
-            * F.col(f"k{int(r * 100)}").cast("double")
+            * F.col(f"k{int(r0 * 100)}").cast("double")
             / (n * (n - 1.0))
         )
         k_cols.append(
             F.round(k_hat / (math.pi * r * r), 6).alias(
-                f"k_ratio_{int(r * 100)}"
+                f"k_ratio_{int(r0 * 100)}"
             )
         )
     return joined.select(
@@ -244,14 +268,14 @@ def _ce_oracle() -> str:
         f" / {_TWO60!r}) * {_GEO_SPAN!r}"
     )
     ksel = ", ".join(
-        f"CAST(sum(CASE WHEN dist < {r} THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS k{int(r * 100)}"
+        f"CAST(sum(CASE WHEN dist < {r!r} * s THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS k{int(r * 100)}"
         for r in _RADII
     )
     kout = ", ".join(
         f"round(({_AREA!r} * k.k{int(r * 100)}"
         f" / (CAST(c.n AS DOUBLE) * (c.n - 1)))"
-        f" / ({math.pi!r} * {r!r} * {r!r}), 6)"
+        f" / ({math.pi!r} * ({r!r} * e.s) * ({r!r} * e.s)), 6)"
         f" AS k_ratio_{int(r * 100)}"
         for r in _RADII
     )
@@ -261,16 +285,24 @@ def _ce_oracle() -> str:
           SELECT c_custkey AS id, {lat} AS x, {lon} AS y
           FROM customer
         ),
+        eps AS MATERIALIZED (
+          -- density-adaptive radius factor, same IEEE expression as
+          -- the engine's _radius_scale (constant expected neighbor
+          -- count at any SF — fixed radii on the fixed [0,10)^2
+          -- space made this quadratic: 14.4x wall for 10x rows)
+          SELECT sqrt({float(_N_REF)!r} / count(*)) AS s FROM pts
+        ),
         cells AS MATERIALIZED (
           SELECT id, x, y,
-                 CAST(floor(x / {c!r}) AS BIGINT) AS cx,
-                 CAST(floor(y / {c!r}) AS BIGINT) AS cy
-          FROM pts
+                 CAST(floor(x / ({c!r} * e.s)) AS BIGINT) AS cx,
+                 CAST(floor(y / ({c!r} * e.s)) AS BIGINT) AS cy
+          FROM pts, eps e
         ),
         cand AS MATERIALIZED (
-          -- cell-bucket candidates at cell size max(_RADII): every
-          -- pair closer than the largest K radius meets here, so the
-          -- K counts are exact and blocked-NN < cell size is true NN
+          -- cell-bucket candidates at cell size max(adaptive radii):
+          -- every pair closer than the largest K radius meets here,
+          -- so the K counts are exact and blocked-NN < cell size is
+          -- true NN
           SELECT a.id AS ida,
                  sqrt((a.x - b.x) ** 2 + (a.y - b.y) ** 2) AS dist
           FROM cells a
@@ -281,8 +313,9 @@ def _ce_oracle() -> str:
             ON a.cx = b.cx AND a.cy = b.cy AND a.id != b.id
         ),
         nnb AS MATERIALIZED (
-          SELECT ida, min(dist) AS nnd FROM cand GROUP BY 1
-          HAVING min(dist) < {c!r}
+          SELECT ida, min(dist) AS nnd FROM cand, eps e
+          GROUP BY 1, e.s
+          HAVING min(dist) < {c!r} * e.s
         ),
         nnm AS (
           -- exact brute-force fallback for points with no candidate
@@ -300,7 +333,7 @@ def _ce_oracle() -> str:
         ce AS (
           SELECT count(*) AS n, avg(nnd) AS dbar FROM nn
         ),
-        ks AS (SELECT {ksel} FROM cand)
+        ks AS (SELECT {ksel} FROM cand, eps e GROUP BY e.s)
         SELECT c.n AS n_points,
                round(c.dbar / (1.0 / (2.0
                  * sqrt(CAST(c.n AS DOUBLE) / {_AREA!r}))), 6)
@@ -310,7 +343,7 @@ def _ce_oracle() -> str:
                  / (0.26136 / sqrt(CAST(c.n AS DOUBLE)
                    * (CAST(c.n AS DOUBLE) / {_AREA!r}))), 6) AS z_ce,
                {kout}
-        FROM ce c CROSS JOIN ks k
+        FROM ce c CROSS JOIN ks k CROSS JOIN eps e
     """
 
 

@@ -34,8 +34,13 @@ class TestClarkEvans:
             ).collect()
         ]
         n = len(pts)
+        # round 11d: radii are density-adaptive (base × sqrt(N_REF/n),
+        # anchored at sf0.01) so the candidate join stays linear in
+        # rows; the differential applies the same scaling
+        scale = P68._radius_scale(n)
+        radii = {r0: r0 * scale for r0 in P68._RADII}
         nnd = []
-        kc = {r: 0 for r in P68._RADII}
+        kc = {r0: 0 for r0 in P68._RADII}
         for i, (xa, ya) in enumerate(pts):
             best = float("inf")
             for j, (xb, yb) in enumerate(pts):
@@ -43,8 +48,8 @@ class TestClarkEvans:
                     continue
                 d = math.hypot(xa - xb, ya - yb)
                 best = min(best, d)
-                for r in P68._RADII:
-                    kc[r] += d < r
+                for r0 in P68._RADII:
+                    kc[r0] += d < radii[r0]
             nnd.append(best)
         dbar = sum(nnd) / n
         lam = n / P68._AREA
@@ -58,9 +63,10 @@ class TestClarkEvans:
         assert r_.z_ce == pytest.approx(
             round((dbar - expected) / se, 6), abs=1e-4
         )
-        for rad in P68._RADII:
-            k_hat = P68._AREA * kc[rad] / (n * (n - 1))
-            got = getattr(r_, f"k_ratio_{int(rad * 100)}")
+        for r0 in P68._RADII:
+            rad = radii[r0]
+            k_hat = P68._AREA * kc[r0] / (n * (n - 1))
+            got = getattr(r_, f"k_ratio_{int(r0 * 100)}")
             assert got == pytest.approx(
                 round(k_hat / (math.pi * rad * rad), 6), abs=1e-5
             )
