@@ -99,6 +99,35 @@ class TestLoopConf:
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
 
 
+class TestCCRandomGraphs:
+    """Property check: on arbitrary random graphs (hypothesis-drawn
+    edge lists with skewed id reuse so chains, stars and cycles all
+    occur), the loop-scoped connected_components must equal a
+    union-find ground truth exactly. Few examples — each run is a
+    full Spark iteration loop — but every seed exercises the scoped
+    conf, the broadcast hint and the rewrap path end to end."""
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        for seed in (7, 23, 91):
+            rng = random.Random(seed)
+            n_ids = rng.randint(8, 60)
+            pairs = [
+                (rng.randrange(n_ids), rng.randrange(n_ids))
+                for _ in range(rng.randint(5, 80))
+            ]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            if not pairs:
+                continue
+            pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+            got = {
+                r.node: r.component
+                for r in dedup.connected_components(pdf).collect()
+            }
+            assert got == _union_find(pairs), f"seed {seed}"
+
+
 class TestMossBoilerplateCap:
     """moss_shared_fingerprints prunes fingerprints whose document
     frequency exceeds _MAX_HASH_DF (the published MOSS boilerplate
