@@ -99,7 +99,18 @@ def main() -> None:
     # code measured 14.31 s on the r4 host and 18.23 s on the r6
     # host). calibration_sec lets any judge normalize suite totals
     # across rounds: compare value/calibration_sec, not raw seconds.
-    def _calibrate() -> float:
+    #
+    # Round 11e: the suite is BRACKETED by calibration passes (3
+    # before, 3 after) and calibration_sec is the median of all six —
+    # a single pre-suite reading repeatedly produced the "fast
+    # calibration + slow suite" drift signature (r9, r10, r11 PERF
+    # history: a quiet instant before the run under-reads the
+    # sustained contention the minute-long suite actually ran under,
+    # over-penalizing the normalized value). calibration_drift_pct =
+    # |post−pre|/pre makes a mid-run ambient burst visible in the
+    # artifact itself instead of needing a same-machine A/B after the
+    # fact.
+    def _calibrate() -> list[float]:
         def one_pass():
             (
                 spark.range(0, 200_000_000, 1, 32)
@@ -117,9 +128,9 @@ def main() -> None:
             t0 = time.time()
             one_pass()
             ts.append(time.time() - t0)
-        return round(statistics.median(ts), 3)
+        return ts
 
-    calibration_sec = _calibrate()
+    cal_pre = _calibrate()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -134,6 +145,13 @@ def main() -> None:
             samples[name].append(dt)
             run_total += dt
         run_totals.append(run_total)
+
+    cal_post = _calibrate()
+    calibration_sec = round(statistics.median(cal_pre + cal_post), 3)
+    pre_med = statistics.median(cal_pre)
+    calibration_drift_pct = round(
+        100.0 * abs(statistics.median(cal_post) - pre_med) / pre_med, 1
+    )
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -153,6 +171,7 @@ def main() -> None:
                 "runs": n_runs,
                 "spread_pct": spread_pct,
                 "calibration_sec": calibration_sec,
+                "calibration_drift_pct": calibration_drift_pct,
             }
         )
     )
