@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from datafusion_archive_spark.functions import text as TX
 from datafusion_archive_spark.functions.rounding import round_half_up
 from datafusion_archive_spark.operators.util import (
+    BROADCAST_NODE_CAP as _BROADCAST_NODE_CAP,
     cached,
     loop_conf as _loop_conf,
     spread,
@@ -547,17 +548,10 @@ def simhash_near_pairs(
 #: and each jump is a per-round self-join — so keep exactly one.
 _JUMPS_PER_ROUND = 1
 
-#: broadcast the label table in the per-round joins when the graph has
-#: at most this many labeled nodes. The round-11b stats reset makes
-#: every rewrapped label relation "unknown size" to Catalyst (the
-#: correct default at scale — the carried stats it replaced were
-#: garbage), which forces shuffle joins even on toy graphs; this
-#: restores the information HONESTLY, from one real count of the node
-#: set (fixed across rounds), not from Catalyst's compounded
-#: estimates. 2M nodes × ~32 B/row ≈ 64 MB — comfortably inside the
-#: executor broadcast budget; a 100 TB-scale graph is far above the
-#: cap and takes the shuffle path unchanged.
-_BROADCAST_NODE_CAP = 2_000_000
+#: _BROADCAST_NODE_CAP is shared with graph.pagerank — see
+#: operators.util.BROADCAST_NODE_CAP for the sizing rationale
+#: (honest one-real-count hint vs Catalyst's carried checkpoint
+#: estimates; 2M rows x ~32 B ~= 64 MB broadcast).
 
 def _rewrap_checkpoint(ck: DataFrame) -> DataFrame:
     """Re-wrap an (eagerly) checkpointed DataFrame's materialized

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_archive_spark.operators.util import cached, loop_conf
+from datafusion_archive_spark.operators.util import (
+    BROADCAST_NODE_CAP,
+    cached,
+    loop_conf,
+)
 
 def _materialize(fn):
     """Run an eager graph materialization (count / localCheckpoint),
@@ -179,10 +183,13 @@ def pagerank(
 
     Scale: each iteration is one join of the rank vector against the
     directed edge list plus one aggregate — both shuffles keyed on
-    node id, so AQE reuses the same partitioning. localCheckpoint per
-    iteration truncates lineage (same discipline as
-    dedup.connected_components); the only driver-side values are the
-    scalar node count and the fixed iteration count."""
+    node id. The iteration loop runs under the scoped loop conf (AQE
+    off, width from the measured graph — see operators.util.loop_conf;
+    NOTE the conf is session-scoped for the loop's duration, so don't
+    run concurrent queries on the same session while iterating).
+    localCheckpoint per iteration truncates lineage (same discipline
+    as dedup.connected_components); the only driver-side values are
+    the scalar node count and the fixed iteration count."""
     directed = edges.select("src", "dst").unionAll(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -221,7 +228,7 @@ def pagerank(
     # one real count, not Catalyst's carried checkpoint estimates);
     # a web-scale graph exceeds the cap and shuffles both sides on
     # the node id unchanged
-    small = n <= 2_000_000
+    small = n <= BROADCAST_NODE_CAP
 
     def _bc(rank_sized):
         return F.broadcast(rank_sized) if small else rank_sized

@@ -163,6 +163,14 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
 LOOP_ROWS_PER_PARTITION = 1_000_000
 LOOP_MIN_ROWS_PER_TASK = 50_000
 
+#: broadcast a label/rank-sized frame into per-iteration joins when
+#: the node set is provably at most this many rows (one real count,
+#: not Catalyst's carried checkpoint estimates). 2M rows x ~32 B
+#: is ~64 MB — inside the executor broadcast budget; a web-scale
+#: graph exceeds the cap and shuffles both sides on the node id.
+#: Shared by dedup.connected_components and graph.pagerank.
+BROADCAST_NODE_CAP = 2_000_000
+
 
 class loop_conf:
     """Scope the session conf to an iterative loop (connected-
@@ -181,7 +189,15 @@ class loop_conf:
     are restored on exit (including on error) — every action the loop
     runs happens inside the scope, and the returned frame is already
     materialized, so downstream consumers execute under the caller's
-    conf."""
+    conf.
+
+    CAVEAT: the conf is SESSION-scoped for the loop's duration, not
+    query-scoped — a concurrent query submitted on the same
+    SparkSession from another thread while an iteration loop runs
+    would plan under the narrowed width with AQE off. The certified
+    harnesses (driver, bench, sweeps, tests) are strictly sequential
+    per session; a multi-tenant caller should give iterative jobs
+    their own session."""
 
     def __init__(self, spark, n_rows: int):
         self._spark = spark

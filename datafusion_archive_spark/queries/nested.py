@@ -133,7 +133,10 @@ def q_approx_aggs(spark, sf):
         li.select("l_returnflag", "l_orderkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("exact_orders"))
+        # count the KEY, not lit(1): count(DISTINCT x) ignores NULL x,
+        # and after .distinct() a NULL orderkey group would otherwise
+        # be counted, diverging from the oracle on NULL-bearing data
+        .agg(F.count("l_orderkey").alias("exact_orders"))
     )
     g = sk.join(ex, "l_returnflag")
     tol = F.greatest(

@@ -52,8 +52,10 @@ def _eps_for(n: int) -> float:
     sf0.1 in the round-10 sweep — found and fixed in round 11).
     Anchored at _N_REF so the certified sf0.01 output is unchanged;
     the same expression is computed in SQL by the oracle (identical
-    IEEE double ops ⇒ identical ε bit-for-bit)."""
-    return _EPS * math.sqrt(_N_REF / n)
+    IEEE double ops ⇒ identical ε bit-for-bit). Guarded against an
+    empty table (ε = _EPS — nothing to pair anyway, but the query
+    must still build)."""
+    return _EPS * math.sqrt(_N_REF / n) if n > 0 else _EPS
 
 
 def _neighbor_pairs(pts, r):

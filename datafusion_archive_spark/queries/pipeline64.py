@@ -139,9 +139,18 @@ def q_moss_shared_fingerprints(spark, sf):
     (document frequency <= _MAX_HASH_DF — see the module docstring:
     the MOSS boilerplate filter, which is also what keeps the self-
     join linear in documents instead of quadratic)."""
-    sel = _selected(spark, sf).select(
-        "doc_id", F.substring("sel", 1, 19).alias("h")
-    ).distinct()
+    from datafusion_archive_spark.operators.util import cached
+
+    # cached (registry-released): the winnowing selection (per-char
+    # explode + window min — the heaviest stage) feeds FOUR plan
+    # branches after the df-cap join (rare's groupBy plus both join
+    # sides); uncached it would rely on ReusedExchange kicking in,
+    # the exact fan-out-recompute class the plan-scan gate exists for
+    sel = cached(
+        _selected(spark, sf).select(
+            "doc_id", F.substring("sel", 1, 19).alias("h")
+        ).distinct()
+    )
     rare = (
         sel.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

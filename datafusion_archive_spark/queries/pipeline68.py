@@ -64,8 +64,9 @@ def _radius_scale(n: int) -> float:
     don't involve the radii at all). Anchored at _N_REF so the
     certified sf0.01 output is unchanged; the oracle computes the
     identical IEEE expression in SQL (dbscan precedent ⇒ identical
-    radii bit-for-bit)."""
-    return math.sqrt(_N_REF / n)
+    radii bit-for-bit). Guarded against an empty table (scale 1.0 —
+    nothing to pair anyway, but the query must still build)."""
+    return math.sqrt(_N_REF / n) if n > 0 else 1.0
 
 
 def q_spatial_clark_evans(spark, sf):
@@ -267,9 +268,12 @@ def _ce_oracle() -> str:
         f"({_hash64_sql('CAST(c_custkey AS VARCHAR)', _GEO_SEED_LON)}"
         f" / {_TWO60!r}) * {_GEO_SPAN!r}"
     )
+    # scalar subquery, NOT a cross join + GROUP BY: ks must stay a
+    # global aggregate so a degenerate empty candidate set still
+    # yields one row (matching the engine's agg-without-groupBy)
     ksel = ", ".join(
-        f"CAST(sum(CASE WHEN dist < {r!r} * s THEN 1 ELSE 0 END)"
-        f" AS BIGINT) AS k{int(r * 100)}"
+        f"CAST(sum(CASE WHEN dist < {r!r} * (SELECT s FROM eps)"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS k{int(r * 100)}"
         for r in _RADII
     )
     kout = ", ".join(
@@ -333,7 +337,7 @@ def _ce_oracle() -> str:
         ce AS (
           SELECT count(*) AS n, avg(nnd) AS dbar FROM nn
         ),
-        ks AS (SELECT {ksel} FROM cand, eps e GROUP BY e.s)
+        ks AS (SELECT {ksel} FROM cand)
         SELECT c.n AS n_points,
                round(c.dbar / (1.0 / (2.0
                  * sqrt(CAST(c.n AS DOUBLE) / {_AREA!r}))), 6)
