@@ -171,6 +171,57 @@ class TestMossBoilerplateCap:
         assert all(r.shared < top.shared / 2 for r in boiler)
 
 
+def test_bench_json_contract():
+    """bench.py must print exactly one JSON line the driver can
+    consume: the contract keys (metric/value/unit/queries/sf) plus
+    the calibration fields, including the round-11e bracketed-
+    calibration drift. Runs the real CLI at sf0.001 with a single
+    pass — the cheapest end-to-end pin of the whole bench artifact."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, str(repo / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        check=True,
+    ).stdout
+    lines = [
+        l for l in out.splitlines() if l.startswith("{") and l.endswith("}")
+    ]
+    assert len(lines) == 1, out[-2000:]
+    d = json.loads(lines[0])
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "sf",
+        "runs",
+        "spread_pct",
+        "calibration_sec",
+        "calibration_drift_pct",
+    ):
+        assert key in d, key
+    assert d["metric"] == "headline_suite_wall_sec"
+    assert d["unit"] == "sec"
+    assert d["value"] > 0 and d["calibration_sec"] > 0
+    assert d["calibration_drift_pct"] >= 0
+    assert len(d["queries"]) >= 20
+
+
 def test_approx_aggs_plan_has_no_expand(spark, sf_dir):
     from datafusion_archive_spark.queries.nested import q_approx_aggs
 
