@@ -149,6 +149,12 @@ def main() -> None:
     cal_post = _calibrate()
     calibration_sec = round(statistics.median(cal_pre + cal_post), 3)
     pre_med = statistics.median(cal_pre)
+    # calibration_pre_sec = the pre-r11e semantics (median of the 3
+    # pre-suite passes), emitted alongside the bracketed median so
+    # value/calibration comparisons against pre-r11e PERF history rows
+    # stay apples-to-apples (ADVICE r11: the drift bias means post
+    # medians systematically differ from pre medians).
+    calibration_pre_sec = round(pre_med, 3)
     calibration_drift_pct = round(
         100.0 * abs(statistics.median(cal_post) - pre_med) / pre_med, 1
     )
@@ -171,6 +177,7 @@ def main() -> None:
                 "runs": n_runs,
                 "spread_pct": spread_pct,
                 "calibration_sec": calibration_sec,
+                "calibration_pre_sec": calibration_pre_sec,
                 "calibration_drift_pct": calibration_drift_pct,
             }
         )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -172,6 +173,40 @@ LOOP_MIN_ROWS_PER_TASK = 50_000
 BROADCAST_NODE_CAP = 2_000_000
 
 
+#: Serialize iterative-loop conf scopes per SparkSession (VERDICT r11
+#: #3): the loop narrows SESSION-scoped confs, so two concurrent loops
+#: on one session would corrupt each other's saved/restored values,
+#: and any other query planned mid-loop would silently run under the
+#: narrowed width with AQE off. One lock per live session object;
+#: keyed by id() — safe because the registry also holds the session's
+#: owner thread entry only while the lock is held, and our sessions
+#: are process-lived (a collected session's recycled id() would at
+#: worst share a lock, never corrupt confs).
+_LOOP_REGISTRY_LOCK = threading.Lock()
+_LOOP_LOCKS: dict[int, threading.Lock] = {}
+_LOOP_OWNERS: dict[int, threading.Thread] = {}
+
+#: A second loop waiting on a session's loop lock aborts after this
+#: long — a loop that still holds the conf scope after 10 minutes on
+#: the certified scales is hung, and failing loudly beats deadlocking
+#: the caller forever.
+LOOP_LOCK_TIMEOUT_SEC = 600.0
+
+
+def _session_loop_lock(spark) -> threading.Lock:
+    with _LOOP_REGISTRY_LOCK:
+        return _LOOP_LOCKS.setdefault(id(spark), threading.Lock())
+
+
+def loop_owner(spark) -> threading.Thread | None:
+    """The thread currently holding an iterative-loop conf scope on
+    ``spark``, or ``None``. Query entry points (the registry wrapper,
+    ``ExecutionContext.sql``) check this to fail loudly instead of
+    silently planning under a loop's narrowed session conf from
+    another thread."""
+    return _LOOP_OWNERS.get(id(spark))
+
+
 class loop_conf:
     """Scope the session conf to an iterative loop (connected-
     components propagation, PageRank power iteration): AQE re-plans
@@ -191,13 +226,20 @@ class loop_conf:
     materialized, so downstream consumers execute under the caller's
     conf.
 
-    CAVEAT: the conf is SESSION-scoped for the loop's duration, not
-    query-scoped — a concurrent query submitted on the same
-    SparkSession from another thread while an iteration loop runs
-    would plan under the narrowed width with AQE off. The certified
-    harnesses (driver, bench, sweeps, tests) are strictly sequential
-    per session; a multi-tenant caller should give iterative jobs
-    their own session."""
+    CONCURRENCY CONTRACT (enforced since round 12, VERDICT r11 #3):
+    the conf is SESSION-scoped for the loop's duration, not
+    query-scoped, so the scope takes a per-session lock — concurrent
+    loops on one session SERIALIZE (each sees its own clean
+    enter/restore cycle instead of corrupting the other's saved
+    confs), nested use on the same thread raises (it would deadlock,
+    and an inner loop restoring the outer loop's narrowed conf is
+    already a bug), and query entry points (the registry wrapper,
+    ``ExecutionContext.sql``) raise via :func:`loop_owner` if another
+    thread's loop currently holds the session — failing loudly
+    instead of silently planning under the narrowed width with AQE
+    off. A multi-tenant caller should still give iterative jobs their
+    own SparkSession; the guard turns the documented caveat into an
+    error instead of a wrong plan."""
 
     def __init__(self, spark, n_rows: int):
         self._spark = spark
@@ -217,6 +259,24 @@ class loop_conf:
             return None
 
     def __enter__(self):
+        me = threading.current_thread()
+        if _LOOP_OWNERS.get(id(self._spark)) is me:
+            raise RuntimeError(
+                "loop_conf is not reentrant: this thread already "
+                "holds an iterative-loop conf scope on this "
+                "SparkSession (nested loops would restore each "
+                "other's narrowed confs)"
+            )
+        lock = _session_loop_lock(self._spark)
+        if not lock.acquire(timeout=LOOP_LOCK_TIMEOUT_SEC):
+            raise RuntimeError(
+                "timed out waiting for another thread's iterative-"
+                f"loop conf scope ({LOOP_LOCK_TIMEOUT_SEC:.0f}s) — "
+                "give concurrent iterative jobs their own "
+                "SparkSession"
+            )
+        self._lock = lock
+        _LOOP_OWNERS[id(self._spark)] = me
         conf = self._spark.conf
         self._old_aqe = self._get(conf, "spark.sql.adaptive.enabled")
         self._old_parts = self._get(conf, "spark.sql.shuffle.partitions")
@@ -226,12 +286,16 @@ class loop_conf:
 
     def __exit__(self, *exc):
         conf = self._spark.conf
-        for key, old in (
-            ("spark.sql.adaptive.enabled", self._old_aqe),
-            ("spark.sql.shuffle.partitions", self._old_parts),
-        ):
-            if old is None:
-                conf.unset(key)
-            else:
-                conf.set(key, old)
+        try:
+            for key, old in (
+                ("spark.sql.adaptive.enabled", self._old_aqe),
+                ("spark.sql.shuffle.partitions", self._old_parts),
+            ):
+                if old is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, old)
+        finally:
+            _LOOP_OWNERS.pop(id(self._spark), None)
+            self._lock.release()
         return False

@@ -233,107 +233,98 @@ ROWS_ONLY: set[str] = set()
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-11 WINDOW — registry still frozen (VERDICT r5 #1).
-    # Recomputed this round against the full r1..r10 union (script in
-    # the round-11 commit message): byte-identical to the round-10
-    # ROUND-11 NOTE's schedule. Priority class (2) has exactly one
-    # member — window_ranks, whose ORACLE gained the value-only
-    # dense_rank tie fix after its r9 driver row (engine unchanged) —
-    # so it leads; the remaining 49 are class (3): oldest rows by
-    # latest green round (the round-3 wave, then the round-4 wave),
-    # ties by registry order. bpe_encode_tokens, bpe_merges AND
-    # approx_aggs all graduated to exact oracles this round
-    # (delimited-string output / stage-union merge table /
-    # deterministic error-bound flags) and enter the rotation as
-    # never-certified-exact names from r12 on; ROWS_ONLY is now empty.
-    "window_ranks",
-    "q2_min_per_group_subquery",
-    "unpivot_stack",
-    "expr_misc",
-    "pipeline_clean_corpus",
-    "text_quality_zscore",
-    "q7_volume_between_nations",
-    "q8_market_share",
-    "scan_filter_project",
-    "agg_global",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "setop_intersect_all",
-    "setop_except_all",
-    "events_sessionize",
-    "events_attribution_join",
-    "events_hopping_window",
-    "cohort_retention",
-    "events_funnel",
-    "embedding_near_dup_exact",
-    "decontaminate_ngram_overlap",
-    "vocab_topk",
-    "udaf_median_tokens",
-    "chunk_documents",
-    "pack_sequences",
-    "train_val_test_split",
-    "bm25_topk",
-    "dedup_editdistance",
-    "profile_columns",
-    "sources_roundtrip",
-    "salted_join_agg",
-    "planir_roundtrip",
-    "partitioned_pruning",
-    "window_nav_nulls",
-    "latest_per_key",
-    "agg_filtered",
-    "grouping_flags",
-    "string_agg_ordered",
-    "cross_join_grid",
-    "exists_correlated",
-    "registry_udf_expr",
-    "events_gapfill_locf",
-    "text_repetition_gopher",
-    "dedup_incremental",
-    "stratified_sample",
-    "winsorized_aggs",
-    "text_token_entropy",
-    "weighted_sample",
-    "weighted_sample_per_lang",
+    # ROUND-12 WINDOW — registry still frozen (VERDICT r5 #1).
+    # Recomputed this round against the full r1..r11 union
+    # (CORRECTNESS_r11 is 50/50 green, so the pre-written ROUND-12
+    # NOTE's schedule stands byte-identical). Priority class (1) —
+    # never-certified-exact — holds exactly the three names whose
+    # exact oracles landed in round 11 after the r11 window was
+    # frozen (bpe_encode_tokens, bpe_merges, approx_aggs), so they
+    # lead; class (2) rewritten-since-row is empty; the remaining 47
+    # are class (3): oldest rows by latest green round (the round-4
+    # wave, then the round-5 wave), ties by registry order.
+    "bpe_encode_tokens",
+    "bpe_merges",
+    "approx_aggs",
+    "recursive_month_grid",
+    "lateral_top2_per_priority",
+    "merge_upsert_orders",
+    "join_null_safe",
+    "histogram_equi_depth",
+    "console_script_sql",
+    "window_range_1h",
+    "weighted_sample_per_lang_salted",
+    "heavy_hitters_topk",
+    "schema_evolution_merge",
+    "quarantine_corrupt_rows",
+    "collocations_pmi",
+    "dedup_containment",
+    "outliers_mad",
+    "tfidf_topk_terms",
+    "quality_filter_pipeline",
+    "events_transitions",
+    "mixture_weights",
+    "pii_redact",
+    "dedup_passages",
+    "perplexity_bigram",
+    "curation_funnel",
+    "snapshot_diff",
+    "semantic_dedup_clusters",
+    "skyline_orders",
+    "scd2_event_state",
+    "time_decay_agg",
+    "shard_manifest",
+    "events_anomaly_zscore",
+    "temporal_split_last_k",
+    "events_hopping_distinct_users",
+    "sales_share_shift",
+    "regression_aggs",
+    "data_quality_checks",
+    "assoc_rules_pairs",
+    "gaps_islands",
+    "bloom_prefilter_semi_join",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "rrf_fusion",
+    "median_mode_aggs",
+    "window_running_distinct",
+    "interval_union_time",
+    "moving_corr",
+    "ab_test_ztest",
+    "contingency_stats",
+    "phrase_search_inverted",
 ]
 
 
-# ROUND-12 NOTE (next certification window): the steady-state
-# rotation continues (VERDICT r7 #5, r8 #6, r9 #8, r10 #7). Priority
-# unchanged: (1) never-certified-exact — after round 11 this class
-# holds bpe_encode_tokens, bpe_merges AND approx_aggs (all three
-# oracles were added in round 11, so none has an exact driver row
-# yet; slot them first),
+# ROUND-13 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5, r8 #6, r9 #8, r10 #7, r11 #6).
+# Priority unchanged: (1) never-certified-exact — EMPTY once the r12
+# window lands (the bpe/approx trio leads r12, reaching 342/342
+# ever-driver-green, the registry's terminal evidence state),
 # (2) rewritten-since-row (none known at pre-write time), (3) oldest
 # rows by latest green round, ties by registry order. Computed from
-# the CORRECTNESS_r{1..10} union with the round-11 window assumed
-# green (pure re-certification of already-green rows plus
-# window_ranks' oracle re-run) — recompute against the r{1..11} union
-# before swapping in, in case a sweep or the driver turns a row red.
-# The exact 50 (the three never-certified-exact names, then the
-# class-3 tail starting at the r11 overflow recursive_month_grid,
-# dropping the last three names to make room):
-#   bpe_encode_tokens, bpe_merges, approx_aggs,
-#   recursive_month_grid, lateral_top2_per_priority,
-#   merge_upsert_orders, join_null_safe, histogram_equi_depth,
-#   console_script_sql, window_range_1h,
-#   weighted_sample_per_lang_salted, heavy_hitters_topk,
-#   schema_evolution_merge, quarantine_corrupt_rows,
-#   collocations_pmi, dedup_containment, outliers_mad,
-#   tfidf_topk_terms, quality_filter_pipeline, events_transitions,
-#   mixture_weights, pii_redact, dedup_passages, perplexity_bigram,
-#   curation_funnel, snapshot_diff, semantic_dedup_clusters,
-#   skyline_orders, scd2_event_state, time_decay_agg,
-#   shard_manifest, events_anomaly_zscore, temporal_split_last_k,
-#   events_hopping_distinct_users, sales_share_shift,
-#   regression_aggs, data_quality_checks, assoc_rules_pairs,
-#   gaps_islands, bloom_prefilter_semi_join, graph_triangle_count,
-#   graph_pagerank, rrf_fusion, median_mode_aggs,
-#   window_running_distinct, interval_union_time, moving_corr,
-#   ab_test_ztest, contingency_stats, phrase_search_inverted
-#   (histogram_dense, xml_roundtrip and window_rolling_median move to
-#   the r13 head as the overflow)
+# the CORRECTNESS_r{1..11} union with the round-12 window assumed
+# green — recompute against the r{1..12} union before swapping in,
+# in case a sweep or the driver turns a row red. The exact 50 (pure
+# class 3: the r12 overflow, then the remaining round-6 wave):
+#   histogram_dense, xml_roundtrip, window_rolling_median,
+#   bitwise_aggs, text_sentences, dedup_sentences_cross_doc,
+#   geo_grid_join, vocab_richness, zipf_fit, readability_scores,
+#   embedding_centroids, interarrival_stats, rfm_segments,
+#   pareto_abc_parts, benford_first_digit, ewma_daily_revenue,
+#   cusum_changepoint, acf_daily_counts, kl_divergence_lang,
+#   js_divergence_langs, target_encoding_nation, woe_iv_price_bins,
+#   feature_hash_counts, simpson_slopes, jaro_winkler_linkage,
+#   bootstrap_ci_mean, seasonal_profile_dow, lorenz_curve_deciles,
+#   survival_curve, mutual_information_lang_source, psi_price_drift,
+#   event_trigrams, percent_change_mom, cumulative_gains,
+#   calibration_curve, corr_matrix, theil_index,
+#   events_enriched_segment, events_asof_forward,
+#   percentiles_by_month, anova_weekday_revenue,
+#   leakage_traintest_overlap, max_drawdown_daily,
+#   entropy_rate_transitions, conversion_time_percentiles,
+#   local_peaks_daily, bollinger_breaches, cohort_ltv_cumulative,
+#   repeat_purchase_rate, supplier_share_hhi
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
@@ -359,6 +350,21 @@ def _wrap(fn):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_caches()
+        # fail loudly if another thread's iterative loop currently
+        # scopes this session's conf (narrowed shuffle width, AQE
+        # off) — building a query under it would silently plan wrong
+        # (operators.util.loop_conf's concurrency contract)
+        import threading as _threading
+
+        from datafusion_archive_spark.operators.util import loop_owner
+
+        owner = loop_owner(spark)
+        if owner is not None and owner is not _threading.current_thread():
+            raise RuntimeError(
+                "another thread's iterative loop (loop_conf) holds "
+                "this SparkSession's conf scope; run concurrent "
+                "queries on their own SparkSession"
+            )
         # certified builds must use the engine-portable hash family:
         # a query built inside use_hash("xxhash64") would bake
         # non-oracle-reproducible fingerprints into its plan

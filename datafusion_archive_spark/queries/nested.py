@@ -138,11 +138,34 @@ def q_approx_aggs(spark, sf):
         # be counted, diverging from the oracle on NULL-bearing data
         .agg(F.count("l_orderkey").alias("exact_orders"))
     )
-    g = sk.join(ex, "l_returnflag")
+    # NULL-SAFE group-key joins (ADVICE r11): the oracle's GROUP BY
+    # retains a NULL l_returnflag group, but a plain equi-join between
+    # the aggregation branches drops it (NULL = NULL is NULL). <=>
+    # (EqualNullSafe) is still an equi-join key for Catalyst — same
+    # hash-join plan — and keeps the NULL group aligned with the
+    # oracle on NULL-bearing inputs (exact_grouped_quantiles likewise
+    # treats a NULL key as a group, so the band side carries it too).
+    # Explicit aliases because both branches share the lineitem
+    # lineage — df["col"] references would self-resolve trivially
+    # true. TPC-H data has no NULL flag, so the certified output is
+    # unchanged.
+    g = (
+        sk.alias("sk")
+        .join(
+            ex.alias("ex"),
+            F.col("sk.l_returnflag").eqNullSafe(
+                F.col("ex.l_returnflag")
+            ),
+        )
+        .drop(F.col("ex.l_returnflag"))
+    )
     tol = F.greatest(
         F.col("exact_orders") * F.lit(0.06), F.lit(5.0)
     )
-    return g.join(F.broadcast(band_df), "l_returnflag").select(
+    return g.alias("g").join(
+        F.broadcast(band_df.alias("b")),
+        F.col("g.l_returnflag").eqNullSafe(F.col("b.l_returnflag")),
+    ).drop(F.col("b.l_returnflag")).select(
         "l_returnflag",
         "exact_orders",
         (

@@ -64,9 +64,12 @@ def _radius_scale(n: int) -> float:
     don't involve the radii at all). Anchored at _N_REF so the
     certified sf0.01 output is unchanged; the oracle computes the
     identical IEEE expression in SQL (dbscan precedent ⇒ identical
-    radii bit-for-bit). Guarded against an empty table (scale 1.0 —
-    nothing to pair anyway, but the query must still build)."""
-    return math.sqrt(_N_REF / n) if n > 0 else 1.0
+    radii bit-for-bit). The empty-table guard is max(n, 1) — the SAME
+    expression the oracle's eps CTE uses (greatest(count(*), 1),
+    ADVICE r11) — so engine and SQL radii are identical bits for
+    every n >= 1 AND both sides stay defined (if degenerate) at
+    n = 0, where there is nothing to pair anyway."""
+    return math.sqrt(_N_REF / max(n, 1))
 
 
 def q_spatial_clark_evans(spark, sf):
@@ -293,8 +296,12 @@ def _ce_oracle() -> str:
           -- density-adaptive radius factor, same IEEE expression as
           -- the engine's _radius_scale (constant expected neighbor
           -- count at any SF — fixed radii on the fixed [0,10)^2
-          -- space made this quadratic: 14.4x wall for 10x rows)
-          SELECT sqrt({float(_N_REF)!r} / count(*)) AS s FROM pts
+          -- space made this quadratic: 14.4x wall for 10x rows).
+          -- greatest(count(*), 1) mirrors the engine's max(n, 1)
+          -- empty-table guard (ADVICE r11): identical bits for every
+          -- n >= 1, defined at n = 0
+          SELECT sqrt({float(_N_REF)!r} / greatest(count(*), 1)) AS s
+          FROM pts
         ),
         cells AS MATERIALIZED (
           SELECT id, x, y,

@@ -212,12 +212,16 @@ def test_bench_json_contract():
         "runs",
         "spread_pct",
         "calibration_sec",
+        "calibration_pre_sec",
         "calibration_drift_pct",
     ):
         assert key in d, key
     assert d["metric"] == "headline_suite_wall_sec"
     assert d["unit"] == "sec"
     assert d["value"] > 0 and d["calibration_sec"] > 0
+    # the pre-only median (pre-r11e history semantics, ADVICE r11)
+    # must be a plausible reading of the same workload
+    assert d["calibration_pre_sec"] > 0
     assert d["calibration_drift_pct"] >= 0
     assert len(d["queries"]) >= 20
 
