@@ -202,3 +202,65 @@ def test_clark_evans_radius_guard_mirrors_sql():
         ).fetchone()[0]
         assert _radius_scale(n) == sql, n
     assert _radius_scale(0) == math.sqrt(_N_REF)
+
+
+# ---------------------------------------------------------------- #
+# sweep_outliers ambient attribution (VERDICT r11 #7)               #
+# ---------------------------------------------------------------- #
+
+
+class TestSweepAttribution:
+    def _mod(self):
+        import importlib.util
+        import pathlib
+
+        p = (
+            pathlib.Path(__file__).parent.parent
+            / "tools"
+            / "sweep_outliers.py"
+        )
+        spec = importlib.util.spec_from_file_location("sweep_outliers", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_ambient_breach_downgrades_real_breach_stays(self):
+        m = self._mod()
+        small = {"bursty": 2.0, "cliff": 2.0}
+        large = {"bursty": 40.0, "cliff": 40.0}  # both 20x > 15x cap
+        bad = m.audit_struct(small, large, 15.0, 90.0)
+        assert {v["name"] for v in bad} == {"bursty", "cliff"}
+        # same-commit A/B: bursty re-reads back inside the cap
+        # (ambient), cliff reproduces (real)
+        rereads = {"bursty": 6.0, "cliff": 41.0}
+        real, ambient = m.attribute(bad, small, 15.0, 90.0, rereads)
+        assert [v["name"] for v in real] == ["cliff"]
+        assert len(ambient) == 1 and "bursty" in ambient[0]
+        assert "ambient" in ambient[0]
+
+    def test_ceiling_breach_attributable(self):
+        m = self._mod()
+        small = {"slow": 20.0}
+        large = {"slow": 95.0}  # ceiling breach, growth fine
+        bad = m.audit_struct(small, large, 15.0, 90.0)
+        assert [v["kind"] for v in bad] == ["ceiling"]
+        real, ambient = m.attribute(bad, small, 15.0, 90.0, {"slow": 60.0})
+        assert real == [] and len(ambient) == 1
+
+    def test_missing_rows_and_failed_rereads_stay_real(self):
+        m = self._mod()
+        small = {"a": 1.0, "gone": 1.0}
+        large = {"a": 40.0}
+        bad = m.audit_struct(small, large, 15.0, 90.0)
+        # no re-read produced a row for either -> both stay real
+        real, ambient = m.attribute(bad, small, 15.0, 90.0, {})
+        assert {v["name"] for v in real} == {"a", "gone"}
+        assert ambient == []
+
+    def test_back_compat_audit_messages_unchanged(self):
+        m = self._mod()
+        small = {"q": 2.0}
+        large = {"q": 40.0}
+        assert m.audit(small, large, 15.0, 90.0) == [
+            v["msg"] for v in m.audit_struct(small, large, 15.0, 90.0)
+        ]

@@ -21,16 +21,34 @@ The GATE (exit status):
 - a query present in one log but not the other → fail (a crashed or
   skipped row must not silently escape the growth check).
 
+AMBIENT ATTRIBUTION (--attribute, VERDICT r11 #7): shared-host
+burstiness swings identical-code sweep readings ~1.5-2× within
+minutes (graph_pagerank 16.5 → 36.5 s across the r11 battery logs,
+proven ambient by a hand-run worktree A/B). With --attribute, every
+growth/ceiling breach triggers an automatic same-commit A/B: the
+breaching queries are re-run --attribute-runs times (fresh
+check_oracle subprocesses on the same tree, same sf_dir) and the
+MEDIAN re-read replaces the suspect reading. A breach whose re-read
+lands back inside the gate is reported as AMBIENT (logged, not
+fatal); one that reproduces is REAL and still fails the gate.
+Missing-row violations are never attributable. This mechanizes the
+attribution protocol PERF.md's history table applied by hand — no
+more manual A/Bs on suspect totals.
+
 Usage: python tools/sweep_outliers.py SMALL_LOG LARGE_LOG
        [--max-growth N] [--max-seconds N]
+       [--attribute] [--sf-dir DIR] [--attribute-runs K]
 e.g.:  python tools/sweep_outliers.py tools/oracle_sweep_r11.log \
-           tools/oracle_sweep_r11_sf01.log
+           tools/oracle_sweep_r11_sf01.log --attribute
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import re
+import statistics
+import subprocess
 import sys
 
 # PASS name: 123 rows (4.5s)   /   ROWS-ONLY name: ... (4.5s)
@@ -49,6 +67,52 @@ def parse_log(path: str) -> dict[str, float]:
     return out
 
 
+def audit_struct(
+    small: dict[str, float],
+    large: dict[str, float],
+    max_growth: float,
+    max_seconds: float,
+    floor: float = 1.0,
+) -> list[dict]:
+    """Structured violations: {name, kind, msg} with kind in
+    {"missing", "growth", "ceiling"} (empty = gate pass)."""
+    bad: list[dict] = []
+    for name in sorted(set(small) ^ set(large)):
+        side = "small" if name in small else "large"
+        bad.append(
+            {
+                "name": name,
+                "kind": "missing",
+                "msg": f"{name}: only present in the {side} log",
+            }
+        )
+    for name in sorted(set(small) & set(large)):
+        ratio = large[name] / max(small[name], floor)
+        if ratio > max_growth:
+            bad.append(
+                {
+                    "name": name,
+                    "kind": "growth",
+                    "msg": (
+                        f"{name}: {small[name]:.1f}s -> {large[name]:.1f}s "
+                        f"({ratio:.1f}x > {max_growth:.0f}x growth cap)"
+                    ),
+                }
+            )
+        if large[name] > max_seconds:
+            bad.append(
+                {
+                    "name": name,
+                    "kind": "ceiling",
+                    "msg": (
+                        f"{name}: {large[name]:.1f}s > "
+                        f"{max_seconds:.0f}s ceiling"
+                    ),
+                }
+            )
+    return bad
+
+
 def audit(
     small: dict[str, float],
     large: dict[str, float],
@@ -56,23 +120,76 @@ def audit(
     max_seconds: float,
     floor: float = 1.0,
 ) -> list[str]:
-    """Return the list of violation messages (empty = gate pass)."""
-    bad = []
-    for name in sorted(set(small) ^ set(large)):
-        side = "small" if name in small else "large"
-        bad.append(f"{name}: only present in the {side} log")
-    for name in sorted(set(small) & set(large)):
-        ratio = large[name] / max(small[name], floor)
-        if ratio > max_growth:
-            bad.append(
-                f"{name}: {small[name]:.1f}s -> {large[name]:.1f}s "
-                f"({ratio:.1f}x > {max_growth:.0f}x growth cap)"
+    """Back-compat wrapper: the violation messages only."""
+    return [
+        v["msg"]
+        for v in audit_struct(small, large, max_growth, max_seconds, floor)
+    ]
+
+
+def reread_times(
+    names: list[str],
+    sf_dir: str,
+    runs: int = 3,
+    timeout: float = 3600.0,
+) -> dict[str, float]:
+    """Same-commit A/B: re-run the named queries ``runs`` times in
+    fresh check_oracle subprocesses and return each query's MEDIAN
+    re-read wall (absent if every re-run failed to produce a row —
+    the caller treats that as non-attributable)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "check_oracle.py")
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        proc = subprocess.run(
+            [sys.executable, script, sf_dir, *names],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        for line in proc.stdout.splitlines():
+            m = _LINE.match(line.strip())
+            if m and m.group("name") in times:
+                times[m.group("name")].append(float(m.group("sec")))
+    return {
+        n: statistics.median(ts) for n, ts in times.items() if ts
+    }
+
+
+def attribute(
+    violations: list[dict],
+    small: dict[str, float],
+    max_growth: float,
+    max_seconds: float,
+    rereads: dict[str, float],
+    floor: float = 1.0,
+) -> tuple[list[dict], list[str]]:
+    """Split growth/ceiling violations into (real, ambient-notes)
+    using the re-read medians. A violation with no re-read stays
+    real; missing-row violations are never attributable."""
+    real: list[dict] = []
+    ambient: list[str] = []
+    for v in violations:
+        rr = rereads.get(v["name"])
+        if v["kind"] == "missing" or rr is None:
+            real.append(v)
+            continue
+        if v["kind"] == "growth":
+            ratio = rr / max(small[v["name"]], floor)
+            if ratio <= max_growth:
+                ambient.append(
+                    f"{v['msg']} — re-read median {rr:.1f}s "
+                    f"({ratio:.1f}x) inside the cap: ambient"
+                )
+                continue
+        elif v["kind"] == "ceiling" and rr <= max_seconds:
+            ambient.append(
+                f"{v['msg']} — re-read median {rr:.1f}s inside the "
+                "ceiling: ambient"
             )
-        if large[name] > max_seconds:
-            bad.append(
-                f"{name}: {large[name]:.1f}s > {max_seconds:.0f}s ceiling"
-            )
-    return bad
+            continue
+        real.append(v)
+    return real, ambient
 
 
 def main() -> int:
@@ -81,6 +198,15 @@ def main() -> int:
     ap.add_argument("large_log")
     ap.add_argument("--max-growth", type=float, default=15.0)
     ap.add_argument("--max-seconds", type=float, default=90.0)
+    ap.add_argument(
+        "--attribute",
+        action="store_true",
+        help="same-commit A/B on breach: re-run breaching queries and "
+        "downgrade to AMBIENT any whose re-read median is back inside "
+        "the gate",
+    )
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--attribute-runs", type=int, default=3)
     args = ap.parse_args()
 
     small = parse_log(args.small_log)
@@ -93,14 +219,33 @@ def main() -> int:
         default=(0.0, "-"),
     )
     slowest = max(((t, n) for n, t in large.items()), default=(0.0, "-"))
-    bad = audit(small, large, args.max_growth, args.max_seconds)
-    for msg in bad:
-        print(f"VIOLATION {msg}")
+    bad = audit_struct(small, large, args.max_growth, args.max_seconds)
+
+    ambient: list[str] = []
+    if args.attribute and any(v["kind"] != "missing" for v in bad):
+        names = sorted(
+            {v["name"] for v in bad if v["kind"] != "missing"}
+        )
+        print(
+            f"# ATTRIBUTION: re-running {len(names)} breaching "
+            f"quer{'y' if len(names) == 1 else 'ies'} x"
+            f"{args.attribute_runs} on the same tree ({args.sf_dir})"
+        )
+        sys.stdout.flush()
+        rereads = reread_times(names, args.sf_dir, args.attribute_runs)
+        bad, ambient = attribute(
+            bad, small, args.max_growth, args.max_seconds, rereads
+        )
+
+    for msg in ambient:
+        print(f"AMBIENT {msg}")
+    for v in bad:
+        print(f"VIOLATION {v['msg']}")
     print(
         f"# {len(set(small) & set(large))} queries compared; "
         f"worst-growth {worst[1]} {worst[0]:.1f}x; "
         f"slowest {slowest[1]} {slowest[0]:.1f}s; "
-        f"violations={len(bad)}"
+        f"ambient={len(ambient)} violations={len(bad)}"
     )
     print("# GATE " + ("PASS" if not bad else "FAIL"))
     return 0 if not bad else 1
