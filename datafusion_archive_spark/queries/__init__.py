@@ -233,98 +233,96 @@ ROWS_ONLY: set[str] = set()
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-12 WINDOW — registry still frozen (VERDICT r5 #1).
-    # Recomputed this round against the full r1..r11 union
-    # (CORRECTNESS_r11 is 50/50 green, so the pre-written ROUND-12
-    # NOTE's schedule stands byte-identical). Priority class (1) —
-    # never-certified-exact — holds exactly the three names whose
-    # exact oracles landed in round 11 after the r11 window was
-    # frozen (bpe_encode_tokens, bpe_merges, approx_aggs), so they
-    # lead; class (2) rewritten-since-row is empty; the remaining 47
-    # are class (3): oldest rows by latest green round (the round-4
-    # wave, then the round-5 wave), ties by registry order.
-    "bpe_encode_tokens",
-    "bpe_merges",
-    "approx_aggs",
-    "recursive_month_grid",
-    "lateral_top2_per_priority",
-    "merge_upsert_orders",
-    "join_null_safe",
-    "histogram_equi_depth",
-    "console_script_sql",
-    "window_range_1h",
-    "weighted_sample_per_lang_salted",
-    "heavy_hitters_topk",
-    "schema_evolution_merge",
-    "quarantine_corrupt_rows",
-    "collocations_pmi",
-    "dedup_containment",
-    "outliers_mad",
-    "tfidf_topk_terms",
-    "quality_filter_pipeline",
-    "events_transitions",
-    "mixture_weights",
-    "pii_redact",
-    "dedup_passages",
-    "perplexity_bigram",
-    "curation_funnel",
-    "snapshot_diff",
-    "semantic_dedup_clusters",
-    "skyline_orders",
-    "scd2_event_state",
-    "time_decay_agg",
-    "shard_manifest",
-    "events_anomaly_zscore",
-    "temporal_split_last_k",
-    "events_hopping_distinct_users",
-    "sales_share_shift",
-    "regression_aggs",
-    "data_quality_checks",
-    "assoc_rules_pairs",
-    "gaps_islands",
-    "bloom_prefilter_semi_join",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "rrf_fusion",
-    "median_mode_aggs",
-    "window_running_distinct",
-    "interval_union_time",
-    "moving_corr",
-    "ab_test_ztest",
-    "contingency_stats",
-    "phrase_search_inverted",
+    # ROUND-13 WINDOW — registry still frozen (VERDICT r5 #1).
+    # Recomputed this round against the full r1..r12 union
+    # (CORRECTNESS_r12 is 50/50 green, reaching 342/342 ever-
+    # driver-green — the registry's terminal evidence state), and
+    # the result is byte-identical to the pre-written ROUND-13
+    # NOTE: class (1) never-certified-exact is EMPTY, class (2)
+    # rewritten-since-row is empty, so all 50 are class (3) —
+    # oldest rows by latest green round (the r12 overflow, then the
+    # remaining round-6 wave), ties by registry order.
+    "histogram_dense",
+    "xml_roundtrip",
+    "window_rolling_median",
+    "bitwise_aggs",
+    "text_sentences",
+    "dedup_sentences_cross_doc",
+    "geo_grid_join",
+    "vocab_richness",
+    "zipf_fit",
+    "readability_scores",
+    "embedding_centroids",
+    "interarrival_stats",
+    "rfm_segments",
+    "pareto_abc_parts",
+    "benford_first_digit",
+    "ewma_daily_revenue",
+    "cusum_changepoint",
+    "acf_daily_counts",
+    "kl_divergence_lang",
+    "js_divergence_langs",
+    "target_encoding_nation",
+    "woe_iv_price_bins",
+    "feature_hash_counts",
+    "simpson_slopes",
+    "jaro_winkler_linkage",
+    "bootstrap_ci_mean",
+    "seasonal_profile_dow",
+    "lorenz_curve_deciles",
+    "survival_curve",
+    "mutual_information_lang_source",
+    "psi_price_drift",
+    "event_trigrams",
+    "percent_change_mom",
+    "cumulative_gains",
+    "calibration_curve",
+    "corr_matrix",
+    "theil_index",
+    "events_enriched_segment",
+    "events_asof_forward",
+    "percentiles_by_month",
+    "anova_weekday_revenue",
+    "leakage_traintest_overlap",
+    "max_drawdown_daily",
+    "entropy_rate_transitions",
+    "conversion_time_percentiles",
+    "local_peaks_daily",
+    "bollinger_breaches",
+    "cohort_ltv_cumulative",
+    "repeat_purchase_rate",
+    "supplier_share_hhi",
 ]
 
 
-# ROUND-13 NOTE (next certification window): the steady-state
-# rotation continues (VERDICT r7 #5, r8 #6, r9 #8, r10 #7, r11 #6).
-# Priority unchanged: (1) never-certified-exact — EMPTY once the r12
-# window lands (the bpe/approx trio leads r12, reaching 342/342
-# ever-driver-green, the registry's terminal evidence state),
-# (2) rewritten-since-row (none known at pre-write time), (3) oldest
-# rows by latest green round, ties by registry order. Computed from
-# the CORRECTNESS_r{1..11} union with the round-12 window assumed
-# green — recompute against the r{1..12} union before swapping in,
-# in case a sweep or the driver turns a row red. The exact 50 (pure
-# class 3: the r12 overflow, then the remaining round-6 wave):
-#   histogram_dense, xml_roundtrip, window_rolling_median,
-#   bitwise_aggs, text_sentences, dedup_sentences_cross_doc,
-#   geo_grid_join, vocab_richness, zipf_fit, readability_scores,
-#   embedding_centroids, interarrival_stats, rfm_segments,
-#   pareto_abc_parts, benford_first_digit, ewma_daily_revenue,
-#   cusum_changepoint, acf_daily_counts, kl_divergence_lang,
-#   js_divergence_langs, target_encoding_nation, woe_iv_price_bins,
-#   feature_hash_counts, simpson_slopes, jaro_winkler_linkage,
-#   bootstrap_ci_mean, seasonal_profile_dow, lorenz_curve_deciles,
-#   survival_curve, mutual_information_lang_source, psi_price_drift,
-#   event_trigrams, percent_change_mom, cumulative_gains,
-#   calibration_curve, corr_matrix, theil_index,
-#   events_enriched_segment, events_asof_forward,
-#   percentiles_by_month, anova_weekday_revenue,
-#   leakage_traintest_overlap, max_drawdown_daily,
-#   entropy_rate_transitions, conversion_time_percentiles,
-#   local_peaks_daily, bollinger_breaches, cohort_ltv_cumulative,
-#   repeat_purchase_rate, supplier_share_hhi
+# ROUND-14 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5 ... r12 #6). Priority unchanged:
+# (1) never-certified-exact — EMPTY since r12 (342/342 ever-driver-
+# green), (2) rewritten-since-row (none known at pre-write time),
+# (3) oldest rows by latest green round, ties by registry order.
+# Computed from the CORRECTNESS_r{1..12} union with the round-13
+# window assumed green — recompute against the r{1..13} union before
+# swapping in, in case a sweep or the driver turns a row red. The
+# exact 50 (pure class 3: the round-7/8 waves, oldest-first):
+#   seasonal_adjusted_outliers, missing_days_report,
+#   minhash_estimate_audit, ngram_novelty_rate, embedding_norm_outliers,
+#   embedding_dim_variance, anyorder_funnel_1h,
+#   session_abandonment_rate, array_hof_ops, histogram_2d,
+#   decile_migration_matrix, monthly_new_vs_returning, lsh_tuning_curve,
+#   referential_integrity_audit, hill_tail_index, hard_negatives_topk,
+#   contrastive_random_negatives, token_dispersion,
+#   price_index_laspeyres, double_smoothing_forecast,
+#   active_users_stickiness, daily_growth_accounting,
+#   revenue_bridge_mom, haversine_nearest_hub, fdr_bh_nation_tests,
+#   capture_recapture_users, variant_extraction, assoc_triples,
+#   surrogate_keys_hash, hierarchy_closure_rollup,
+#   apportion_largest_remainder, theil_sen_slope, pettitt_changepoint,
+#   kendall_tau_daily, jackknife_ratio_se, pattern_rise_drop,
+#   segment_overlap_venn, trend_test_ca, species_richness_chao1,
+#   mann_kendall_trend, inventory_clamped_scan, shapley_attribution,
+#   isotonic_calibration, diff_in_diff, periodogram_dft,
+#   runs_test_random, pca_power_iteration, embedding_quantization_audit,
+#   holt_winters_weekly, eb_shrinkage_rates
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
@@ -352,8 +350,10 @@ def _wrap(fn):
         release_caches()
         # fail loudly if another thread's iterative loop currently
         # scopes this session's conf (narrowed shuffle width, AQE
-        # off) — building a query under it would silently plan wrong
-        # (operators.util.loop_conf's concurrency contract)
+        # off) — building a query under it would silently plan wrong.
+        # Best-effort entry-point check only: a DataFrame built here
+        # but collected mid-loop still plans under the loop's conf
+        # (see operators.util.loop_conf's concurrency contract)
         import threading as _threading
 
         from datafusion_archive_spark.operators.util import loop_owner

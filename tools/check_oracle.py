@@ -142,6 +142,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # scale header so downstream gates (tools/sweep_outliers.py
+    # --attribute) can verify a log's scale instead of trusting the
+    # caller to pass a matching --sf-dir (ADVICE r12)
+    print(f"# SF_DIR {sf_dir}")
+
     spark = _session()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

@@ -38,8 +38,11 @@ more manual A/Bs on suspect totals.
 Usage: python tools/sweep_outliers.py SMALL_LOG LARGE_LOG
        [--max-growth N] [--max-seconds N]
        [--attribute] [--sf-dir DIR] [--attribute-runs K]
-e.g.:  python tools/sweep_outliers.py tools/oracle_sweep_r11.log \
-           tools/oracle_sweep_r11_sf01.log --attribute
+e.g.:  python tools/sweep_outliers.py tools/oracle_sweep_r13.log \
+           tools/oracle_sweep_r13_sf01.log --attribute \
+           --sf-dir /root/testdata/sf0.1
+--sf-dir is required with --attribute and is verified against the
+large log's "# SF_DIR" header (stamped by check_oracle since r13).
 """
 
 from __future__ import annotations
@@ -65,6 +68,18 @@ def parse_log(path: str) -> dict[str, float]:
             if m:
                 out[m.group("name")] = float(m.group("sec"))
     return out
+
+
+def log_sf_dir(path: str) -> str | None:
+    """The ``# SF_DIR <path>`` header check_oracle stamps on every
+    sweep log (since r13), or None for pre-r13 logs."""
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("# SF_DIR "):
+                return line[len("# SF_DIR "):].strip()
+            if _LINE.match(line.strip()):
+                break
+    return None
 
 
 def audit_struct(
@@ -141,12 +156,25 @@ def reread_times(
                           "check_oracle.py")
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(runs):
-        proc = subprocess.run(
-            [sys.executable, script, sf_dir, *names],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, script, sf_dir, *names],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung re-run is itself evidence of a REAL breach —
+            # queries with no successful re-read stay REAL in
+            # attribute(), which is the right outcome; crashing the
+            # gate with a traceback would be the least useful output
+            # for the worst kind of regression (ADVICE r12)
+            print(
+                f"# ATTRIBUTION: re-run timed out after {timeout:.0f}s "
+                "(hung re-read counts toward REAL)",
+                file=sys.stderr,
+            )
+            continue
         for line in proc.stdout.splitlines():
             m = _LINE.match(line.strip())
             if m and m.group("name") in times:
@@ -205,9 +233,37 @@ def main() -> int:
         "downgrade to AMBIENT any whose re-read median is back inside "
         "the gate",
     )
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--sf-dir",
+        default=None,
+        help="scale dir for --attribute re-runs; REQUIRED with "
+        "--attribute and must match the LARGE log's recorded scale "
+        "(a mismatched scale silently compares apples to oranges: a "
+        "re-read at a smaller scale lands inside the cap and "
+        "misattributes a real breach as ambient)",
+    )
     ap.add_argument("--attribute-runs", type=int, default=3)
     args = ap.parse_args()
+
+    if args.attribute and not args.sf_dir:
+        print(
+            "# ERROR: --attribute requires an explicit --sf-dir "
+            "matching the LARGE log's scale (no default — ADVICE r12)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.attribute:
+        recorded = log_sf_dir(args.large_log)
+        if recorded is not None and os.path.normpath(
+            recorded
+        ) != os.path.normpath(args.sf_dir):
+            print(
+                f"# ERROR: --sf-dir {args.sf_dir} does not match the "
+                f"large log's recorded scale {recorded}; re-reads at "
+                "the wrong scale would misattribute breaches",
+                file=sys.stderr,
+            )
+            return 2
 
     small = parse_log(args.small_log)
     large = parse_log(args.large_log)
