@@ -185,7 +185,12 @@ BROADCAST_NODE_CAP = 2_000_000
 #: recycled id() therefore never inherits a dead session's lock, and
 #: a process cycling many sessions doesn't grow the registry
 #: monotonically (VERDICT r12 #5).
-_LOOP_REGISTRY_LOCK = threading.Lock()
+#: RLock, not Lock: _prune_loop_entry runs as a weakref.finalize
+#: callback, which the interpreter may fire during ANY allocation —
+#: including inside _session_loop_lock's own critical section (it
+#: allocates a Lock). A non-reentrant registry lock would deadlock
+#: that thread against itself.
+_LOOP_REGISTRY_LOCK = threading.RLock()
 _LOOP_LOCKS: dict[int, threading.Lock] = {}
 _LOOP_OWNERS: dict[int, threading.Thread] = {}
 
@@ -295,6 +300,10 @@ class loop_conf:
                 "SparkSession (nested loops would restore each "
                 "other's narrowed confs)"
             )
+        # resolve the conf handle BEFORE taking the lock: on a
+        # stopped/broken session the .conf property itself raises,
+        # and raising here leaves nothing to unwind
+        conf = self._spark.conf
         lock = _session_loop_lock(self._spark)
         if not lock.acquire(timeout=LOOP_LOCK_TIMEOUT_SEC):
             raise RuntimeError(
@@ -305,7 +314,6 @@ class loop_conf:
             )
         self._lock = lock
         _LOOP_OWNERS[id(self._spark)] = me
-        conf = self._spark.conf
         # If the save/narrow block raises, __exit__ never runs (the
         # with-statement skips it when __enter__ raises), so undo the
         # owner entry and release the lock here — otherwise the

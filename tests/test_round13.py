@@ -426,3 +426,31 @@ class TestExprStringBlockingParity:
             ).collect()
         }
         assert simple == combo and simple
+
+
+def test_enter_conf_property_failure_leaves_nothing_held():
+    """If the session's .conf property itself raises (stopped/broken
+    session), __enter__ must fail before taking the lock or owner
+    entry — nothing to unwind, session id not poisoned."""
+
+    class _BrokenSession:
+        @property
+        def conf(self):
+            raise RuntimeError("session is stopped")
+
+    sess = _BrokenSession()
+    with pytest.raises(RuntimeError, match="stopped"):
+        with loop_conf(sess, 100):
+            pass  # pragma: no cover - never entered
+    assert loop_owner(sess) is None
+    assert id(sess) not in oputil._LOOP_OWNERS
+
+
+def test_registry_lock_is_reentrant_for_finalizers():
+    """_prune_loop_entry may fire as a weakref.finalize callback
+    during any allocation — including while the same thread holds
+    the registry lock. The registry lock must therefore be
+    reentrant, or the thread deadlocks against itself."""
+    with oputil._LOOP_REGISTRY_LOCK:
+        # simulates a finalizer firing inside the critical section
+        oputil._prune_loop_entry(0xDEAD)  # must not deadlock
