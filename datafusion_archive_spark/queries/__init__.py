@@ -233,65 +233,65 @@ ROWS_ONLY: set[str] = set()
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-13 WINDOW — registry still frozen (VERDICT r5 #1).
-    # Recomputed this round against the full r1..r12 union
-    # (CORRECTNESS_r12 is 50/50 green, reaching 342/342 ever-
-    # driver-green — the registry's terminal evidence state), and
-    # the result is byte-identical to the pre-written ROUND-13
-    # NOTE: class (1) never-certified-exact is EMPTY, class (2)
-    # rewritten-since-row is empty, so all 50 are class (3) —
-    # oldest rows by latest green round (the r12 overflow, then the
-    # remaining round-6 wave), ties by registry order.
-    "histogram_dense",
-    "xml_roundtrip",
-    "window_rolling_median",
-    "bitwise_aggs",
-    "text_sentences",
-    "dedup_sentences_cross_doc",
-    "geo_grid_join",
-    "vocab_richness",
-    "zipf_fit",
-    "readability_scores",
-    "embedding_centroids",
-    "interarrival_stats",
-    "rfm_segments",
-    "pareto_abc_parts",
-    "benford_first_digit",
-    "ewma_daily_revenue",
-    "cusum_changepoint",
-    "acf_daily_counts",
-    "kl_divergence_lang",
-    "js_divergence_langs",
-    "target_encoding_nation",
-    "woe_iv_price_bins",
-    "feature_hash_counts",
-    "simpson_slopes",
-    "jaro_winkler_linkage",
-    "bootstrap_ci_mean",
-    "seasonal_profile_dow",
-    "lorenz_curve_deciles",
-    "survival_curve",
-    "mutual_information_lang_source",
-    "psi_price_drift",
-    "event_trigrams",
-    "percent_change_mom",
-    "cumulative_gains",
-    "calibration_curve",
-    "corr_matrix",
-    "theil_index",
-    "events_enriched_segment",
-    "events_asof_forward",
-    "percentiles_by_month",
-    "anova_weekday_revenue",
-    "leakage_traintest_overlap",
-    "max_drawdown_daily",
-    "entropy_rate_transitions",
-    "conversion_time_percentiles",
-    "local_peaks_daily",
-    "bollinger_breaches",
-    "cohort_ltv_cumulative",
-    "repeat_purchase_rate",
-    "supplier_share_hhi",
+    # ROUND-14 WINDOW — registry still frozen (VERDICT r5 #1).
+    # Recomputed this round against the full r1..r13 union
+    # (CORRECTNESS_r13 is 50/50 green; 342/342 ever-driver-green
+    # holds), and the result is byte-identical to the pre-written
+    # ROUND-14 NOTE: class (1) never-certified-exact is EMPTY,
+    # class (2) rewritten-since-row is empty (this round's code
+    # changes are pinned value-identical — see PERF.md r14),
+    # so all 50 are class (3) — oldest rows by latest green round
+    # (the round-7/8 waves), ties by registry order.
+    "seasonal_adjusted_outliers",
+    "missing_days_report",
+    "minhash_estimate_audit",
+    "ngram_novelty_rate",
+    "embedding_norm_outliers",
+    "embedding_dim_variance",
+    "anyorder_funnel_1h",
+    "session_abandonment_rate",
+    "array_hof_ops",
+    "histogram_2d",
+    "decile_migration_matrix",
+    "monthly_new_vs_returning",
+    "lsh_tuning_curve",
+    "referential_integrity_audit",
+    "hill_tail_index",
+    "hard_negatives_topk",
+    "contrastive_random_negatives",
+    "token_dispersion",
+    "price_index_laspeyres",
+    "double_smoothing_forecast",
+    "active_users_stickiness",
+    "daily_growth_accounting",
+    "revenue_bridge_mom",
+    "haversine_nearest_hub",
+    "fdr_bh_nation_tests",
+    "capture_recapture_users",
+    "variant_extraction",
+    "assoc_triples",
+    "surrogate_keys_hash",
+    "hierarchy_closure_rollup",
+    "apportion_largest_remainder",
+    "theil_sen_slope",
+    "pettitt_changepoint",
+    "kendall_tau_daily",
+    "jackknife_ratio_se",
+    "pattern_rise_drop",
+    "segment_overlap_venn",
+    "trend_test_ca",
+    "species_richness_chao1",
+    "mann_kendall_trend",
+    "inventory_clamped_scan",
+    "shapley_attribution",
+    "isotonic_calibration",
+    "diff_in_diff",
+    "periodogram_dft",
+    "runs_test_random",
+    "pca_power_iteration",
+    "embedding_quantization_audit",
+    "holt_winters_weekly",
+    "eb_shrinkage_rates",
 ]
 
 
