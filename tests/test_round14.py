@@ -1,0 +1,157 @@
+"""Round-14 contracts: the ADVICE r13 fixes to the growth gate's
+scale-verification path (tools/sweep_outliers.py) —
+
+1. log_sf_dir scans the WHOLE log and refuses mixed-scale logs: a log
+   assembled by concatenating check_oracle runs at different scales
+   must not verify against only the first run's '# SF_DIR' header.
+2. --attribute's recorded-vs-argv scale check canonicalizes with
+   os.path.realpath, so a relative spelling or a symlink alias of the
+   same directory no longer produces a spurious exit-2 mismatch.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+
+def _sweep_mod():
+    p = pathlib.Path(__file__).parent.parent / "tools" / "sweep_outliers.py"
+    spec = importlib.util.spec_from_file_location("sweep_outliers_r14", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_sweep_cli(args, cwd=None):
+    tool = pathlib.Path(__file__).parent.parent / "tools" / "sweep_outliers.py"
+    return subprocess.run(
+        [sys.executable, str(tool), *args],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd=cwd,
+    )
+
+
+# ---------------------------------------------------------------- #
+# ADVICE r13 low #2: mixed-scale concatenated logs must refuse      #
+# ---------------------------------------------------------------- #
+
+
+def test_log_sf_dir_rejects_mixed_scale_log(tmp_path):
+    m = _sweep_mod()
+    mixed = tmp_path / "mixed.log"
+    mixed.write_text(
+        "# SF_DIR /root/testdata/sf0.1\n"
+        "PASS q1: 5 rows (1.0s)\n"
+        "# SF_DIR /root/testdata/sf0.01\n"
+        "PASS q2: 5 rows (0.1s)\n"
+    )
+    with pytest.raises(ValueError, match="2 distinct"):
+        m.log_sf_dir(str(mixed))
+
+
+def test_log_sf_dir_accepts_repeated_identical_headers(tmp_path):
+    """Concatenating re-runs at the SAME scale is legitimate (partial
+    re-runs appended) — identical headers must not trip the guard."""
+    m = _sweep_mod()
+    log = tmp_path / "same.log"
+    log.write_text(
+        "# SF_DIR /root/testdata/sf0.1\n"
+        "PASS q1: 5 rows (1.0s)\n"
+        "# SF_DIR /root/testdata/sf0.1\n"
+        "PASS q2: 5 rows (0.5s)\n"
+    )
+    assert m.log_sf_dir(str(log)) == "/root/testdata/sf0.1"
+
+
+def test_log_sf_dir_scans_past_first_pass_row(tmp_path):
+    """The pre-fix parser stopped at the first PASS row, so a second
+    header after data rows was invisible; it must now be seen."""
+    m = _sweep_mod()
+    log = tmp_path / "late.log"
+    log.write_text(
+        "PASS q0: 1 rows (0.1s)\n"
+        "# SF_DIR /root/testdata/sf0.01\n"
+        "PASS q1: 5 rows (1.0s)\n"
+    )
+    assert m.log_sf_dir(str(log)) == "/root/testdata/sf0.01"
+
+
+def test_attribute_cli_refuses_mixed_scale_large_log(tmp_path):
+    small = tmp_path / "s.log"
+    large = tmp_path / "l.log"
+    small.write_text("# SF_DIR sf0.01\nPASS q1: 5 rows (1.0s)\n")
+    large.write_text(
+        "# SF_DIR sf0.1\nPASS q1: 5 rows (2.0s)\n"
+        "# SF_DIR sf0.05\nPASS q2: 5 rows (2.0s)\n"
+    )
+    proc = _run_sweep_cli(
+        [str(small), str(large), "--attribute", "--sf-dir", "sf0.1"]
+    )
+    assert proc.returncode == 2
+    assert "mixed-scale" in proc.stderr
+
+
+# ---------------------------------------------------------------- #
+# ADVICE r13 low #1: realpath, not normpath, for scale verification #
+# ---------------------------------------------------------------- #
+
+
+def test_attribute_scale_check_canonicalizes_relative_paths(tmp_path):
+    """A log stamped with a relative sf_dir must match the same dir
+    passed absolute on --sf-dir (check_oracle stamps argv verbatim).
+    q1 is inside the growth cap so the run exits 0 once the scale
+    check passes; pre-fix this was a spurious exit 2."""
+    sf = tmp_path / "sfdata"
+    sf.mkdir()
+    small = tmp_path / "s.log"
+    large = tmp_path / "l.log"
+    small.write_text("PASS q1: 5 rows (1.0s)\n")
+    large.write_text("# SF_DIR sfdata\nPASS q1: 5 rows (2.0s)\n")
+    proc = _run_sweep_cli(
+        [str(small), str(large), "--attribute", "--sf-dir", str(sf)],
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_attribute_scale_check_resolves_symlink_alias(tmp_path):
+    """Two spellings of the same directory via a symlink are the SAME
+    scale and must not exit 2."""
+    real = tmp_path / "sf0.1"
+    real.mkdir()
+    alias = tmp_path / "alias"
+    os.symlink(real, alias)
+    small = tmp_path / "s.log"
+    large = tmp_path / "l.log"
+    small.write_text("PASS q1: 5 rows (1.0s)\n")
+    large.write_text(f"# SF_DIR {alias}\nPASS q1: 5 rows (2.0s)\n")
+    proc = _run_sweep_cli(
+        [str(small), str(large), "--attribute", "--sf-dir", str(real)]
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_attribute_scale_check_still_rejects_truly_different_dirs(tmp_path):
+    """Canonicalization must not weaken the gate: genuinely different
+    directories still mismatch (exit 2)."""
+    a = tmp_path / "sf0.1"
+    b = tmp_path / "sf0.01"
+    a.mkdir()
+    b.mkdir()
+    small = tmp_path / "s.log"
+    large = tmp_path / "l.log"
+    small.write_text("PASS q1: 5 rows (1.0s)\n")
+    large.write_text(f"# SF_DIR {a}\nPASS q1: 5 rows (2.0s)\n")
+    proc = _run_sweep_cli(
+        [str(small), str(large), "--attribute", "--sf-dir", str(b)]
+    )
+    assert proc.returncode == 2
+    assert "does not match" in proc.stderr

@@ -72,14 +72,28 @@ def parse_log(path: str) -> dict[str, float]:
 
 def log_sf_dir(path: str) -> str | None:
     """The ``# SF_DIR <path>`` header check_oracle stamps on every
-    sweep log (since r13), or None for pre-r13 logs."""
+    sweep log (since r13), or None for pre-r13 logs.
+
+    Scans the WHOLE file: a log assembled by concatenating
+    check_oracle runs (partial re-runs appended) carries one header
+    per run, and if those runs were at different scales the mixed
+    rows must not verify against only the first run's scale
+    (ADVICE r13). Raises ValueError on >1 distinct header value.
+    """
+    seen: list[str] = []
     with open(path) as fh:
         for line in fh:
             if line.startswith("# SF_DIR "):
-                return line[len("# SF_DIR "):].strip()
-            if _LINE.match(line.strip()):
-                break
-    return None
+                val = line[len("# SF_DIR "):].strip()
+                if val not in seen:
+                    seen.append(val)
+    if len(seen) > 1:
+        raise ValueError(
+            f"{path}: {len(seen)} distinct '# SF_DIR' headers "
+            f"({', '.join(seen)}) — mixed-scale log, refusing to "
+            "verify against any single scale"
+        )
+    return seen[0] if seen else None
 
 
 def audit_struct(
@@ -253,10 +267,17 @@ def main() -> int:
         )
         return 2
     if args.attribute:
-        recorded = log_sf_dir(args.large_log)
-        if recorded is not None and os.path.normpath(
+        try:
+            recorded = log_sf_dir(args.large_log)
+        except ValueError as exc:
+            print(f"# ERROR: {exc}", file=sys.stderr)
+            return 2
+        # realpath, not normpath: check_oracle stamps sf_dir exactly
+        # as passed on argv, so a relative spelling or a symlinked
+        # alias of the same directory must still match (ADVICE r13)
+        if recorded is not None and os.path.realpath(
             recorded
-        ) != os.path.normpath(args.sf_dir):
+        ) != os.path.realpath(args.sf_dir):
             print(
                 f"# ERROR: --sf-dir {args.sf_dir} does not match the "
                 f"large log's recorded scale {recorded}; re-reads at "
