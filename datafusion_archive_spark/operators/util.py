@@ -174,6 +174,41 @@ LOOP_MIN_ROWS_PER_TASK = 50_000
 BROADCAST_NODE_CAP = 2_000_000
 
 
+#: Over-decomposition factor for salted two-phase top-k windows: the
+#: phase-1 sort should fan out to ~4 tasks per core so stragglers and
+#: residual per-group size variance amortize (the same reasoning as
+#: Spark's own 2-4x task-per-core guidance), without drowning the
+#: scheduler in micro-tasks.
+SALT_OVERDECOMPOSE = 4
+#: Fan-out clamp: at least 2 salts (1 would be the unsalted plan), at
+#: most 64 — phase 2 rescans salts x k candidate rows per group, so an
+#: unbounded fan-out would push the second window's input toward the
+#: first's and erase the point of the split.
+SALT_MIN, SALT_MAX = 2, 64
+
+
+def salt_count(spark, n_groups: int) -> int:
+    """Salt fan-out for a salted two-phase top-k window, derived from
+    cluster parallelism the way :class:`loop_conf` derives its shuffle
+    width (VERDICT r13 #3) instead of a fixed constant: enough salts
+    that ``n_groups * salts`` covers ``SALT_OVERDECOMPOSE x
+    defaultParallelism`` phase-1 sub-sorts, clamped to
+    [SALT_MIN, SALT_MAX].
+
+    Correctness is salt-count-independent (the pigeonhole argument: a
+    row in a group's true top-k is in its own salt bucket's top-k for
+    ANY bucket count >= 1), so this only moves the plan's fan-out —
+    on a 1000-core cluster the same query fans out to ~4000 sub-sorts
+    instead of the 32-core-tuned fixed 32/8 it shipped with.
+    """
+    try:
+        dp = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - connect-style session
+        dp = 8
+    salts = -(-SALT_OVERDECOMPOSE * dp // max(n_groups, 1))
+    return min(max(salts, SALT_MIN), SALT_MAX)
+
+
 #: Serialize iterative-loop conf scopes per SparkSession (VERDICT r11
 #: #3): the loop narrows SESSION-scoped confs, so two concurrent loops
 #: on one session would corrupt each other's saved/restored values,

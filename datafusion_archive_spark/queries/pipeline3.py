@@ -51,7 +51,7 @@ from datafusion_archive_spark.queries.pipeline2 import (
     _weighted_sample_per_lang_oracle,
 )
 from datafusion_archive_spark.queries.timeseries import load_events
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import load_table, salt_count
 
 _IO_BASE = "/root/repo/.tmp_io"
 
@@ -64,7 +64,11 @@ def _t(spark, sf_dir, name):
 # Skew-proof per-language sampling
 # ---------------------------------------------------------------------------
 
-_SALT_BUCKETS = 8
+#: Group cardinality of the sampling window's key: the documents
+#: table carries 5 languages. The salt fan-out itself is derived from
+#: cluster parallelism per-session (operators.util.salt_count,
+#: VERDICT r13 #3), not fixed.
+_LANG_GROUPS = 5
 _PER_LANG_K = 20
 
 
@@ -77,7 +81,8 @@ def q_weighted_sample_per_lang_salted(spark, sf):
     language's true top-k is necessarily in the top-k of its own salt
     bucket — so this row must hash-match the unsalted query's oracle.
     The point is the plan shape: the heavy window sort runs over
-    (lang, salt) — ``_SALT_BUCKETS`` sub-partitions per language — so
+    (lang, salt) — ``salt_count(spark, _LANG_GROUPS)`` sub-partitions
+    per language — so
     a corpus that is 90% one language no longer funnels 90% of the
     sort into one task; the second window sees only the tiny
     candidate set. This is the documented escape hatch for the one
@@ -90,7 +95,9 @@ def q_weighted_sample_per_lang_salted(spark, sf):
     keyed = d.select(
         "doc_id", "lang", round_half_up(F.log(u) / w, 6).alias("sample_key")
     )
-    salt = (TX.hash64(F.col("doc_id").cast("string"), 23) % _SALT_BUCKETS)
+    salt = TX.hash64(F.col("doc_id").cast("string"), 23) % salt_count(
+        spark, _LANG_GROUPS
+    )
     w1 = Window.partitionBy("lang", "salt").orderBy(
         F.col("sample_key").desc(), F.col("doc_id")
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import geo
 from datafusion_archive_spark.functions.rounding import decimal_sum, round_half_up
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import load_table, salt_count
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -490,11 +490,14 @@ def q_setop_except_all(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-#: Salt fan-out for the low-cardinality top-k window. (flag,status)
-#: has ~6 values, so a naive window funnels the whole fact scan into
-#: ~6 reducer tasks; 32 salts give 6*32 sub-partitions for the heavy
-#: first-phase sort, and the second phase sees <= 32*3 rows/group.
-_TOPK_SALTS = 32
+#: Group cardinality of the top-k window's key: (returnflag,
+#: linestatus) has 6 values in TPC-H (R/A/N x F/O with only N,O and
+#: R,F/A,F populated). A naive window funnels the whole fact scan
+#: into those ~6 reducer tasks; the salt fan-out is derived from
+#: cluster parallelism per-session (operators.util.salt_count,
+#: VERDICT r13 #3) so the same query fans out proportionally wider on
+#: a real cluster, and the second phase sees <= salts*3 rows/group.
+_TOPK_GROUPS = 6
 
 
 def q_window_topk_per_group(spark, sf):
@@ -503,7 +506,8 @@ def q_window_topk_per_group(spark, sf):
     ``q_weighted_sample_per_lang_salted``, pipeline3.py).
 
     Phase 1 ranks within (keys, salt) — the full-scan sort spreads
-    over keys x ``_TOPK_SALTS`` tasks instead of ~6 — and keeps each
+    over keys x ``salt_count(spark, _TOPK_GROUPS)`` tasks instead of
+    ~6 — and keeps each
     sub-partition's top-3. By pigeonhole any row of a group's true
     top-3 is in its own salt bucket's top-3, so phase 2's window over
     the <= salts*3 surviving rows per group reproduces the unsalted
@@ -517,7 +521,7 @@ def q_window_topk_per_group(spark, sf):
     ]
     salt = F.pmod(
         F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
-        F.lit(_TOPK_SALTS),
+        F.lit(salt_count(spark, _TOPK_GROUPS)),
     )
     w1 = Window.partitionBy("l_returnflag", "l_linestatus", "salt").orderBy(
         *order

@@ -155,3 +155,52 @@ def test_attribute_scale_check_still_rejects_truly_different_dirs(tmp_path):
     )
     assert proc.returncode == 2
     assert "does not match" in proc.stderr
+
+
+# ---------------------------------------------------------------- #
+# VERDICT r13 #3: salt fan-out derived from cluster parallelism     #
+# ---------------------------------------------------------------- #
+
+
+class _FakeSC:
+    def __init__(self, dp):
+        self.defaultParallelism = dp
+
+
+class _FakeSpark:
+    def __init__(self, dp):
+        self.sparkContext = _FakeSC(dp)
+
+
+def test_salt_count_derivation_and_clamps():
+    from datafusion_archive_spark.operators.util import (
+        SALT_MAX,
+        SALT_MIN,
+        SALT_OVERDECOMPOSE,
+        salt_count,
+    )
+
+    # local[32], 6 groups: ceil(4*32/6) = 22 — replaces the fixed 32
+    assert salt_count(_FakeSpark(32), 6) == -(-SALT_OVERDECOMPOSE * 32 // 6)
+    # a 1000-core cluster fans out to the cap, not a 32-core constant
+    assert salt_count(_FakeSpark(1000), 6) == SALT_MAX
+    # tiny cluster: never degenerates to the unsalted plan
+    assert salt_count(_FakeSpark(1), 1000) == SALT_MIN
+    # n_groups=0 must not divide by zero
+    assert salt_count(_FakeSpark(8), 0) >= SALT_MIN
+
+
+def test_salt_count_broken_session_falls_back():
+    from datafusion_archive_spark.operators.util import (
+        SALT_MAX,
+        SALT_MIN,
+        salt_count,
+    )
+
+    class _Broken:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("connect-style session")
+
+    got = salt_count(_Broken(), 6)
+    assert SALT_MIN <= got <= SALT_MAX
