@@ -35,7 +35,7 @@ from datafusion_archive_spark.functions.rounding import round_half_up
 from datafusion_archive_spark.operators.util import (
     BROADCAST_NODE_CAP as _BROADCAST_NODE_CAP,
     cached,
-    loop_conf as _loop_conf,
+    loop_session as _loop_session,
     spread,
 )
 
@@ -648,7 +648,15 @@ def connected_components(
         return F.broadcast(label_sized) if small else label_sized
 
     changed = 0
-    with _loop_conf(pairs.sparkSession, 2 * n_nodes + n_edges):
+    # the loop runs on a dedicated child session (own SQLConf: AQE
+    # off, label-sized shuffle width) — the caller's session conf is
+    # never touched, so concurrent queries on it cannot plan under
+    # the narrowed width (VERDICT r13 #2; see operators.util.
+    # loop_session). edges/labels cross via global-temp-view handoff;
+    # their persisted data is shared (one cache manager per context).
+    with _loop_session(pairs.sparkSession, 2 * n_nodes + n_edges) as ls:
+        edges_l = ls.handoff(edges)
+        labels_l = ls.handoff(labels)
         for _ in range(max_iterations):
             # min over the ORIGINAL edges plus the LABEL-POINTER edges in
             # both directions. Plain propagation moves the min value one
@@ -664,20 +672,20 @@ def connected_components(
             # chain tails still crawl, which the generous default cap
             # absorbs now that per-round cost is flat (see the stats
             # note below).
-            label_edges = labels.select(
+            label_edges = labels_l.select(
                 F.col("node").alias("u"), F.col("component").alias("v")
             ).unionByName(
-                labels.select(
+                labels_l.select(
                     F.col("component").alias("u"), F.col("node").alias("v")
                 )
             )
             neighbor_min = (
-                edges.unionByName(label_edges)
-                .join(_bc(labels.withColumnRenamed("node", "v")), "v")
+                edges_l.unionByName(label_edges)
+                .join(_bc(labels_l.withColumnRenamed("node", "v")), "v")
                 .groupBy(F.col("u").alias("node"))
                 .agg(F.min("component").alias("nmin"))
             )
-            stepped = labels.join(_bc(neighbor_min), "node", "left").select(
+            stepped = labels_l.join(_bc(neighbor_min), "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nmin", "component")
@@ -720,24 +728,29 @@ def connected_components(
             new_labels = _rewrap_checkpoint(ck)
             changed = (
                 new_labels.alias("n")
-                .join(_bc(labels.alias("o")), "node")
+                .join(_bc(labels_l.alias("o")), "node")
                 .filter(F.col("n.component") != F.col("o.component"))
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
-            labels = new_labels
+            labels_l.unpersist()
+            labels_l = new_labels
             if changed == 0:
                 break
+        # hand the (materialized — rewrapped checkpoint) result back
+        # to the caller's session before the scope drops its views;
+        # downstream consumers then execute under the caller's conf,
+        # exactly as the old loop_conf contract promised
+        result = ls.handback(labels_l)
     edges.unpersist()
+    labels.unpersist()
     if changed != 0:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within "
             f"{max_iterations} iterations (labels still changing); "
             f"increase max_iterations for high-diameter graphs"
         )
-    return cached(labels)
+    return cached(result)
 
 
 def dedup_clusters(

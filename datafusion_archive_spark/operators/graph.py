@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from datafusion_archive_spark.operators.util import (
     BROADCAST_NODE_CAP,
     cached,
-    loop_conf,
+    loop_session,
 )
 
 def _materialize(fn):
@@ -183,10 +183,10 @@ def pagerank(
 
     Scale: each iteration is one join of the rank vector against the
     directed edge list plus one aggregate — both shuffles keyed on
-    node id. The iteration loop runs under the scoped loop conf (AQE
-    off, width from the measured graph — see operators.util.loop_conf;
-    NOTE the conf is session-scoped for the loop's duration, so don't
-    run concurrent queries on the same session while iterating).
+    node id. The iteration loop runs on a dedicated child session
+    (AQE off, width from the measured graph — see operators.util.
+    loop_session), so the caller's session conf is never narrowed
+    and concurrent queries on it are unaffected (VERDICT r13 #2).
     localCheckpoint per iteration truncates lineage (same discipline
     as dedup.connected_components); the only driver-side values are
     the scalar node count and the fixed iteration count."""
@@ -218,11 +218,12 @@ def pagerank(
         ).localCheckpoint
     )
     base = (1.0 - damping) / float(n)
-    # same loop-scoped conf as dedup.connected_components: AQE
-    # re-planning and a fact-scan shuffle width are pure overhead on
-    # the fixed-size per-iteration join+aggregate (sf0.1 co-purchase
-    # graph: 9.2 s -> ~4 s for the 8 iterations); width scales with
-    # the measured graph, conf restored on exit
+    # same child-session loop scope as dedup.connected_components:
+    # AQE re-planning and a fact-scan shuffle width are pure overhead
+    # on the fixed-size per-iteration join+aggregate (sf0.1
+    # co-purchase graph: 9.2 s -> ~4 s for the 8 iterations); width
+    # scales with the measured graph, and the narrowed conf lives on
+    # the child only — the caller's session is never touched
     # broadcast the rank vector into the edge join when the node set
     # is provably small (same honest-size hint as connected_components:
     # one real count, not Catalyst's carried checkpoint estimates);
@@ -233,11 +234,13 @@ def pagerank(
     def _bc(rank_sized):
         return F.broadcast(rank_sized) if small else rank_sized
 
-    with loop_conf(edges.sparkSession, n_directed + n):
+    with loop_session(edges.sparkSession, n_directed + n) as ls:
+        out_l = ls.handoff(out)
+        ranks_l = ls.handoff(ranks)
         for _ in range(iterations):
             contrib = (
-                out.join(
-                    _bc(ranks.withColumnRenamed("node", "src")), "src"
+                out_l.join(
+                    _bc(ranks_l.withColumnRenamed("node", "src")), "src"
                 )
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
@@ -250,7 +253,10 @@ def pagerank(
                     ).alias("r"),
                 ).localCheckpoint
             )
-            ranks = new_ranks
+            ranks_l = new_ranks
+        # the per-iteration checkpoints are materialized, so the
+        # handed-back frame's scan runs under the caller's conf
+        ranks = ls.handback(ranks_l)
     return ranks.select(
         "node", (F.col("r") * F.lit(float(n))).alias("rank")
     )

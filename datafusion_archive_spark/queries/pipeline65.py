@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
 
-from datafusion_archive_spark.operators.util import cached, loop_conf
+from datafusion_archive_spark.operators.util import cached, loop_session
 
 _ITERS = 30
 _CHANNELS = ("view", "click", "signup", "error")
@@ -158,16 +158,18 @@ def q_markov_attribution_removal(spark, sf):
         )
         .localCheckpoint(eager=True)
     )
-    with loop_conf(spark, n_edges):
+    with loop_session(spark, n_edges) as ls:
+        edges_l = ls.handoff(edges)
+        v_l = ls.handoff(v)
         for _ in range(_ITERS):
-            vr = v.select(
+            vr = v_l.select(
                 F.col("variant").alias("v_variant"),
                 F.col("state").alias("v_state"),
                 "m",
             )
-            v = (
+            v_l = (
                 vr.join(
-                    edges,
+                    edges_l,
                     (F.col("v_variant") == F.col("variant"))
                     & (F.col("v_state") == F.col("src")),
                 )
@@ -176,6 +178,7 @@ def q_markov_attribution_removal(spark, sf):
                 .withColumnRenamed("dst", "state")
                 .localCheckpoint(eager=True)
             )
+        v = ls.handback(v_l)
     conv = v.filter(F.col("state") == "purchase").select(
         "variant", F.col("m").alias("cv")
     )

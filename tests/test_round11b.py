@@ -24,6 +24,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.operators import dedup
+from datafusion_archive_spark.operators.util import loop_conf
 
 
 def _union_find(pairs):
@@ -46,7 +47,7 @@ class TestLoopConf:
     def test_restores_set_conf(self, spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", "7")
-        scope = dedup._loop_conf(spark, 3_500_000)
+        scope = loop_conf(spark, 3_500_000)
         with scope:
             assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
             assert spark.conf.get("spark.sql.shuffle.partitions") == str(
@@ -58,7 +59,7 @@ class TestLoopConf:
     def test_restores_on_error(self, spark):
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         with pytest.raises(RuntimeError):
-            with dedup._loop_conf(spark, 10):
+            with loop_conf(spark, 10):
                 assert (
                     spark.conf.get("spark.sql.shuffle.partitions") == "1"
                 )
@@ -68,15 +69,15 @@ class TestLoopConf:
     def test_width_scales_with_graph(self, spark):
         dp = spark.sparkContext.defaultParallelism
         # tiny loops collapse to few large tasks (<= rows/50k)...
-        assert dedup._loop_conf(spark, 1)._parts == 1
-        assert dedup._loop_conf(spark, 10_000)._parts == 1
-        assert dedup._loop_conf(spark, 100_000)._parts == min(dp, 2)
+        assert loop_conf(spark, 1)._parts == 1
+        assert loop_conf(spark, 10_000)._parts == 1
+        assert loop_conf(spark, 100_000)._parts == min(dp, 2)
         # ...mid-size loops use the cluster's parallelism...
-        assert dedup._loop_conf(spark, 3_500_000)._parts == min(
+        assert loop_conf(spark, 3_500_000)._parts == min(
             max(dp, 4), 70
         )
         # ...huge loops are memory-bound at ~1M rows/task
-        assert dedup._loop_conf(spark, 2_000_000_000)._parts == max(
+        assert loop_conf(spark, 2_000_000_000)._parts == max(
             dp, 2000
         )
 

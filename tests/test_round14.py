@@ -204,3 +204,131 @@ def test_salt_count_broken_session_falls_back():
 
     got = salt_count(_Broken(), 6)
     assert SALT_MIN <= got <= SALT_MAX
+
+
+# ---------------------------------------------------------------- #
+# VERDICT r13 #2: loop_session — child-session loop isolation       #
+# ---------------------------------------------------------------- #
+
+
+def _views(spark):
+    return [t.name for t in spark.catalog.listTables("global_temp")]
+
+
+def test_loop_session_parent_conf_never_narrowed(spark):
+    """The structural TOCTOU fix: mid-scope, the CALLER's session conf
+    is byte-identical to its pre-scope state (under loop_conf it read
+    the narrowed width with AQE off), so a frame built before the
+    loop and collected during it plans exactly as it would with no
+    loop running."""
+    from datafusion_archive_spark.operators.util import loop_session
+
+    before = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    with loop_session(spark, 1000) as ls:
+        assert ls._child is not None  # child route, not fallback
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        ) == before
+        # the child IS narrowed
+        assert ls._child.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert ls._child.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    ) == before
+
+
+def test_loop_session_handoff_handback_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_archive_spark.operators.util import loop_session
+
+    df = spark.range(100).withColumn("g", F.col("id") % 3)
+    with loop_session(spark, 100) as ls:
+        child_df = ls.handoff(df)
+        assert child_df.sparkSession is ls._child
+        agg = (
+            child_df.groupBy("g")
+            .agg(F.sum("id").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        back = ls.handback(agg)
+    assert back.sparkSession is spark
+    # views are gone, the handed-back frame still reads (analysis was
+    # eager), and values match a parent-session computation exactly
+    assert sorted((r.g, r.s) for r in back.collect()) == sorted(
+        (r.g, r.s)
+        for r in df.groupBy("g").agg(F.sum("id").alias("s")).collect()
+    )
+
+
+def test_loop_session_drops_views_on_exit_and_error(spark):
+    from datafusion_archive_spark.operators.util import loop_session
+
+    df = spark.range(10)
+    with loop_session(spark, 10) as ls:
+        ls.handoff(df)
+        assert len(_views(spark)) >= 1
+    assert _views(spark) == []
+    with pytest.raises(RuntimeError, match="boom"):
+        with loop_session(spark, 10) as ls:
+            ls.handoff(df)
+            raise RuntimeError("boom")
+    assert _views(spark) == []
+
+
+def test_loop_session_concurrent_scopes_do_not_serialize(spark):
+    """Two threads' loops enter simultaneously — a shared barrier
+    inside both scopes releases only if neither blocks the other
+    (loop_conf serialized them on the session lock)."""
+    import threading
+
+    from datafusion_archive_spark.operators.util import loop_session
+
+    barrier = threading.Barrier(2, timeout=30)
+    errs = []
+
+    def run():
+        try:
+            with loop_session(spark, 1000):
+                barrier.wait()
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert errs == []
+
+
+def test_loop_session_fallback_uses_locked_loop_conf(spark):
+    """A session whose newSession() raises degrades to the loop_conf
+    path: parent conf narrowed during the scope (under the session
+    lock), restored after; handoff/handback are identity."""
+    from datafusion_archive_spark.operators.util import loop_session
+
+    class _NoChild:
+        def __init__(self, real):
+            self._real = real
+
+        def newSession(self):
+            raise RuntimeError("no child sessions here")
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    wrapper = _NoChild(spark)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.range(10)
+    with loop_session(wrapper, 1000) as ls:
+        assert ls._child is None and ls._fallback is not None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert ls.handoff(df) is df
+        assert ls.handback(df) is df
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
