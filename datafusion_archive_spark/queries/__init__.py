@@ -295,34 +295,42 @@ _FIRST_50 = [
 ]
 
 
-# ROUND-14 NOTE (next certification window): the steady-state
-# rotation continues (VERDICT r7 #5 ... r12 #6). Priority unchanged:
+# ROUND-15 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5 ... r13 #1). Priority unchanged:
 # (1) never-certified-exact — EMPTY since r12 (342/342 ever-driver-
-# green), (2) rewritten-since-row (none known at pre-write time),
-# (3) oldest rows by latest green round, ties by registry order.
-# Computed from the CORRECTNESS_r{1..12} union with the round-13
-# window assumed green — recompute against the r{1..13} union before
-# swapping in, in case a sweep or the driver turns a row red. The
-# exact 50 (pure class 3: the round-7/8 waves, oldest-first):
-#   seasonal_adjusted_outliers, missing_days_report,
-#   minhash_estimate_audit, ngram_novelty_rate, embedding_norm_outliers,
-#   embedding_dim_variance, anyorder_funnel_1h,
-#   session_abandonment_rate, array_hof_ops, histogram_2d,
-#   decile_migration_matrix, monthly_new_vs_returning, lsh_tuning_curve,
-#   referential_integrity_audit, hill_tail_index, hard_negatives_topk,
-#   contrastive_random_negatives, token_dispersion,
-#   price_index_laspeyres, double_smoothing_forecast,
-#   active_users_stickiness, daily_growth_accounting,
-#   revenue_bridge_mom, haversine_nearest_hub, fdr_bh_nation_tests,
-#   capture_recapture_users, variant_extraction, assoc_triples,
-#   surrogate_keys_hash, hierarchy_closure_rollup,
-#   apportion_largest_remainder, theil_sen_slope, pettitt_changepoint,
-#   kendall_tau_daily, jackknife_ratio_se, pattern_rise_drop,
-#   segment_overlap_venn, trend_test_ca, species_richness_chao1,
-#   mann_kendall_trend, inventory_clamped_scan, shapley_attribution,
-#   isotonic_calibration, diff_in_diff, periodogram_dft,
-#   runs_test_random, pca_power_iteration, embedding_quantization_audit,
-#   holt_winters_weekly, eb_shrinkage_rates
+# green), (2) rewritten-since-row, (3) oldest rows by latest green
+# round, ties by registry order. Round 14 is the first round since
+# the rule was written where class (2) is NON-EMPTY: the
+# loop_session child-session rewrite (operators/util.py) changed the
+# execution machinery of the six iterative-loop queries, and the
+# salt_count derivation changed the plan fan-out of the two salted
+# windows — all eight are locally re-proven against their exact
+# oracles (tools/oracle_sweep_r14*.log), but their driver rows
+# predate the rewrite, so they go FIRST, in registry order. The
+# remaining 42 are class (3), draining the round-8/9 waves
+# oldest-first. Computed from the CORRECTNESS_r{1..13} union with
+# the round-14 window assumed green — recompute against the
+# r{1..14} union before swapping in. The exact 50:
+#   window_topk_per_group, dedup_clusters,
+#   weighted_sample_per_lang_salted, semantic_dedup_clusters,
+#   graph_pagerank, dbscan_clusters, markov_transition_matrix,
+#   markov_attribution_removal, cuped_adjustment,
+#   quantile_treatment_effects, grouped_ols_elasticity,
+#   fixed_effects_within, shuffle_skew_audit,
+#   retrieval_metrics_truncation, conformal_interval_coverage,
+#   wasserstein_drift, newsvendor_stocking, logistic_newton,
+#   covariate_balance_smd, cem_stratified_ate, raking_ipf,
+#   ips_policy_eval, gpd_pot_fit, k_anonymity_audit,
+#   point_in_polygon_tag, ar1_durbin_watson, ccf_leadlag,
+#   classical_decomposition, atkinson_index, silhouette_simplified,
+#   huber_irls_regression, langid_confusion_audit, kmeans_lloyd,
+#   ab_srm_check, matrix_profile_motifs, matrix_profile_discords,
+#   winnowing_fingerprints, moss_shared_fingerprints,
+#   kde_gaussian_grid, anderson_darling_2sample, cox_ph_newton,
+#   logrank_test, spatial_clark_evans, em_exponential_mixture,
+#   var_expected_shortfall, sortino_downside_risk,
+#   decision_stump_gini, page_hinkley_drift, predicate_between_in,
+#   filter_like
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as

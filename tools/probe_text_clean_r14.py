@@ -1,0 +1,156 @@
+"""Round-14 attribution probe for ``text_clean``'s 11.0x sweep growth
+(VERDICT r13 #4) — the closest margin to the growth gate's 15x cap.
+
+The sweep-log time for a PASS row covers THREE components (see
+check_oracle.py: t0 starts before the Spark run and the PASS line
+prints after the oracle + compare finished):
+
+  1. Spark build + execute + toPandas of the query,
+  2. the DuckDB oracle (a 5-stage regexp_replace chain over every
+     document — pure single-threaded C++ regex),
+  3. pandas normalization + dtype-strict value compare.
+
+So an 11x on 10x rows may be (a) real super-linear Spark cost, (b)
+fixed per-query overhead distorting the tiny 1.1 s sf0.01 base, or
+(c) the ORACLE's (linear but heavy) regex wall — which the gate
+charges to the query. This probe separates them, in one warmed
+session, medians over N runs:
+
+  - components 1/2/3 timed separately at sf0.01 and sf0.1;
+  - Spark-side per-row linearity at 4 corpus sizes (500 / 1000 /
+    2500 / 5000 docs — sf0.1 sampled by doc_id hash to temp parquet,
+    exercising the identical query code on identically-shaped data).
+
+Usage: python tools/probe_text_clean_r14.py [runs]
+Prints a table plus a one-line CONCLUSION for the gate-log header.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_archive_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_LARGE = "/root/testdata/sf0.1"
+
+
+def median_wall(fn, runs):
+    walls = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        walls.append(time.time() - t0)
+    return statistics.median(walls)
+
+
+def main() -> int:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark("probe_text_clean_r14")
+    q = entrymod.queries()["text_clean"]
+    oracle = entrymod.oracle_sql()["text_clean"]
+
+    # warm both engines + the parquet page cache once
+    q(spark, SF_SMALL).toPandas()
+
+    print(f"# text_clean attribution probe — runs={runs}, medians")
+    print("# scale | rows | spark_s | oracle_s | compare_s | sweep-ish total")
+    comps = {}
+    for sf_dir, tag in ((SF_SMALL, "sf0.01"), (SF_LARGE, "sf0.1")):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        sdf_holder = {}
+        spark_s = median_wall(
+            lambda: sdf_holder.__setitem__("v", q(spark, sf_dir).toPandas()),
+            runs,
+        )
+        odf_holder = {}
+        oracle_s = median_wall(
+            lambda: odf_holder.__setitem__("v", con.execute(oracle).fetchdf()),
+            runs,
+        )
+        sys.path.insert(0, "/root/repo/tools")
+        import check_oracle as co
+
+        def _cmp():
+            s_n = co.normalize(sdf_holder["v"])
+            o_n = co.normalize(odf_holder["v"])
+            assert co.value_repr(s_n) == co.value_repr(o_n), "value mismatch!"
+
+        compare_s = median_wall(_cmp, runs)
+        rows = len(sdf_holder["v"])
+        comps[tag] = (rows, spark_s, oracle_s, compare_s)
+        print(
+            f"{tag} | {rows} | {spark_s:.2f} | {oracle_s:.2f} | "
+            f"{compare_s:.2f} | {spark_s + oracle_s + compare_s:.2f}"
+        )
+        con.close()
+
+    # Spark-side linearity at 4 corpus sizes from the SAME (sf0.1)
+    # distribution — doc_id-hash sampling, not LIMIT, so content
+    # shape is scale-invariant
+    print("# spark-side linearity (docs sampled from sf0.1):")
+    print("# n_docs | spark_s | s_per_1k_rows")
+    tmp = tempfile.mkdtemp(prefix="probe_text_clean_")
+    per_1k = []
+    try:
+        full = duckdb.connect()
+        for n in (500, 1000, 2500, 5000):
+            d = os.path.join(tmp, f"n{n}")
+            os.makedirs(d)
+            full.execute(
+                "COPY (SELECT * FROM "
+                f"'{SF_LARGE}/documents.parquet' "
+                "ORDER BY md5(doc_id::VARCHAR) "
+                f"LIMIT {n}) TO '{d}/documents.parquet' (FORMAT PARQUET)"
+            )
+            w = median_wall(lambda: q(spark, d).toPandas(), runs)
+            per_1k.append((n, w))
+            print(f"{n} | {w:.2f} | {1000.0 * w / n:.3f}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # conclusion: split the sweep growth into its parts
+    r_s, s_s, o_s, c_s = *(comps["sf0.01"][0:1]), *comps["sf0.01"][1:]
+    r_l, s_l, o_l, c_l = *(comps["sf0.1"][0:1]), *comps["sf0.1"][1:]
+    tot_s = s_s + o_s + c_s
+    tot_l = s_l + o_l + c_l
+    # fixed-overhead estimate from the linearity fit: intercept of
+    # wall vs rows over the 4 sampled sizes (least squares)
+    xs = [n for n, _ in per_1k]
+    ys = [w for _, w in per_1k]
+    xbar = sum(xs) / len(xs)
+    ybar = sum(ys) / len(ys)
+    slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+    intercept = ybar - slope * xbar
+    print(
+        f"# CONCLUSION: sweep growth {tot_l / tot_s:.1f}x on 10x rows = "
+        f"spark {s_l / s_s:.1f}x + oracle {o_l / o_s:.1f}x + compare "
+        f"{c_l / c_s:.1f}x (weights at sf0.1: spark {s_l:.2f}s, oracle "
+        f"{o_l:.2f}s, compare {c_l:.2f}s). Spark fit: wall = "
+        f"{intercept:.2f}s fixed + {1000 * slope:.3f}s/1k rows — "
+        f"per-row marginal growth "
+        f"{(ys[-1] - intercept) / max(ys[0] - intercept, 1e-9) / (xs[-1] / xs[0]):.2f}x "
+        "of linear."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
