@@ -457,6 +457,7 @@ class loop_session:
         self._fallback = None
         self._views: list[str] = []
         self._gt_db = "global_temp"
+        self._state = "new"  # new -> entered -> exited
 
     def __enter__(self):
         try:
@@ -477,12 +478,23 @@ class loop_session:
         except Exception:
             self._fallback = loop_conf(self._spark, self._n_rows)
             self._fallback.__enter__()
+        self._state = "entered"
         return self
 
     @property
     def session(self):
         """The session loop-internal code should build frames on."""
         return self._child if self._child is not None else self._spark
+
+    def _check_entered(self, op: str) -> None:
+        # a handoff outside the scope would silently return a frame
+        # whose views are (or will be) dropped — fail loudly instead
+        if self._state != "entered":
+            raise RuntimeError(
+                f"loop_session.{op}() outside the with-scope "
+                f"(state={self._state}): handoff views live only "
+                "while the scope is entered"
+            )
 
     def _publish(self, df: DataFrame) -> str:
         name = (
@@ -496,6 +508,7 @@ class loop_session:
     def handoff(self, df: DataFrame) -> DataFrame:
         """Caller-session frame -> child-bound frame (identity in
         fallback mode)."""
+        self._check_entered("handoff")
         if self._child is None:
             return df
         return self._child.table(f"{self._gt_db}.{self._publish(df)}")
@@ -506,13 +519,18 @@ class loop_session:
         (localCheckpoint / rewrapped RDD): the caller's first action
         on it then just reads the materialized partitions under the
         caller's own conf."""
+        self._check_entered("handback")
         if self._child is None:
             return df
         return self._spark.table(f"{self._gt_db}.{self._publish(df)}")
 
     def __exit__(self, *exc):
+        if self._state != "entered":  # idempotent / never-entered
+            return False
+        self._state = "exited"
         if self._fallback is not None:
-            return self._fallback.__exit__(*exc)
+            fb, self._fallback = self._fallback, None
+            return fb.__exit__(*exc)
         # dropping by name is safe even if an entry was never created
         # (drop returns False) — and the handed-back frames keep
         # working: table() analyzed the view eagerly, so the plan no

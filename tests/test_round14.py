@@ -332,3 +332,40 @@ def test_loop_session_fallback_uses_locked_loop_conf(spark):
         assert ls.handoff(df) is df
         assert ls.handback(df) is df
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_loop_session_handoff_outside_scope_raises(spark):
+    """A handoff before __enter__ or after __exit__ would return a
+    frame whose backing views are gone (or never created) — both must
+    fail loudly, and __exit__ is idempotent."""
+    from datafusion_archive_spark.operators.util import loop_session
+
+    df = spark.range(5)
+    ls = loop_session(spark, 5)
+    with pytest.raises(RuntimeError, match="state=new"):
+        ls.handoff(df)
+    with ls:
+        pass
+    with pytest.raises(RuntimeError, match="state=exited"):
+        ls.handoff(df)
+    with pytest.raises(RuntimeError, match="state=exited"):
+        ls.handback(df)
+    assert ls.__exit__(None, None, None) is False  # second exit: no-op
+
+
+def test_loop_session_nested_scopes_same_thread(spark):
+    """Nested loops on one thread were a hard error under loop_conf
+    (shared session conf); with per-loop child sessions they are
+    independent and both compute correctly."""
+    from pyspark.sql import functions as F
+
+    from datafusion_archive_spark.operators.util import loop_session
+
+    df = spark.range(50).withColumn("g", F.col("id") % 5)
+    with loop_session(spark, 50) as outer:
+        o = outer.handoff(df)
+        with loop_session(spark, 50) as inner:
+            i = inner.handoff(df)
+            n_inner = i.groupBy("g").count().count()
+        assert n_inner == 5
+        assert o.groupBy("g").count().count() == 5
