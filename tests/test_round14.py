@@ -212,7 +212,13 @@ def test_salt_count_broken_session_falls_back():
 
 
 def _views(spark):
-    return [t.name for t in spark.catalog.listTables("global_temp")]
+    # only loop_session's handoff views: the shared global_temp
+    # catalog legitimately holds other tests' views in a full run
+    return [
+        t.name
+        for t in spark.catalog.listTables("global_temp")
+        if t.name.startswith("_loop_handoff_")
+    ]
 
 
 def test_loop_session_parent_conf_never_narrowed(spark):
