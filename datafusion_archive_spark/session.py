@@ -21,6 +21,28 @@ from pyspark.sql import SparkSession
 #: a live 1g-heap OOM on the sf0.1 co-purchase graph, r11)
 _OOM_MARKERS = ("OutOfMemoryError", "Java heap space", "GC overhead limit")
 
+#: The OTHER way a heap-starved local JVM dies (seen live in the r14
+#: battery): the OOM kills a critical scheduler thread first, the
+#: context shuts itself down, and the Python layer receives only the
+#: job-cancellation message — never the OOM text. Matched narrowly on
+#: the mid-job cancellation phrase; "Cannot call methods on a stopped
+#: SparkContext" (reusing a session someone already stopped — not a
+#: crash) deliberately does NOT match.
+_SHUTDOWN_MARKERS = ("cancelled because SparkContext was shut down",)
+
+SHUTDOWN_DIAGNOSIS = (
+    "the SparkContext shut down in the middle of the job. When "
+    "nothing called stop(), this is the signature of a fatal JVM "
+    "error killing a critical thread — on bare local sessions most "
+    "commonly the 1g default spark.driver.memory (shared by the "
+    "driver AND every executor thread) exhausting under sf0.1-scale "
+    "graph/iterative shuffles before an OutOfMemoryError can "
+    "propagate. Create the session via "
+    "datafusion_archive_spark.session.get_spark (8g default) or set "
+    "spark.driver.memory / SPARK_GRAFT_DRIVER_MEMORY before the "
+    "first session launches the JVM."
+)
+
 HEAP_DIAGNOSIS = (
     "the local JVM heap is exhausted: bare local sessions default "
     "spark.driver.memory to 1g (shared by the driver AND every "
@@ -41,6 +63,8 @@ def diagnose_heap_oom(exc: BaseException) -> str | None:
     msg = str(exc)
     if any(m in msg for m in _OOM_MARKERS):
         return HEAP_DIAGNOSIS
+    if any(m in msg for m in _SHUTDOWN_MARKERS):
+        return SHUTDOWN_DIAGNOSIS
     return None
 
 

@@ -375,3 +375,42 @@ def test_loop_session_nested_scopes_same_thread(spark):
             n_inner = i.groupBy("g").count().count()
         assert n_inner == 5
         assert o.groupBy("g").count().count() == 5
+
+
+# ---------------------------------------------------------------- #
+# diagnose_heap_oom: mid-job context-shutdown classification        #
+# ---------------------------------------------------------------- #
+
+
+def test_diagnose_classifies_midjob_context_shutdown():
+    """A heap-starved 1g JVM can die by the OOM killing a scheduler
+    thread first: the context shuts down mid-job and Python sees only
+    'Job N cancelled because SparkContext was shut down' (observed
+    live in the r14 battery run of the 1g-heap boundary test). That
+    must diagnose — while merely REUSING a stopped context (not a
+    crash) must not."""
+    from datafusion_archive_spark.session import (
+        HEAP_DIAGNOSIS,
+        SHUTDOWN_DIAGNOSIS,
+        diagnose_heap_oom,
+    )
+
+    assert (
+        diagnose_heap_oom(
+            RuntimeError(
+                "Job 51 cancelled because SparkContext was shut down"
+            )
+        )
+        == SHUTDOWN_DIAGNOSIS
+    )
+    assert (
+        diagnose_heap_oom(RuntimeError("java.lang.OutOfMemoryError"))
+        == HEAP_DIAGNOSIS
+    )
+    assert (
+        diagnose_heap_oom(
+            RuntimeError("Cannot call methods on a stopped SparkContext")
+        )
+        is None
+    )
+    assert diagnose_heap_oom(ValueError("unrelated")) is None
