@@ -6,6 +6,7 @@ import itertools
 import os
 import re
 import threading
+import warnings
 import weakref
 
 from pyspark.sql import DataFrame
@@ -181,11 +182,17 @@ BROADCAST_NODE_CAP = 2_000_000
 #: Spark's own 2-4x task-per-core guidance), without drowning the
 #: scheduler in micro-tasks.
 SALT_OVERDECOMPOSE = 4
-#: Fan-out clamp: at least 2 salts (1 would be the unsalted plan), at
-#: most 64 — phase 2 rescans salts x k candidate rows per group, so an
-#: unbounded fan-out would push the second window's input toward the
-#: first's and erase the point of the split.
-SALT_MIN, SALT_MAX = 2, 64
+#: Fan-out clamp: at least 8 salts — the floor is the skew guard, not
+#: a convenience: ``defaultParallelism`` can be under-reported at
+#: build time (dynamic allocation before executors register), and a
+#: derivation that bottoms out at 1-2 salts would quietly rebuild the
+#: few-reducer funnel the salting exists to prevent; 8 keeps every
+#: group split below 1/8th of its data per task at worst while
+#: costing nothing on small runs. At most 64 — phase 2 rescans
+#: salts x k candidate rows per group, so an unbounded fan-out would
+#: push the second window's input toward the first's and erase the
+#: point of the split.
+SALT_MIN, SALT_MAX = 8, 64
 
 
 def salt_count(spark, n_groups: int) -> int:
@@ -193,19 +200,32 @@ def salt_count(spark, n_groups: int) -> int:
     cluster parallelism the way :class:`loop_conf` derives its shuffle
     width (VERDICT r13 #3) instead of a fixed constant: enough salts
     that ``n_groups * salts`` covers ``SALT_OVERDECOMPOSE x
-    defaultParallelism`` phase-1 sub-sorts, clamped to
-    [SALT_MIN, SALT_MAX].
+    parallelism`` phase-1 sub-sorts, clamped to [SALT_MIN, SALT_MAX].
+    The parallelism signal is ``max(defaultParallelism,
+    spark.sql.shuffle.partitions)``: under dynamic allocation
+    defaultParallelism can read 2 before executors register, while
+    the configured shuffle width reflects the intended cluster scale
+    — taking the max means the fan-out never collapses on a cluster
+    that merely hasn't spun up yet.
 
     Correctness is salt-count-independent (the pigeonhole argument: a
     row in a group's true top-k is in its own salt bucket's top-k for
     ANY bucket count >= 1), so this only moves the plan's fan-out —
-    on a 1000-core cluster the same query fans out to ~4000 sub-sorts
-    instead of the 32-core-tuned fixed 32/8 it shipped with.
+    on a large cluster the same query fans out to the SALT_MAX cap
+    (e.g. 6 groups x 64 = 384 phase-1 sub-sorts) instead of the
+    32-core-tuned fixed 32/8 it shipped with; full 4x-per-core
+    coverage holds up to ~SALT_MAX*n_groups/4 cores, beyond which the
+    cap (sized by phase 2's salts x k rescan cost) intentionally
+    wins.
     """
     try:
         dp = spark.sparkContext.defaultParallelism
     except Exception:  # pragma: no cover - connect-style session
         dp = 8
+    try:
+        dp = max(dp, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        pass
     salts = -(-SALT_OVERDECOMPOSE * dp // max(n_groups, 1))
     return min(max(salts, SALT_MIN), SALT_MAX)
 
@@ -441,14 +461,39 @@ class loop_session:
     shared SparkContext, so it is simply released to the GC — it
     holds a SessionState and nothing else once the views are gone.
 
+    The child inherits the caller's EFFECTIVE SQL confs, not just the
+    context conf: ``newSession()`` starts from the SparkContext conf,
+    which misses confs set at runtime on an already-running context
+    (``spark.sql.session.timeZone``, the events table's
+    ``nanosAsLong``, ANSI/rebase modes, ...). Those are cloned from
+    ``spark.conf.getAll`` before narrowing, so if a cached handoff
+    block is evicted mid-loop and the child recomputes the upstream
+    scan, it executes under the caller's semantics, not Spark
+    defaults.
+
     FALLBACK: if the child-session route fails to initialize (e.g. a
     session object whose ``newSession``/catalog surface is
     unavailable), the scope degrades to the locked :class:`loop_conf`
     on the caller's session — same semantics as rounds 12-13, with
-    handoff/handback as identity functions. The loop_conf machinery
+    handoff/handback as identity functions — and emits a
+    ``RuntimeWarning`` naming the degraded guarantees (caller conf IS
+    narrowed, concurrent loops serialize, nesting raises), so the
+    degradation is visible instead of silent. The loop_conf machinery
     (lock, owner registry, entry-point guards) is retained exactly
     for this path.
     """
+
+    #: curated fallback list if conf.getAll is unavailable: the confs
+    #: whose divergence between caller and child changes SCAN/EXPR
+    #: semantics (not just performance) on a mid-loop recomputation
+    _SEMANTIC_CONF_KEYS = (
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.ansi.enabled",
+        "spark.sql.caseSensitive",
+        "spark.sql.parquet.datetimeRebaseModeInRead",
+        "spark.sql.parquet.int96RebaseModeInRead",
+    )
 
     def __init__(self, spark, n_rows: int):
         self._spark = spark
@@ -462,9 +507,27 @@ class loop_session:
     def __enter__(self):
         try:
             child = self._spark.newSession()
+            # clone the caller's effective (runtime-set) SQL confs —
+            # see the class docstring; per-key set failures (static /
+            # non-modifiable entries like spark.app.name) are skipped
+            try:
+                confs = dict(self._spark.conf.getAll)
+            except Exception:
+                confs = {}
+                for key in self._SEMANTIC_CONF_KEYS:
+                    try:
+                        confs[key] = self._spark.conf.get(key)
+                    except Exception:
+                        pass
+            for key, val in confs.items():
+                try:
+                    child.conf.set(key, val)
+                except Exception:
+                    pass
             # derive the loop width exactly as loop_conf does (one
             # real count of the round-invariant per-iteration rows,
-            # clamped to the per-task row band)
+            # clamped to the per-task row band) — AFTER the clone, so
+            # the narrowing wins over any cloned width
             parts = loop_conf(self._spark, self._n_rows)._parts
             child.conf.set("spark.sql.adaptive.enabled", "false")
             child.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -475,7 +538,17 @@ class loop_session:
             except Exception:
                 self._gt_db = "global_temp"
             self._child = child
-        except Exception:
+        except Exception as exc:
+            warnings.warn(
+                "loop_session: child-session route failed "
+                f"({type(exc).__name__}: {exc}); degrading to the "
+                "locked loop_conf scope on the CALLER's session — "
+                "its conf will be narrowed for the loop's duration, "
+                "concurrent loops serialize, and nested scopes on "
+                "this thread will raise",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             self._fallback = loop_conf(self._spark, self._n_rows)
             self._fallback.__enter__()
         self._state = "entered"

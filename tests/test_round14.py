@@ -190,6 +190,37 @@ def test_salt_count_derivation_and_clamps():
     assert salt_count(_FakeSpark(8), 0) >= SALT_MIN
 
 
+def test_salt_count_shuffle_partitions_signal():
+    """Under dynamic allocation defaultParallelism can read 2 before
+    executors register; the configured shuffle width reflects the
+    intended scale and must win, so the fan-out never collapses to
+    the few-reducer funnel the salting exists to prevent."""
+    from datafusion_archive_spark.operators.util import (
+        SALT_MAX,
+        SALT_MIN,
+        salt_count,
+    )
+
+    class _Conf:
+        def __init__(self, parts):
+            self._parts = parts
+
+        def get(self, key):
+            assert key == "spark.sql.shuffle.partitions"
+            return str(self._parts)
+
+    class _Spark(_FakeSpark):
+        def __init__(self, dp, parts):
+            super().__init__(dp)
+            self.conf = _Conf(parts)
+
+    # dp under-reported at 2, cluster-sized shuffle width 200 -> cap
+    assert salt_count(_Spark(2, 200), 6) == SALT_MAX
+    # and even with BOTH signals tiny, the floor holds the skew guard
+    assert salt_count(_Spark(1, 1), 1000) == SALT_MIN
+    assert SALT_MIN >= 8
+
+
 def test_salt_count_broken_session_falls_back():
     from datafusion_archive_spark.operators.util import (
         SALT_MAX,
@@ -414,3 +445,96 @@ def test_diagnose_classifies_midjob_context_shutdown():
         is None
     )
     assert diagnose_heap_oom(ValueError("unrelated")) is None
+
+
+def test_loop_session_child_inherits_runtime_confs(spark):
+    """newSession() starts from the CONTEXT conf, which misses confs
+    set at runtime on an already-running context — so if a cached
+    handoff block were evicted mid-loop, the child would recompute
+    the upstream scan under Spark defaults (wrong timezone, the
+    events table's nanosAsLong unset). loop_session must clone the
+    caller's effective confs into the child (r14 review)."""
+    from datafusion_archive_spark.operators.util import loop_session
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        bare_child = spark.newSession()
+        # preconditions: the raw child genuinely lacks them (if Spark
+        # ever starts inheriting, this test can be retired)
+        assert (
+            bare_child.conf.get("spark.sql.session.timeZone")
+            != "America/New_York"
+            or bare_child.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+            != "true"
+        )
+        with loop_session(spark, 1000) as ls:
+            assert ls._child is not None
+            assert (
+                ls._child.conf.get("spark.sql.session.timeZone")
+                == "America/New_York"
+            )
+            assert (
+                ls._child.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+                == "true"
+            )
+            # and the narrowing still wins over the cloned width
+            assert (
+                ls._child.conf.get("spark.sql.adaptive.enabled") == "false"
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_loop_session_fallback_warns(spark):
+    """Degrading to the caller-session loop_conf scope reverts every
+    isolation guarantee the docstrings promise — it must be loud
+    (RuntimeWarning), not silent (r14 review)."""
+    import warnings as _warnings
+
+    from datafusion_archive_spark.operators.util import loop_session
+
+    class _NoChild:
+        def __init__(self, real):
+            self._real = real
+
+        def newSession(self):
+            raise RuntimeError("no child sessions here")
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        with loop_session(_NoChild(spark), 1000) as ls:
+            assert ls._fallback is not None
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("degrading to the locked loop_conf" in m for m in msgs)
+
+
+def test_sweep_scale_check_covers_small_log_and_plain_mode(tmp_path):
+    """r14 review: the mixed-scale guard must cover BOTH logs in
+    EVERY mode — a mixed small log inflates growth denominators even
+    without --attribute — and same-scale log pairs are a misuse."""
+    large = tmp_path / "l.log"
+    large.write_text("# SF_DIR sf0.1\nPASS q1: 5 rows (2.0s)\n")
+    mixed_small = tmp_path / "ms.log"
+    mixed_small.write_text(
+        "# SF_DIR sf0.01\nPASS q1: 5 rows (1.0s)\n"
+        "# SF_DIR sf0.001\nPASS q2: 5 rows (1.0s)\n"
+    )
+    proc = _run_sweep_cli([str(mixed_small), str(large)])  # NO --attribute
+    assert proc.returncode == 2
+    assert "mixed-scale" in proc.stderr
+    # same-scale pair: every ratio ~1x, gate meaningless -> refuse
+    small_same = tmp_path / "s.log"
+    small_same.write_text("# SF_DIR sf0.1\nPASS q1: 5 rows (1.0s)\n")
+    proc = _run_sweep_cli([str(small_same), str(large)])
+    assert proc.returncode == 2
+    assert "same" in proc.stderr.lower()
+    # headerless pre-r13 logs still gate fine (no scale info = no veto)
+    old_small = tmp_path / "o.log"
+    old_small.write_text("PASS q1: 5 rows (1.0s)\n")
+    proc = _run_sweep_cli([str(old_small), str(large)])
+    assert proc.returncode == 0, proc.stderr

@@ -139,15 +139,28 @@ def main() -> int:
         (x - xbar) ** 2 for x in xs
     )
     intercept = ybar - slope * xbar
+    # the marginal-growth ratio divides by (smallest wall - fitted
+    # intercept); on a noisy quad the intercept can meet or exceed
+    # that wall, where the ratio is meaningless — report n/a instead
+    # of an absurd figure in committed gate evidence
+    base_marginal = ys[0] - intercept
+    if base_marginal > 0.05:
+        marginal = (
+            (ys[-1] - intercept) / base_marginal / (xs[-1] / xs[0])
+        )
+        marginal_txt = f"{marginal:.2f}x of linear"
+    else:
+        marginal_txt = (
+            "n/a (fitted intercept ~ smallest wall — noisy fit, "
+            "re-run the probe)"
+        )
     print(
         f"# CONCLUSION: sweep growth {tot_l / tot_s:.1f}x on 10x rows = "
         f"spark {s_l / s_s:.1f}x + oracle {o_l / o_s:.1f}x + compare "
         f"{c_l / c_s:.1f}x (weights at sf0.1: spark {s_l:.2f}s, oracle "
         f"{o_l:.2f}s, compare {c_l:.2f}s). Spark fit: wall = "
         f"{intercept:.2f}s fixed + {1000 * slope:.3f}s/1k rows — "
-        f"per-row marginal growth "
-        f"{(ys[-1] - intercept) / max(ys[0] - intercept, 1e-9) / (xs[-1] / xs[0]):.2f}x "
-        "of linear."
+        f"per-row marginal growth {marginal_txt}."
     )
     return 0
 

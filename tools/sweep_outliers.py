@@ -266,12 +266,31 @@ def main() -> int:
             file=sys.stderr,
         )
         return 2
+    # scale verification covers BOTH logs in EVERY mode (r14 review:
+    # the original ADVICE r13 fix only checked the large log under
+    # --attribute, so a mixed-scale SMALL log — or any mixed log in a
+    # plain gate run — still verified silently and inflated the
+    # growth denominators)
+    try:
+        recorded_small = log_sf_dir(args.small_log)
+        recorded = log_sf_dir(args.large_log)
+    except ValueError as exc:
+        print(f"# ERROR: {exc}", file=sys.stderr)
+        return 2
+    if (
+        recorded_small is not None
+        and recorded is not None
+        and os.path.realpath(recorded_small) == os.path.realpath(recorded)
+    ):
+        print(
+            f"# ERROR: small and large logs both record scale "
+            f"{recorded}; the growth gate needs two DIFFERENT scales "
+            "(same-scale inputs make every ratio ~1x and the gate "
+            "meaningless)",
+            file=sys.stderr,
+        )
+        return 2
     if args.attribute:
-        try:
-            recorded = log_sf_dir(args.large_log)
-        except ValueError as exc:
-            print(f"# ERROR: {exc}", file=sys.stderr)
-            return 2
         # realpath, not normpath: check_oracle stamps sf_dir exactly
         # as passed on argv, so a relative spelling or a symlinked
         # alias of the same directory must still match (ADVICE r13)
