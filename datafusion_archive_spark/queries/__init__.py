@@ -233,65 +233,69 @@ ROWS_ONLY: set[str] = set()
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-14 WINDOW — registry still frozen (VERDICT r5 #1).
-    # Recomputed this round against the full r1..r13 union
-    # (CORRECTNESS_r13 is 50/50 green; 342/342 ever-driver-green
+    # ROUND-15 WINDOW — registry still frozen (VERDICT r5 #1).
+    # Recomputed this round against the full r1..r14 union
+    # (CORRECTNESS_r14 is 50/50 green; 342/342 ever-driver-green
     # holds), and the result is byte-identical to the pre-written
-    # ROUND-14 NOTE: class (1) never-certified-exact is EMPTY,
-    # class (2) rewritten-since-row is empty (this round's code
-    # changes are pinned value-identical — see PERF.md r14),
-    # so all 50 are class (3) — oldest rows by latest green round
-    # (the round-7/8 waves), ties by registry order.
-    "seasonal_adjusted_outliers",
-    "missing_days_report",
-    "minhash_estimate_audit",
-    "ngram_novelty_rate",
-    "embedding_norm_outliers",
-    "embedding_dim_variance",
-    "anyorder_funnel_1h",
-    "session_abandonment_rate",
-    "array_hof_ops",
-    "histogram_2d",
-    "decile_migration_matrix",
-    "monthly_new_vs_returning",
-    "lsh_tuning_curve",
-    "referential_integrity_audit",
-    "hill_tail_index",
-    "hard_negatives_topk",
-    "contrastive_random_negatives",
-    "token_dispersion",
-    "price_index_laspeyres",
-    "double_smoothing_forecast",
-    "active_users_stickiness",
-    "daily_growth_accounting",
-    "revenue_bridge_mom",
-    "haversine_nearest_hub",
-    "fdr_bh_nation_tests",
-    "capture_recapture_users",
-    "variant_extraction",
-    "assoc_triples",
-    "surrogate_keys_hash",
-    "hierarchy_closure_rollup",
-    "apportion_largest_remainder",
-    "theil_sen_slope",
-    "pettitt_changepoint",
-    "kendall_tau_daily",
-    "jackknife_ratio_se",
-    "pattern_rise_drop",
-    "segment_overlap_venn",
-    "trend_test_ca",
-    "species_richness_chao1",
-    "mann_kendall_trend",
-    "inventory_clamped_scan",
-    "shapley_attribution",
-    "isotonic_calibration",
-    "diff_in_diff",
-    "periodogram_dft",
-    "runs_test_random",
-    "pca_power_iteration",
-    "embedding_quantization_audit",
-    "holt_winters_weekly",
-    "eb_shrinkage_rates",
+    # ROUND-15 NOTE: class (1) never-certified-exact is EMPTY,
+    # class (2) rewritten-since-row is the EIGHT queries whose
+    # execution machinery round 14 changed (loop_session child for
+    # the six iterative-loop queries, salt_count fan-out for the two
+    # salted windows) — locally value-identical
+    # (tools/scale_probe_r14.log) but with driver rows predating the
+    # rewrite, so they go first in registry order; the remaining 42
+    # are class (3) — oldest rows by latest green round (the
+    # round-8/9 waves), ties by registry order.
+    "window_topk_per_group",
+    "dedup_clusters",
+    "weighted_sample_per_lang_salted",
+    "semantic_dedup_clusters",
+    "graph_pagerank",
+    "dbscan_clusters",
+    "markov_transition_matrix",
+    "markov_attribution_removal",
+    "cuped_adjustment",
+    "quantile_treatment_effects",
+    "grouped_ols_elasticity",
+    "fixed_effects_within",
+    "shuffle_skew_audit",
+    "retrieval_metrics_truncation",
+    "conformal_interval_coverage",
+    "wasserstein_drift",
+    "newsvendor_stocking",
+    "logistic_newton",
+    "covariate_balance_smd",
+    "cem_stratified_ate",
+    "raking_ipf",
+    "ips_policy_eval",
+    "gpd_pot_fit",
+    "k_anonymity_audit",
+    "point_in_polygon_tag",
+    "ar1_durbin_watson",
+    "ccf_leadlag",
+    "classical_decomposition",
+    "atkinson_index",
+    "silhouette_simplified",
+    "huber_irls_regression",
+    "langid_confusion_audit",
+    "kmeans_lloyd",
+    "ab_srm_check",
+    "matrix_profile_motifs",
+    "matrix_profile_discords",
+    "winnowing_fingerprints",
+    "moss_shared_fingerprints",
+    "kde_gaussian_grid",
+    "anderson_darling_2sample",
+    "cox_ph_newton",
+    "logrank_test",
+    "spatial_clark_evans",
+    "em_exponential_mixture",
+    "var_expected_shortfall",
+    "sortino_downside_risk",
+    "decision_stump_gini",
+    "page_hinkley_drift",
+    "predicate_between_in",
+    "filter_like",
 ]
 
 
