@@ -246,12 +246,13 @@ class ExecutionContext:
         if owner is not None and owner is not _threading.current_thread():
             # another thread's iterative loop has narrowed this
             # session's conf — planning here would silently use the
-            # loop's shuffle width with AQE off. Since round 14 loops
-            # run on a child session (operators.util.loop_session)
-            # and never narrow this conf, so this only fires on the
-            # loop_conf FALLBACK path; there, the best-effort caveat
-            # stands: actions on DataFrames built earlier are the
-            # caller's responsibility
+            # loop's shuffle width with AQE off. Since round 14,
+            # loops run on a child session (operators.util.
+            # loop_session) and never narrow this conf; this guard
+            # therefore only fires on the loop_conf FALLBACK path,
+            # where the best-effort caveat stands: actions on
+            # DataFrames built earlier are the caller's
+            # responsibility
             raise RuntimeError(
                 "another thread's iterative loop (loop_conf) holds "
                 "this SparkSession's conf scope; run concurrent "

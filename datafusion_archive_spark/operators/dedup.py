@@ -656,7 +656,7 @@ def connected_components(
     # their persisted data is shared (one cache manager per context).
     with _loop_session(pairs.sparkSession, 2 * n_nodes + n_edges) as ls:
         edges_l = ls.handoff(edges)
-        labels_l = ls.handoff(labels)
+        labels_l = labels_first = ls.handoff(labels)
         for _ in range(max_iterations):
             # min over the ORIGINAL edges plus the LABEL-POINTER edges in
             # both directions. Plain propagation moves the min value one
@@ -733,7 +733,17 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels_l.unpersist()
+            if labels_l is not labels_first:
+                labels_l.unpersist()
+            else:
+                # first iteration: labels_l is the child's VIEW-READ
+                # frame — whether unpersisting it reaches the caller's
+                # cache entry depends on the cache manager stripping
+                # the view's SubqueryAlias, which is version-dependent
+                # (ADVICE r14). Unpersist the ORIGINAL caller-side
+                # frame instead; nothing reads it after this round
+                # (later rounds propagate over new_labels only).
+                labels.unpersist()
             labels_l = new_labels
             if changed == 0:
                 break

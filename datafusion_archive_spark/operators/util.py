@@ -193,6 +193,12 @@ SALT_OVERDECOMPOSE = 4
 #: push the second window's input toward the first's and erase the
 #: point of the split.
 SALT_MIN, SALT_MAX = 8, 64
+#: How far the configured shuffle width may raise the parallelism
+#: signal above the registered core count (see :func:`salt_count`):
+#: 4x mirrors SALT_OVERDECOMPOSE — a conf that wide is a deliberate
+#: scale statement, while Spark's default 200 on a small cluster is
+#: not and gets clamped back to this multiple of real cores.
+SALT_SHUFFLE_SIGNAL_MULT = 4
 
 
 def salt_count(spark, n_groups: int) -> int:
@@ -201,12 +207,21 @@ def salt_count(spark, n_groups: int) -> int:
     width (VERDICT r13 #3) instead of a fixed constant: enough salts
     that ``n_groups * salts`` covers ``SALT_OVERDECOMPOSE x
     parallelism`` phase-1 sub-sorts, clamped to [SALT_MIN, SALT_MAX].
-    The parallelism signal is ``max(defaultParallelism,
-    spark.sql.shuffle.partitions)``: under dynamic allocation
-    defaultParallelism can read 2 before executors register, while
-    the configured shuffle width reflects the intended cluster scale
-    — taking the max means the fan-out never collapses on a cluster
-    that merely hasn't spun up yet.
+    The parallelism signal is ``defaultParallelism``, raised toward
+    the configured ``spark.sql.shuffle.partitions`` but only up to
+    ``SALT_SHUFFLE_SIGNAL_MULT x defaultParallelism``: under dynamic
+    allocation defaultParallelism can read 2 before executors
+    register, and a DELIBERATELY large shuffle width then reflects
+    the intended cluster scale — but Spark's out-of-the-box default
+    of 200 shuffle partitions says nothing about scale (a 2-core
+    local run ships with it), and honoring it unconditionally made
+    every default-conf run saturate SALT_MAX regardless of actual
+    parallelism (ADVICE r14), inflating phase-2's salts x k rescan
+    2-8x for nothing. Capping the shuffle signal at a small multiple
+    of the registered core count keeps the dynamic-allocation rescue
+    (a 1000-partition conf on a 2-visible-core cluster still lifts
+    the fan-out 8x) without letting a default conf masquerade as a
+    big cluster.
 
     Correctness is salt-count-independent (the pigeonhole argument: a
     row in a group's true top-k is in its own salt bucket's top-k for
@@ -223,7 +238,8 @@ def salt_count(spark, n_groups: int) -> int:
     except Exception:  # pragma: no cover - connect-style session
         dp = 8
     try:
-        dp = max(dp, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        shuffle_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        dp = max(dp, min(shuffle_w, SALT_SHUFFLE_SIGNAL_MULT * dp))
     except Exception:
         pass
     salts = -(-SALT_OVERDECOMPOSE * dp // max(n_groups, 1))
@@ -426,6 +442,44 @@ class loop_conf:
 #: can never collide).
 _HANDOFF_SEQ = itertools.count()
 
+#: Idle child sessions awaiting reuse, keyed by id(parent session)
+#: (VERDICT r14 #2: every loop_session used to mint a fresh
+#: ``newSession()`` and release it to the GC on exit, so a driver
+#: running thousands of iterative loops accumulated an unbounded
+#: number of not-yet-collected JVM SessionStates). A scope now POPS
+#: an idle child (or creates one if none is idle — concurrent loops
+#: therefore still get DISTINCT children and never share a narrowed
+#: conf), and returns it on exit if the idle pool is below
+#: _CHILD_POOL_MAX; steady-state sequential loops reuse one child per
+#: parent. Same id()+weakref.finalize keying discipline as
+#: _LOOP_LOCKS: the pool entry dies with the parent session, so a
+#: recycled id() never inherits another session's children. Reuse is
+#: conf-safe because __enter__ re-syncs the child's SQLConf to the
+#: caller's effective confs (diff-based: only changed keys touch
+#: py4j) before re-narrowing.
+_CHILD_POOL_LOCK = threading.RLock()
+_CHILD_POOL: dict[int, list] = {}
+_CHILD_POOL_MAX = 2
+
+
+def _prune_child_pool(key: int) -> None:
+    with _CHILD_POOL_LOCK:
+        _CHILD_POOL.pop(key, None)
+
+
+def _child_pool_for(spark) -> list:
+    """The parent's idle-child list, creating (and finalize-keying)
+    it on first use. Callers must hold _CHILD_POOL_LOCK."""
+    key = id(spark)
+    pool = _CHILD_POOL.get(key)
+    if pool is None:
+        pool = _CHILD_POOL[key] = []
+        try:
+            weakref.finalize(spark, _prune_child_pool, key)
+        except TypeError:  # pragma: no cover - non-weakrefable stub
+            pass
+    return pool
+
 
 class loop_session:
     """Child-session isolation for iterative loops — the structural
@@ -458,8 +512,13 @@ class loop_session:
 
     All handoff views are dropped on exit (success or error). The
     child session itself has no close/stop API short of stopping the
-    shared SparkContext, so it is simply released to the GC — it
-    holds a SessionState and nothing else once the views are gone.
+    shared SparkContext; since round 15 it is returned to a small
+    per-parent idle pool and REUSED by the next loop (its SQLConf is
+    re-synced diff-based on re-entry), so a driver running thousands
+    of loops holds a bounded number of JVM SessionStates instead of
+    one per loop. Children beyond the pool cap are released to the
+    GC as before — they hold a SessionState and nothing else once
+    the views are gone.
 
     The child inherits the caller's EFFECTIVE SQL confs, not just the
     context conf: ``newSession()`` starts from the SparkContext conf,
@@ -471,9 +530,12 @@ class loop_session:
     scan, it executes under the caller's semantics, not Spark
     defaults.
 
-    FALLBACK: if the child-session route fails to initialize (e.g. a
+    FALLBACK: if the child-session route fails to initialize (a
     session object whose ``newSession``/catalog surface is
-    unavailable), the scope degrades to the locked :class:`loop_conf`
+    unavailable, or a Spark Connect session — detected by the absent
+    ``_jsc`` — whose deferred server-side analysis would resolve
+    handback views only after the scope dropped them, ADVICE r14),
+    the scope degrades to the locked :class:`loop_conf`
     on the caller's session — same semantics as rounds 12-13, with
     handoff/handback as identity functions — and emits a
     ``RuntimeWarning`` naming the degraded guarantees (caller conf IS
@@ -505,11 +567,32 @@ class loop_session:
         self._state = "new"  # new -> entered -> exited
 
     def __enter__(self):
+        reused = False
         try:
-            child = self._spark.newSession()
-            # clone the caller's effective (runtime-set) SQL confs —
-            # see the class docstring; per-key set failures (static /
-            # non-modifiable entries like spark.app.name) are skipped
+            # Spark Connect detection (ADVICE r14): connect sessions
+            # analyze DataFrames lazily server-side, so a handed-back
+            # frame would resolve its (dropped) handoff view only
+            # AFTER the scope exits — take the loop_conf fallback
+            # instead, mirroring _rewrap_checkpoint's connect path.
+            if getattr(self._spark, "_jsc", None) is None:
+                raise RuntimeError(
+                    "connect-style session (no _jsc): deferred "
+                    "analysis would resolve handback views after "
+                    "scope exit"
+                )
+            with _CHILD_POOL_LOCK:
+                pool = _child_pool_for(self._spark)
+                child = pool.pop() if pool else None
+            if child is not None:
+                reused = True
+            else:
+                child = self._spark.newSession()
+            # sync the child's SQLConf to the caller's effective
+            # (runtime-set) confs — see the class docstring. On a
+            # pooled child this is a DIFF: only keys whose values
+            # changed since the last loop touch py4j, and keys a
+            # previous scope set that the caller no longer carries
+            # are unset, so reuse cannot leak conf across loops.
             try:
                 confs = dict(self._spark.conf.getAll)
             except Exception:
@@ -519,14 +602,42 @@ class loop_session:
                         confs[key] = self._spark.conf.get(key)
                     except Exception:
                         pass
+            current = {}
+            if reused:
+                try:
+                    current = dict(child.conf.getAll)
+                except Exception:
+                    current = {}
+                for key in current:
+                    if key not in confs:
+                        try:
+                            child.conf.unset(key)
+                        except Exception:
+                            pass
             for key, val in confs.items():
+                if reused and current.get(key) == val:
+                    continue
                 try:
                     child.conf.set(key, val)
                 except Exception:
-                    pass
+                    # static / non-modifiable entries (spark.app.name)
+                    # legitimately refuse; a SEMANTIC key refusing
+                    # means a mid-loop cache-eviction recompute would
+                    # run under Spark-default scan/expr semantics —
+                    # loud, not silent (VERDICT r14 #4)
+                    if key in self._SEMANTIC_CONF_KEYS:
+                        warnings.warn(
+                            f"loop_session: failed to clone semantic "
+                            f"conf {key!r} onto the child session; a "
+                            "mid-loop recomputation of a handed-off "
+                            "input may use Spark-default semantics "
+                            "for it",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
             # derive the loop width exactly as loop_conf does (one
             # real count of the round-invariant per-iteration rows,
-            # clamped to the per-task row band) — AFTER the clone, so
+            # clamped to the per-task row band) — AFTER the sync, so
             # the narrowing wins over any cloned width
             parts = loop_conf(self._spark, self._n_rows)._parts
             child.conf.set("spark.sql.adaptive.enabled", "false")
@@ -614,5 +725,14 @@ class loop_session:
             except Exception:
                 pass
         self._views.clear()
-        self._child = None
+        # return the child to the parent's idle pool (bounded) so the
+        # next sequential loop reuses it instead of minting another
+        # JVM SessionState (VERDICT r14 #2); beyond the cap, release
+        # to the GC as before
+        child, self._child = self._child, None
+        if child is not None:
+            with _CHILD_POOL_LOCK:
+                pool = _child_pool_for(self._spark)
+                if len(pool) < _CHILD_POOL_MAX:
+                    pool.append(child)
         return False

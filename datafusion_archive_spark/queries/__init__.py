@@ -363,12 +363,12 @@ def _wrap(fn):
         # fail loudly if another thread's iterative loop currently
         # scopes this session's conf (narrowed shuffle width, AQE
         # off) — building a query under it would silently plan wrong.
-        # SINCE ROUND 14 loops run on a dedicated child session
+        # Since round 14, loops run on a dedicated child session
         # (operators.util.loop_session) and never touch this
-        # session's conf, so this guard only fires on the loop_conf
-        # FALLBACK path (child-session route unavailable), where the
-        # old best-effort caveat still applies: a DataFrame built
-        # here but collected mid-fallback-loop plans under the
+        # session's conf; this guard therefore only fires on the
+        # loop_conf FALLBACK path (child-session route unavailable),
+        # where the old best-effort caveat still applies: a DataFrame
+        # built here but collected mid-fallback-loop plans under the
         # loop's conf.
         import threading as _threading
 

@@ -191,13 +191,16 @@ def test_salt_count_derivation_and_clamps():
 
 
 def test_salt_count_shuffle_partitions_signal():
-    """Under dynamic allocation defaultParallelism can read 2 before
-    executors register; the configured shuffle width reflects the
-    intended scale and must win, so the fan-out never collapses to
-    the few-reducer funnel the salting exists to prevent."""
+    """The configured shuffle width raises the parallelism signal,
+    but only up to SALT_SHUFFLE_SIGNAL_MULT x defaultParallelism
+    (ADVICE r14): Spark's out-of-the-box 200 on a small machine is
+    not a scale statement, and honoring it unconditionally saturated
+    SALT_MAX on virtually every default-conf run."""
     from datafusion_archive_spark.operators.util import (
         SALT_MAX,
         SALT_MIN,
+        SALT_OVERDECOMPOSE,
+        SALT_SHUFFLE_SIGNAL_MULT,
         salt_count,
     )
 
@@ -214,8 +217,19 @@ def test_salt_count_shuffle_partitions_signal():
             super().__init__(dp)
             self.conf = _Conf(parts)
 
-    # dp under-reported at 2, cluster-sized shuffle width 200 -> cap
-    assert salt_count(_Spark(2, 200), 6) == SALT_MAX
+    # Spark's DEFAULT 200 on a 2-core run is not a scale statement:
+    # the signal is clamped to 4x cores (=8), not honored to the cap
+    assert salt_count(_Spark(2, 200), 6) == max(
+        SALT_MIN, -(-SALT_OVERDECOMPOSE * 2 * SALT_SHUFFLE_SIGNAL_MULT // 6)
+    )
+    assert salt_count(_Spark(2, 200), 6) < SALT_MAX
+    # ...but a conf within the plausible-scale band still wins over
+    # an under-reported defaultParallelism (dynamic allocation):
+    # dp=8 with a deliberate 32-wide conf lifts the signal to 32
+    assert salt_count(_Spark(8, 32), 6) == -(-SALT_OVERDECOMPOSE * 32 // 6)
+    # a genuinely cluster-sized conf on real cores still reaches the
+    # cap: dp=32, conf 200 -> signal min(200, 128) -> saturates
+    assert salt_count(_Spark(32, 200), 6) == SALT_MAX
     # and even with BOTH signals tiny, the floor holds the skew guard
     assert salt_count(_Spark(1, 1), 1000) == SALT_MIN
     assert SALT_MIN >= 8
