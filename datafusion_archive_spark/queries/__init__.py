@@ -299,42 +299,39 @@ _FIRST_50 = [
 ]
 
 
-# ROUND-15 NOTE (next certification window): the steady-state
-# rotation continues (VERDICT r7 #5 ... r13 #1). Priority unchanged:
+# ROUND-16 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5 ... r14 #1). Priority unchanged:
 # (1) never-certified-exact — EMPTY since r12 (342/342 ever-driver-
 # green), (2) rewritten-since-row, (3) oldest rows by latest green
-# round, ties by registry order. Round 14 is the first round since
-# the rule was written where class (2) is NON-EMPTY: the
-# loop_session child-session rewrite (operators/util.py) changed the
-# execution machinery of the six iterative-loop queries, and the
-# salt_count derivation changed the plan fan-out of the two salted
-# windows — all eight are locally re-proven against their exact
-# oracles (tools/oracle_sweep_r14*.log), but their driver rows
-# predate the rewrite, so they go FIRST, in registry order. The
-# remaining 42 are class (3), draining the round-8/9 waves
-# oldest-first. Computed from the CORRECTNESS_r{1..13} union with
-# the round-14 window assumed green — recompute against the
-# r{1..14} union before swapping in. The exact 50:
-#   window_topk_per_group, dedup_clusters,
-#   weighted_sample_per_lang_salted, semantic_dedup_clusters,
-#   graph_pagerank, dbscan_clusters, markov_transition_matrix,
-#   markov_attribution_removal, cuped_adjustment,
-#   quantile_treatment_effects, grouped_ols_elasticity,
-#   fixed_effects_within, shuffle_skew_audit,
-#   retrieval_metrics_truncation, conformal_interval_coverage,
-#   wasserstein_drift, newsvendor_stocking, logistic_newton,
-#   covariate_balance_smd, cem_stratified_ate, raking_ipf,
-#   ips_policy_eval, gpd_pot_fit, k_anonymity_audit,
-#   point_in_polygon_tag, ar1_durbin_watson, ccf_leadlag,
-#   classical_decomposition, atkinson_index, silhouette_simplified,
-#   huber_irls_regression, langid_confusion_audit, kmeans_lloyd,
-#   ab_srm_check, matrix_profile_motifs, matrix_profile_discords,
-#   winnowing_fingerprints, moss_shared_fingerprints,
-#   kde_gaussian_grid, anderson_darling_2sample, cox_ph_newton,
-#   logrank_test, spatial_clark_evans, em_exponential_mixture,
-#   var_expected_shortfall, sortino_downside_risk,
-#   decision_stump_gini, page_hinkley_drift, predicate_between_in,
-#   filter_like
+# round, ties by registry order. Round 15's machinery changes
+# (loop_session child pooling, salt_count signal cap, the dedup
+# caller-side unpersist) all land on queries INSIDE the round-15
+# window, so they are certified on the new machinery already; the
+# ONE class-(2) entry is text_clean, whose repetition_ratio kernel
+# (sorted run-length max replacing the O(distinct x n) filter form)
+# and fused clean_text regex chain were rewritten this round
+# (PERF.md "Round-15: text_clean") — locally re-proven exact
+# (tools/oracle_sweep_r15*.log, tools/probe_text_clean_r15.log) but
+# its driver row predates the rewrite (r10), so it goes FIRST. The
+# remaining 49 are class (3), draining the round-9 wave then the
+# oldest round-10 rows. Computed from the CORRECTNESS_r{1..14} union
+# with the round-15 window assumed green — recompute against the
+# r{1..15} union before swapping in. The exact 50:
+#   text_clean, null_predicates, cast_semantics, arithmetic_ops,
+#   literals_no_from, sqrt_fn, geo_udt, agg_having,
+#   agg_count_distinct_group, agg_rollup, pivot_linestatus,
+#   sort_limit_topk, distinct_pairs, join_inner_3way,
+#   join_left_outer, join_semi, join_full_outer,
+#   cte_scalar_subquery, setop_union, setop_intersect,
+#   setop_except, window_running, json_extract, try_cast_nulls,
+#   string_funcs, date_funcs, case_when, try_divide_nulls,
+#   setop_union_all, agg_cube, agg_grouping_sets, in_subquery,
+#   percentiles, window_ntile_dist, quality_quantile_norm,
+#   class_rebalance, weighted_median, ks_test_two_sample,
+#   gini_customer_spend, mann_whitney_u, auc_roc,
+#   weighted_quartiles, sprt_ab_sequential, exponential_fit_gaps,
+#   heaps_law_fit, spearman_rank_corr, jarque_bera_normality,
+#   join_anti, events_time_bucket, events_asof_join
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
