@@ -320,6 +320,38 @@ def clean_text(c: Column) -> Column:
     )
 
 
+def run_length_counts_sql(arr_sql: str) -> str:
+    """SQL fragment: the SORTED per-type occurrence counts of the
+    elements of string-array expression ``arr_sql`` — i.e. the value
+    of ``array_sort(transform(array_distinct(a), t -> size(filter(a,
+    x -> x = t))))`` — computed in O(n log n) instead of
+    O(distinct·n): sort the array once, then fold run lengths in a
+    single linear pass (equal elements are adjacent exactly once
+    each). The old distinct-times-``filter`` form additionally
+    allocated a filtered array per distinct element; on long
+    documents (n and distinct both grow with doc length) it is
+    quadratic in document size — the same hazard class profiling
+    caught in ``repetition_ratio`` (tools/probe_text_clean_r15.log).
+
+    The ``prev=''`` seed never appends a phantom run: the append
+    branch requires ``acc.run > 0``, and a genuine leading ``''``
+    element takes the run-extension branch off the seed with run 0,
+    folding to run 1 exactly like any first element.
+    """
+    return (
+        f"aggregate(array_sort({arr_sql}), "
+        "named_struct('prev', '', 'run', 0, "
+        "'cnts', CAST(array() AS ARRAY<INT>)), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x = acc.prev, acc.run + 1, 1), "
+        "'cnts', IF(x = acc.prev OR acc.run = 0, acc.cnts, "
+        "concat(acc.cnts, array(acc.run)))), "
+        "acc -> array_sort(IF(acc.run = 0, acc.cnts, "
+        "concat(acc.cnts, array(acc.run)))))"
+    )
+
+
 def repetition_ratio(c: Column) -> Column:
     """Share of the most frequent token in the document — the standard
     boilerplate/spam signal (≈1.0 for 'buy buy buy …'). Empty text → 0.

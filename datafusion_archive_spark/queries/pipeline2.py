@@ -108,8 +108,9 @@ def q_text_repetition_gopher(spark, sf):
     of tokens that are repeats of an earlier token type, the share of
     2-grams taken by the most frequent 2-gram, and the fraction of
     2-grams whose type occurs more than once. Zero Exchanges — the
-    per-document array work is O(distinct-grams x grams), bounded by
-    document length, and never leaves the scan stage."""
+    per-document array work is O(grams log grams) (sorted run-length
+    counts, round 15), bounded by document length, and never leaves
+    the scan stage."""
     d = _t(spark, sf, "documents").select(
         "doc_id",
         F.split(TX.normalize_text(F.col("text")), " ").alias("w"),
@@ -118,9 +119,12 @@ def q_text_repetition_gopher(spark, sf):
         "transform(sequence(1, size(w) - 1), "
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
+    # per-type 2-gram counts via the sorted run-length fold (round
+    # 15): O(n log n) per document instead of the quadratic
+    # distinct-times-filter form — array_max and the singles count
+    # below are order-insensitive, so the sorted output is a drop-in
     d = d.withColumn("g", F.expr(g2)).withColumn(
-        "cnts",
-        F.expr("transform(array_distinct(g), t -> size(filter(g, x -> x = t)))"),
+        "cnts", F.expr(TX.run_length_counts_sql("g"))
     )
     n_tok = F.size("w")
     n_g = F.size("g")
@@ -162,13 +166,11 @@ def q_text_token_entropy(spark, sf):
         "doc_id",
         F.split(TX.normalize_text(F.col("text")), " ").alias("w"),
     )
-    d = d.withColumn(
-        "cnts",
-        F.expr(
-            "array_sort(transform(array_distinct(w), "
-            "t -> size(filter(w, x -> x = t))))"
-        ),
-    )
+    # sorted counts via the run-length fold (round 15, O(n log n) vs
+    # the quadratic distinct-times-filter form); the fold output is
+    # already array_sort-ed, preserving the deterministic float
+    # summation order the docstring requires
+    d = d.withColumn("cnts", F.expr(TX.run_length_counts_sql("w")))
     ent = F.expr(
         "-aggregate(cnts, CAST(0 AS DOUBLE), (acc, c) -> "
         "acc + (c / CAST(size(w) AS DOUBLE)) "
