@@ -72,22 +72,31 @@ def q_minhash_estimate_audit(spark, sf):
             threshold=0.25,
         )
     )
-    ex = (
-        docs.filter(F.col("text").isNotNull())
-        .select(
+    ids = pairs.select(F.col("id_a").alias("id")).union(
+        pairs.select("id_b")
+    ).distinct()
+    # Round 15: the id restriction moves BEFORE the shingle explode —
+    # the old shape exploded (and shuffled a distinct over) the WHOLE
+    # corpus's shingles and only then semi-joined to the ~|candidates|
+    # audited ids, which at 100 TB explodes every document to audit a
+    # sliver. Semi-joining the docs scan first (broadcast: the id set
+    # is candidate-bounded) explodes only audited documents; the old
+    # (id, shingle)-level .distinct() was a full shuffle of the
+    # exploded corpus doing nothing — array_distinct already
+    # de-duplicates within a document and ids are unique per row.
+    audited = docs.filter(F.col("text").isNotNull()).join(
+        F.broadcast(ids), docs["doc_id"] == ids["id"], "left_semi"
+    )
+    # cached: the restricted shingle set feeds the sizes and both
+    # sides of the intersection self-join
+    exf = cached(
+        audited.select(
             F.col("doc_id").alias("id"),
             F.explode(
                 F.array_distinct(TX.word_shingles(F.col("text"), 3))
             ).alias("shingle"),
         )
-        .distinct()
     )
-    ids = pairs.select(F.col("id_a").alias("id")).union(
-        pairs.select("id_b")
-    ).distinct()
-    # cached: the restricted shingle set feeds the sizes and both
-    # sides of the intersection self-join
-    exf = cached(ex.join(ids, "id", "left_semi"))
     sizes = exf.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = exf.alias("a")
     b = exf.alias("b")
