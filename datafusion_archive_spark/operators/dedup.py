@@ -685,11 +685,17 @@ def connected_components(
                 .groupBy(F.col("u").alias("node"))
                 .agg(F.min("component").alias("nmin"))
             )
+            # _old rides along so convergence detection below reads it
+            # straight off the materialized checkpoint instead of
+            # re-joining new labels against the previous round's frame
+            # (round 15: one broadcast-join job per round removed; the
+            # cost is 8 bytes/row through the round's shuffles)
             stepped = labels_l.join(_bc(neighbor_min), "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nmin", "component")
                 ).alias("component"),
+                F.col("component").alias("_old"),
             )
             # pointer jumps: L(u) ← L(L(u)), repeated _JUMPS_PER_ROUND
             # times — label-only self-joins that flatten label chains so
@@ -706,6 +712,7 @@ def connected_components(
                 ).select(
                     "node",
                     F.coalesce("jcomp", "component").alias("component"),
+                    "_old",
                 )
             # localCheckpoint, not persist: persist caches *data* but the
             # logical plan still accrues one join per iteration — planning
@@ -725,14 +732,16 @@ def connected_components(
             # a fresh relation resets the stats every round — JVM-side,
             # no Python data movement; the public createDataFrame(rdd)
             # fallback covers connect-style sessions without _jdf.
-            new_labels = _rewrap_checkpoint(ck)
+            rewrapped = _rewrap_checkpoint(ck)
+            # convergence check straight off the materialized
+            # checkpoint (the _old column carried through the round) —
+            # no join against the previous frame needed (round 15)
             changed = (
-                new_labels.alias("n")
-                .join(_bc(labels_l.alias("o")), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
+                rewrapped.filter(F.col("component") != F.col("_old"))
                 .limit(1)
                 .count()
             )
+            new_labels = rewrapped.select("node", "component")
             if labels_l is not labels_first:
                 labels_l.unpersist()
             else:
