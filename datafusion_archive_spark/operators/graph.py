@@ -190,9 +190,21 @@ def pagerank(
     localCheckpoint per iteration truncates lineage (same discipline
     as dedup.connected_components); the only driver-side values are
     the scalar node count and the fixed iteration count."""
-    directed = edges.select("src", "dst").unionAll(
-        edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
+    # cached BEFORE anything derives from it (round 15): the upstream
+    # edge construction (a basket self-join for co-occurrence graphs)
+    # is the data-sized stage, and `directed` feeds deg.count, BOTH
+    # sides of the out-degree join below (deg is itself derived from
+    # directed), and — transitively — every iteration. Uncached, one
+    # pagerank call ran the basket self-join three times before the
+    # loop even started (deg.count once, out.count twice — the join's
+    # left side and the deg aggregate under it are separate uncached
+    # branches of one action); 2 longs/edge, spillable, released via
+    # the registry like every operator-internal persist.
+    directed = cached(
+        edges.select("src", "dst").unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
     )
     deg = directed.groupBy(F.col("src").alias("node")).agg(
@@ -200,11 +212,18 @@ def pagerank(
     )
     n = _materialize(deg.count)
     # cached: the rank-contribution join re-reads this every
-    # iteration; uncached, the upstream edge construction (a basket
-    # self-join for co-occurrence graphs) would re-run 8 times
+    # iteration; uncached, the edge construction would re-run 8 times.
+    # deg is node-sized, so broadcast it under the same honest-count
+    # cap as the rank vector below (round 15): a shuffle here re-keyed
+    # the whole cached directed edge list just to attach one long per
+    # node. Beyond the cap both sides shuffle on node id, unchanged.
+    _deg_src = deg.withColumnRenamed("node", "src")
     out = cached(
         directed.join(
-            deg.withColumnRenamed("node", "src"), "src"
+            F.broadcast(_deg_src)
+            if n <= BROADCAST_NODE_CAP
+            else _deg_src,
+            "src",
         ).select("src", "dst", "deg")
     )
     # materializes the cached contribution frame under the CALLER's
