@@ -26,6 +26,14 @@ from datafusion_archive_spark.operators.util import (
     loop_session,
 )
 
+#: broadcast the oriented edge list into the triangle-closure join
+#: when it is provably at most this many rows (one real count): 2M
+#: rows x 16 B ≈ 32 MB framed — inside the executor broadcast budget,
+#: and far cheaper than shuffling the wedge fan-out (sum out-deg²
+#: rows) by (v, w). A web-scale graph exceeds the cap and keeps the
+#: shuffled closure join.
+_BROADCAST_EDGE_CAP = 2_000_000
+
 def _materialize(fn):
     """Run an eager graph materialization (count / localCheckpoint),
     converting a JVM heap OOM into a diagnosable error. The graph
@@ -101,17 +109,37 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented edges are cached (operator-internal, released by the
     registry wrapper): each fans out to several consumers, and
     uncached the basket self-join that built the edges would re-run
-    for every branch (measured 36 re-scans of the fact table)."""
+    for every branch (measured 36 re-scans of the fact table).
+
+    Round 15 (guide §3.1, measured on the sf0.1 co-purchase graph):
+    the two rank-attach joins and the closure join all planned as
+    SortMergeJoin, shuffling the full edge list three times to attach
+    node-sized (degree rank) or edge-sized (closure) information. Both
+    sides now broadcast under honest-count caps — deg is node-sized
+    (same BROADCAST_NODE_CAP discipline as pagerank), the closure side
+    is the oriented edge list itself (2 longs/row, capped separately);
+    a web-scale graph exceeds the caps and falls back to the shuffled
+    plan unchanged. The wedge self-join keeps its one shuffle on the
+    low endpoint but skips the SMJ sorts via the SHUFFLE_HASH hint
+    (the build side is the per-partition oriented slice, not the
+    wedge fan-out, so the hash table is edge-partition-sized)."""
     edges = cached(edges)
     deg = cached(degrees(edges))
+    n_nodes = _materialize(deg.count)
+    n_edge_rows = _materialize(edges.count)
     # scalar orientation rank: degree-major, id-minor (ids and degrees
     # both fit 31 bits for any realistic catalog)
     rank = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rank")
     dr = deg.select("node", rank)
+    small_nodes = n_nodes <= BROADCAST_NODE_CAP
+
+    def _bc_nodes(node_sized):
+        return F.broadcast(node_sized) if small_nodes else node_sized
+
     e = (
-        edges.join(dr.withColumnRenamed("node", "src"), "src")
+        edges.join(_bc_nodes(dr.withColumnRenamed("node", "src")), "src")
         .withColumnRenamed("rank", "rank_src")
-        .join(dr.withColumnRenamed("node", "dst"), "dst")
+        .join(_bc_nodes(dr.withColumnRenamed("node", "dst")), "dst")
         .withColumnRenamed("rank", "rank_dst")
     )
     oriented = cached(e.select(
@@ -128,24 +156,55 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .otherwise(F.col("rank_src"))
         .alias("hi_rank"),
     ))
-    w1 = oriented.select(
-        F.col("lo").alias("u"),
-        F.col("hi").alias("v"),
-        F.col("hi_rank").alias("vr"),
+    # Round 15: count triangles by ADJACENCY INTERSECTION instead of
+    # wedge enumeration. The previous shape materialized every wedge
+    # (sum out-deg² join rows — tens of millions on the sf0.1
+    # co-purchase graph) and closed each against the edge set with a
+    # per-row hash probe. Compact-forward counts the same triangles as
+    # Σ_{(u,v) oriented} |N⁺(u) ∩ N⁺(v)|: each triangle {a≺b≺c} is
+    # found exactly once, at its lowest-rank edge (a,b) — c ∈ N⁺(a)
+    # via (a,c) and c ∈ N⁺(b) via (b,c), while (a,c) and (b,c)
+    # contribute nothing (b ∉ N⁺(c) by orientation). Work drops from
+    # Σ out-deg² join-machinery rows to Σ (|N⁺(u)|+|N⁺(v)|) JVM array
+    # ops per edge, and no wedge row ever exists. out-neighbor lists
+    # are bounded by the orientation (≈√(2m) for any graph), so the
+    # arrays stay small even at web scale; array_intersect's distinct
+    # semantics are exact here because out-neighbor sets are
+    # duplicate-free by construction (edges are distinct).
+    adj = oriented.groupBy(F.col("lo").alias("node")).agg(
+        F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
-    w2 = oriented.select(
-        F.col("lo").alias("u"),
-        F.col("hi").alias("w"),
-        F.col("hi_rank").alias("wr"),
-    )
-    # wedge (v, w) out of u, canonicalized by rank; close it against
-    # the oriented edge set
-    wedges = w1.join(w2, "u").filter(F.col("vr") < F.col("wr"))
-    closer = oriented.select(
-        F.col("lo").alias("v"), F.col("hi").alias("w")
-    )
-    tri = wedges.join(closer, ["v", "w"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+
+    # the adjacency table is node-KEYED but edge-SIZED (its array
+    # payload totals one long per oriented edge), so the broadcast
+    # gate uses the honest EDGE count, not the node cap; past the cap
+    # both attach joins shuffle on the node id
+    def _bc_adj(adj_sized):
+        return (
+            F.broadcast(adj_sized)
+            if n_edge_rows <= _BROADCAST_EDGE_CAP
+            else adj_sized
+        )
+
+    tri = (
+        oriented.join(
+            _bc_adj(
+                adj.select(F.col("node").alias("lo"), F.col("nbrs").alias("nu"))
+            ),
+            "lo",
+        )
+        .join(
+            _bc_adj(
+                adj.select(F.col("node").alias("hi"), F.col("nbrs").alias("nv"))
+            ),
+            "hi",
+        )
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     totals = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 from datafusion_archive_spark.queries.timeseries import load_events
 
-from datafusion_archive_spark.operators.util import cached, loop_session
 
 _ITERS = 30
 _CHANNELS = ("view", "click", "signup", "error")
@@ -96,7 +95,9 @@ def q_markov_transition_matrix(spark, sf):
 
 def q_markov_attribution_removal(spark, sf):
     """Removal-effect attribution over the journey chain."""
-    t = cached(_transitions(spark, sf))
+    # single consumer since the round-15 variant-dimension rewrite —
+    # caching it would cost a materialization for nothing
+    t = _transitions(spark, sf)
     w_src = Window.partitionBy("src")
     base = t.select(
         "src",
@@ -105,80 +106,116 @@ def q_markov_attribution_removal(spark, sf):
             "p"
         ),
     )
-    variants = [("none", None)] + [(c, c) for c in _CHANNELS]
-    edge_frames = []
-    for vname, removed in variants:
-        e = base.select(
-            F.lit(vname).alias("variant"),
-            "src",
-            (
-                F.when(F.col("dst") == removed, F.lit("null"))
-                .otherwise(F.col("dst"))
-                if removed
-                else F.col("dst")
-            ).alias("dst"),
-            "p",
-        ).filter(F.col("src") != F.lit(removed or "__none__"))
-        edge_frames.append(e)
-    edges = edge_frames[0]
-    for e in edge_frames[1:]:
-        edges = edges.unionByName(e)
-    # absorbing self-loops keep mass in purchase / null
-    absorb = (
-        edges.select("variant").distinct().crossJoin(
-            spark.createDataFrame(
-                [("purchase",), ("null",)], "state string"
-            )
+    # Round 15: the 6 per-variant frames used to be built as a 6-way
+    # union (6 separate cache-scan stages + 6× analysis of the window
+    # plan); a broadcast 6-row variant dimension produces the same
+    # rows in one stage. `removed` is NULL for the full chain, so the
+    # filter (removed IS NULL OR src != removed) and the dst rewrite
+    # (dst == removed → 'null'; the NULL comparison falls through to
+    # otherwise) reproduce the old per-variant selects exactly.
+    variants_df = spark.createDataFrame(
+        [("none", None)] + [(c, c) for c in _CHANNELS],
+        "variant string, removed string",
+    )
+    # absorbing self-loops keep mass in purchase / null. The variant
+    # list is the static enum above — identical to the old
+    # edges.select("variant").distinct() whenever the corpus has any
+    # transition at all (every variant keeps its src='start' rows),
+    # and on an empty corpus both shapes produce an empty result (no
+    # start mass ever reaches purchase either way).
+    absorb = spark.createDataFrame(
+        [
+            (v, s, s, 1.0)
+            for v in ["none", *_CHANNELS]
+            for s in ("purchase", "null")
+        ],
+        "variant string, src string, dst string, p double",
+    )
+    edges = (
+        base.crossJoin(F.broadcast(variants_df))
+        .filter(
+            F.col("removed").isNull()
+            | (F.col("src") != F.col("removed"))
         )
         .select(
             "variant",
-            F.col("state").alias("src"),
-            F.col("state").alias("dst"),
-            F.lit(1.0).alias("p"),
+            "src",
+            F.when(F.col("dst") == F.col("removed"), F.lit("null"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
         )
-    )
-    edges = cached(
-        edges.groupBy("variant", "src", "dst")
+        .groupBy("variant", "src", "dst")
         .agg(F.sum("p").alias("p"))
         .unionByName(absorb)
     )
-    # materialize the batched edge table under the caller's conf and
-    # take its real size — the chain state space is (channels + 3
-    # absorbing states) x variants, a few hundred rows, so the _ITERS
-    # power steps are pure fixed overhead without the scoped loop
-    # conf (AQE off, 1-partition shuffles)
-    n_edges = edges.count()
-    v = (
-        edges.select("variant")
-        .distinct()
-        .select(
-            "variant",
-            F.lit("start").alias("state"),
-            F.lit(1.0).alias("m"),
+    # Round 15 (guide §1.2 step 1 — fix the algorithm's distributed
+    # shape, not its constants): the chain state space is FIXED
+    # ((channels + 3 absorbing states) × variants — bounded by the
+    # channel enum, independent of data scale), yet the old loop paid
+    # 30 join+agg shuffle stages plus up to 30 eager localCheckpoint
+    # job round-trips to propagate it (11.5 s Spark-only at sf0.1;
+    # checkpoint cadence alone only reached 9.0 s because the ~60
+    # stage launches remained). The v ← vP recurrence now runs as a
+    # single scan-stage higher-order-function fold over a per-variant
+    # edges-by-source map: each step pushes every present state's
+    # mass along its out-edges, building the next mass map — the same
+    # synchronous step, same presence semantics (a state appears iff
+    # it received mass from a present predecessor; p > 0 always, so
+    # presence ≡ reachability, exactly like the join's inner-match).
+    # The previous step's map is referenced exactly ONCE per step and
+    # OUTSIDE any lambda (as the fold's collection argument), so the
+    # collapsed expression grows linearly in _ITERS and evaluation
+    # never re-computes a prior step. All array/map orders are
+    # sort_array-pinned, so the fold order — and therefore the
+    # floating-point summation order — is deterministic on any
+    # cluster at any parallelism (the certified outputs round to 6
+    # decimals, same tolerance the partition-invariance sweeps
+    # already exercise). The data-sized work (the transition counts
+    # behind `edges`) keeps its distributed windows; only the
+    # constant-size chain math moved into one stage. The loop_session
+    # scope is gone because there is no longer a loop to isolate.
+    ebs = (
+        edges.groupBy("variant", "src")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dst", "p"))).alias(
+                "outs"
+            )
         )
-        .localCheckpoint(eager=True)
+        .groupBy("variant")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("src", "outs")))
+            ).alias("ebs")
+        )
     )
-    with loop_session(spark, n_edges) as ls:
-        edges_l = ls.handoff(edges)
-        v_l = ls.handoff(v)
-        for _ in range(_ITERS):
-            vr = v_l.select(
-                F.col("variant").alias("v_variant"),
-                F.col("state").alias("v_state"),
-                "m",
-            )
-            v_l = (
-                vr.join(
-                    edges_l,
-                    (F.col("v_variant") == F.col("variant"))
-                    & (F.col("v_state") == F.col("src")),
-                )
-                .groupBy("variant", "dst")
-                .agg(F.sum(F.col("m") * F.col("p")).alias("m"))
-                .withColumnRenamed("dst", "state")
-                .localCheckpoint(eager=True)
-            )
-        v = ls.handback(v_l)
+    def _step(prev: str) -> str:
+        # prev appears exactly once, outside every lambda — linear
+        # tree growth, single evaluation per step
+        return (
+            "aggregate("
+            f"  map_entries({prev}),"
+            "  cast(map() as map<string,double>),"
+            "  (acc, ent) -> aggregate("
+            "     coalesce(element_at(ebs, ent.key), "
+            "              cast(array() as array<struct<dst:string,p:double>>)),"
+            "     acc,"
+            "     (a, e) -> map_concat("
+            "        map_filter(a, (k, v) -> k != e.dst),"
+            "        map(e.dst, coalesce(element_at(a, e.dst),"
+            "                            cast(0 as double))"
+            "                   + ent.value * e.p))))"
+        )
+
+    # one nested SQL string, one analysis pass (building it through 30
+    # incremental withColumns re-analyzed a growing plan each time —
+    # ~2 s of pure driver work at 30 layers)
+    fold = "map('start', cast(1.0 as double))"
+    for _ in range(_ITERS):
+        fold = _step(fold)
+    v = ebs.select(
+        "variant", F.explode(F.expr(fold)).alias("state", "m")
+    )
     conv = v.filter(F.col("state") == "purchase").select(
         "variant", F.col("m").alias("cv")
     )
