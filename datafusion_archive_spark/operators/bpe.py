@@ -36,7 +36,11 @@ def _quote(sym: str) -> str:
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (word, freq): the one corpus-sized step. Whitespace
     tokenization over the normalized text; the aggregation shuffles
-    only (word, partial count) with map-side combine."""
+    only (word, partial count) with map-side combine. (A ``spread``
+    here was measured and rejected in round 15: the normalize+split
+    kernel is cheap enough that the round-robin shuffle cost ~10%
+    instead of saving any — unlike the encode side, whose per-word
+    regex chain is the heavy kernel.)"""
     from datafusion_archive_spark.functions import text as TX
 
     return (
@@ -150,8 +154,15 @@ def bpe_encode(
     regexp_replace calls inside an array transform — no Python in the
     row path, nothing shuffles, and the merge list itself is
     vocabulary-sized (the same object every tokenizer broadcasts).
+    ``spread`` guards the one failure mode of map-only kernels
+    (round 15): a small-file scan is ONE task, serializing every
+    regex pass on one core regardless of cluster width — a no-op on
+    any at-scale table, a tiny round-robin shuffle otherwise.
     """
     from datafusion_archive_spark.functions import text as TX
+    from datafusion_archive_spark.operators.util import spread
+
+    docs = spread(docs)
 
     def encode_word(w):
         s = F.concat(

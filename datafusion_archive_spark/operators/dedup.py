@@ -820,7 +820,10 @@ def editdistance_pairs(
 
     Returns ``(id_a < id_b, dist)`` with ``dist <= max_dist``.
     """
-    t = _nonempty(df, text_col).select(
+    # spread (round 15): the normalize pass is regex-heavy and a
+    # small-file scan is one task — same single-core trap the shingle
+    # operators already guard; no-op at scale
+    t = spread(_nonempty(df, text_col)).select(
         F.col(id_col).alias("id"),
         TX.normalize_text(F.col(text_col)).alias("norm"),
     ).select(

@@ -21,7 +21,7 @@ from datafusion_archive_spark.operators import (
     similarity,
     splits,
 )
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import load_table, spread
 
 # -- shared SQL fragments (DuckDB) ------------------------------------------
 
@@ -78,7 +78,9 @@ def q_text_lang_id(spark, sf):
 
 
 def q_text_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
+    # spread (round 15): map-only hash kernel — single-task on a
+    # small-file scan without it; no-op at scale
+    d = spread(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         TX.fingerprint(F.col("text")).alias("fp"),
@@ -260,8 +262,11 @@ def q_decontaminate(spark, sf):
     bench_grams = (
         grams(d.filter(F.col("doc_id") < 20)).select("gh").distinct()
     )
+    # spread the CORPUS side (round 15): the shingle+hash kernel on a
+    # small-file single-task scan serialized on one core; no-op at
+    # scale, and the benchmark side is 20 docs — not worth a shuffle
     hits = (
-        grams(d)
+        grams(spread(d))
         .join(F.broadcast(bench_grams), "gh")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))

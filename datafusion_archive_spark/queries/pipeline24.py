@@ -41,7 +41,11 @@ from datafusion_archive_spark.queries.llm import (
     _minhash_pair_ctes,
     _shingles_sql,
 )
-from datafusion_archive_spark.operators.util import cached, load_table
+from datafusion_archive_spark.operators.util import (
+    cached,
+    load_table,
+    spread,
+)
 
 
 def _t(spark, sf_dir, name):
@@ -145,13 +149,21 @@ def q_ngram_novelty_rate(spark, sf):
 
     Scale: one (shingle → df) rollup joined back onto the exploded
     shingles — shingle strings shuffle once, text never does."""
-    docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    docs = spread(
+        _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    )
+    # round 15: spread parallelizes the shingle kernel off a
+    # single-task small-file scan, and the old corpus-wide
+    # .distinct() exchange is dropped — array_distinct already makes
+    # each document contribute every shingle at most once, and
+    # doc_id never collides across documents, so the rows are
+    # globally unique by construction
     ex = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(TX.word_shingles(F.col("text"), 3))
         ).alias("shingle"),
-    ).distinct()
+    )
     dfc = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
         ex.join(dfc, "shingle")

@@ -39,59 +39,91 @@ _ALPHA = 0.1
 _CONF_SEED = 23
 
 
-def _scores(spark, sf, dims):
+def _norm_expr(col, dims):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.slice(col, 1, dims), lambda a: a.cast("double") * a
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _pair_scores(spark, sf, dims_list):
+    """(qid, cid, score{d}…) for every query×candidate pair and every
+    truncation in ``dims_list`` — ONE pass over the cross join.
+
+    Round 15 (guide §1.2 step 2 — per-task work): the old per-dims
+    ``_scores`` recomputed BOTH vector norms inside the cross join —
+    per PAIR instead of per row — and ran the whole join twice (once
+    for the exact 64-dim ranking, once for the truncated one). Norms
+    are now hoisted to the q/c sides before the join (identical
+    expressions on identical slices ⇒ bit-identical values, so the
+    ranking and every metric are unchanged), the pair loop computes
+    only the dot products, and both truncations share one pass.
+    ``spread`` keeps the candidate side from scanning as a single
+    small-file task under the nested-loop join."""
+    from datafusion_archive_spark.operators.util import spread
+
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        *[_norm_expr(F.col("embedding"), d).alias(f"nq{d}") for d in dims_list],
     )
-    c = emb.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    c = spread(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        *[_norm_expr(F.col("embedding"), d).alias(f"nc{d}") for d in dims_list],
     )
-    qv = F.slice("qv", 1, dims)
-    cv = F.slice("cv", 1, dims)
-    dot = F.aggregate(
-        F.zip_with(qv, cv, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform(qv, lambda a: a.cast("double") * a),
+
+    def dot(dims):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", 1, dims),
+                F.slice("cv", 1, dims),
+                lambda a, b: a.cast("double") * b,
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    )
-    nc = F.sqrt(
-        F.aggregate(
-            F.transform(cv, lambda a: a.cast("double") * a),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+
     return (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", (dot / (nq * nc)).alias("score"))
+        .select(
+            "qid",
+            "cid",
+            *[
+                (dot(d) / (F.col(f"nq{d}") * F.col(f"nc{d}"))).alias(
+                    f"score{d}"
+                )
+                for d in dims_list
+            ],
+        )
     )
 
 
 def q_retrieval_metrics_truncation(spark, sf):
     """Mean recall@10 / MRR / nDCG@10 of 16-dim vs 64-dim cosine."""
-    w = Window.partitionBy("qid").orderBy(
-        F.desc("score"), F.col("cid")
-    )
-    # cached: the exact top-10 feeds the hit join and the query
-    # universe — uncached, the 64-dim scoring pipeline runs twice
-    exact = cached(
-        _scores(spark, sf, 64)
-        .select("qid", "cid", F.row_number().over(w).alias("erank"))
-        .filter(F.col("erank") <= _TOPK)
-    )
-    approx = (
-        _scores(spark, sf, _TRUNC)
-        .select("qid", "cid", F.row_number().over(w).alias("arank"))
-        .filter(F.col("arank") <= _TOPK)
-    )
+    # one shared scoring pass for both truncations (round 15); cached
+    # because the exact and truncated rankings are separate window
+    # sorts over the same pair table (and exact additionally feeds
+    # the hit join and the query universe)
+    pairs = cached(_pair_scores(spark, sf, [64, _TRUNC]))
+
+    def _ranked(score_col, rank_name):
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(score_col), F.col("cid")
+        )
+        return pairs.select(
+            "qid", "cid", F.row_number().over(w).alias(rank_name)
+        ).filter(F.col(rank_name) <= _TOPK)
+
+    exact = _ranked("score64", "erank")
+    approx = _ranked(f"score{_TRUNC}", "arank")
     hits = approx.join(exact, ["qid", "cid"])
     per_q = hits.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_hits"),

@@ -38,6 +38,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
+from datafusion_archive_spark.operators.util import spread
 from datafusion_archive_spark.queries.llm import _hash64_sql, _NORM
 
 _K = 8
@@ -47,8 +48,8 @@ _TOP = 10
 _MAX_HASH_DF = 50
 
 
-def _selected(spark, sf):
-    d = (
+def _normed(spark, sf):
+    return (
         spark.read.parquet(f"{sf}/documents.parquet")
         .filter(F.col("text").isNotNull())
         .select(
@@ -58,14 +59,43 @@ def _selected(spark, sf):
         )
         .filter(F.length("t") >= _K + _WIN - 1)
     )
-    return _selected_from(d)
 
 
-def _selected_from(d):
+def _selected(spark, sf):
+    return _selected_from(_normed(spark, sf))
+
+
+def _selected_sets(d):
     """Winnowing selection over a pre-normalized ``(doc_id, source,
-    t)`` frame — split from :func:`_selected` so the scale probe can
-    run the EXACT certified kernel on synthetic corpora."""
-    pos = d.select(
+    t)`` frame, one row per document: ``(doc_id, source, n_pos,
+    sels)`` with ``sels`` the distinct selected keys.
+
+    Round 15 (guide §2.4): the selection's only irreducible shuffle
+    is the per-document window sort; everything after it is
+    per-document and now stays in that partitioning. The old final
+    ``.distinct()`` was a second corpus-wide Exchange carrying every
+    selected key; ``groupBy(doc_id)`` + ``collect_set`` computes the
+    same per-document key set WITHOUT a new Exchange (the hash
+    aggregate's required distribution is satisfied by the window's
+    hash(doc_id) partitioning), because (doc_id, sel) never collides
+    across documents — per-doc distinct ≡ global distinct. ``source``
+    is constant per document (min = that constant) and ``max_p`` —
+    constant per document by construction — IS the position count,
+    which also lets the fingerprint-stats query drop its second
+    documents scan. Documents with fewer than _WIN positions have no
+    surviving rows (the max_p filter), exactly as before.
+
+    (An array-HOF formulation with zero window shuffle was measured
+    and REJECTED this round: interpreted per-element md5 + per-window
+    slice/array_min lost to the codegen'd window by ~1.5×;
+    OPTIMIZATION_r15.md has the numbers.)
+
+    ``spread`` before the explode (round 15): the documents scan is
+    one task on a small file, which serialized every position's md5
+    on one core — the hashing stage, not the window, was the measured
+    wall (3.8 of 5.8 s at sf0.1). Same guard the shingle operators
+    already use; a no-op on any at-scale table."""
+    pos = spread(d).select(
         "doc_id",
         "source",
         "t",
@@ -99,28 +129,34 @@ def _selected_from(d):
         F.min("key").over(w).alias("sel"),
         F.max("p").over(w_cnt).alias("max_p"),
     ).filter(F.col("p") <= F.col("max_p") - (_WIN - 1))
-    return mins.select("doc_id", "source", "sel").distinct()
+    return mins.groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.max("max_p").alias("n_pos"),
+        F.collect_set("sel").alias("sels"),
+    )
+
+
+def _selected_from(d):
+    """Row-form winnowing selection — split from :func:`_selected` so
+    the scale probe can run the EXACT certified kernel on synthetic
+    corpora (one row per (doc, selected key), as always)."""
+    return _selected_sets(d).select(
+        "doc_id", "source", F.explode("sels").alias("sel")
+    )
 
 
 def q_winnowing_fingerprints(spark, sf):
-    """Per-source winnowing density statistics."""
-    sel = _selected(spark, sf)
-    per_doc = sel.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_sel")
-    )
-    d = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            (
-                F.length(TX.normalize_text(F.col("text"))) - (_K - 1)
-            ).alias("n_pos"),
-        )
-        .filter(F.col("n_pos") >= _WIN)
-    )
+    """Per-source winnowing density statistics.
+
+    Round 15: reads the per-document set form directly — n_sel is the
+    set size and n_pos rides out of the same window pass (max_p), so
+    the old explode → per-doc count → join against a SECOND documents
+    scan collapses into the selection pass plus one per-source
+    aggregate. The old inner join kept exactly the documents with
+    n_pos ≥ _WIN, which is exactly the set-form's row set."""
+    s = _selected_sets(_normed(spark, sf))
     return (
-        per_doc.join(d, "doc_id")
+        s.select("source", "n_pos", F.size("sels").alias("n_sel"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -145,11 +181,24 @@ def q_moss_shared_fingerprints(spark, sf):
     # explode + window min — the heaviest stage) feeds FOUR plan
     # branches after the df-cap join (rare's groupBy plus both join
     # sides); uncached it would rely on ReusedExchange kicking in,
-    # the exact fan-out-recompute class the plan-scan gate exists for
+    # the exact fan-out-recompute class the plan-scan gate exists
+    # for. Round 15: the hash prefixes are de-duplicated INSIDE each
+    # document's key set (array ops on the set rows) instead of a
+    # corpus-wide DISTINCT Exchange over every (doc_id, h) — doc_id
+    # never collides across documents, so per-doc distinct ≡ global
+    # distinct.
     sel = cached(
-        _selected(spark, sf).select(
-            "doc_id", F.substring("sel", 1, 19).alias("h")
-        ).distinct()
+        _selected_sets(_normed(spark, sf)).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.col("sels"),
+                        lambda s: F.substring(s, 1, 19),
+                    )
+                )
+            ).alias("h"),
+        )
     )
     rare = (
         sel.groupBy("h")
