@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from datafusion_archive_spark.operators.util import (
     BROADCAST_NODE_CAP,
     cached,
+    loop_conf,
     loop_session,
 )
 
@@ -277,19 +278,35 @@ def pagerank(
     # the whole cached directed edge list just to attach one long per
     # node. Beyond the cap both sides shuffle on node id, unchanged.
     _deg_src = deg.withColumnRenamed("node", "src")
+    # the loop width must be known BEFORE the contribution table is
+    # laid out (below), so count the directed list — cheap, it is
+    # already cache-materialized by deg.count() above
+    n_directed = _materialize(directed.count)
+    parts = loop_conf(edges.sparkSession, n_directed + n)._parts
+    # pre-partition the contribution table BY dst AT THE LOOP WIDTH
+    # (round 15, guide §2.4 — operations keyed the same way share one
+    # exchange): every iteration's rank aggregate groups by dst, and
+    # an unpartitioned cache re-shuffled the full edge list once per
+    # iteration. Hash-partitioned on dst with exactly the loop's
+    # partition count, the cached layout satisfies the aggregate's
+    # required distribution and the per-iteration Exchange disappears
+    # (the rank join is broadcast under the node cap, which preserves
+    # the layout). Above the cap the rank join shuffles on src as
+    # before — the layout costs nothing there.
     out = cached(
         directed.join(
             F.broadcast(_deg_src)
             if n <= BROADCAST_NODE_CAP
             else _deg_src,
             "src",
-        ).select("src", "dst", "deg")
+        )
+        .select("src", "dst", "deg")
+        .repartition(parts, "dst")
     )
     # materializes the cached contribution frame under the CALLER's
     # conf (the co-occurrence self-join behind it is the data-sized
-    # stage) and gives the real per-iteration row count the loop
-    # scope below is derived from
-    n_directed = out.count()
+    # stage)
+    _materialize(out.count)
     ranks = _materialize(
         deg.select(
             "node", (F.lit(1.0) / F.lit(float(n))).alias("r")

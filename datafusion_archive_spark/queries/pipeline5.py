@@ -37,7 +37,7 @@ from datafusion_archive_spark.functions.rounding import (
     round_half_up,
     round_half_up_sql,
 )
-from datafusion_archive_spark.operators.util import cached
+from datafusion_archive_spark.operators.util import cached, spread
 from datafusion_archive_spark.queries import llm as _llm
 from datafusion_archive_spark.queries.pipeline3 import (
     _QF_BIT_LANG,
@@ -90,7 +90,11 @@ def q_curation_funnel(spark, sf):
     scans (signals + gram probe), one fp shuffle, zero joins on the
     fact side except the broadcast gram probe.
     """
-    d = _t(spark, sf, "documents")
+    # spread (round 15): the signal pass (quality score + dup ratio +
+    # fingerprint) and the 8-gram probe are both regex/hash-heavy
+    # scan kernels — a small-file scan is one task and serialized
+    # them on one core; no-op at scale
+    d = spread(_t(spark, sf, "documents"))
     w = F.split(TX.normalize_text(F.col("text")), " ")
     q = TX.quality_score(F.col("text"))
     dup = round_half_up(
