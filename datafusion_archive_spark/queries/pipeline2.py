@@ -36,7 +36,7 @@ from datafusion_archive_spark.operators import dedup
 from datafusion_archive_spark.queries import llm as _llm
 from datafusion_archive_spark.queries.timeseries import load_events
 from datafusion_archive_spark.operators.quantiles import exact_grouped_quantiles
-from datafusion_archive_spark.operators.util import load_table
+from datafusion_archive_spark.operators.util import cached, load_table
 
 
 def _t(spark, sf_dir, name):
@@ -244,24 +244,66 @@ def q_dedup_incremental(spark, sf):
     >= 0.2) of a CORPUS document. New-vs-new duplicates are kept —
     intra-batch dedup is a separate (already certified) pass.
 
-    Reuses the banded candidate generation of ``ngram_jaccard_pairs``
-    (stop-shingle df cap keeps the shingle join linear), then drops
-    the new ids that appear in a cross pair via one left-anti join on
-    doc_id. At scale the corpus side is the big one, and only ids —
-    never text — reach the anti join.
+    Round 15 (guide §2.3/§3.2 — decide with the restriction BEFORE
+    the quadratic step): only NEW×CORPUS pairs can drop a new
+    document, so the shingle self-join now puts the new batch on one
+    side and the standing corpus on the other instead of enumerating
+    ALL same-shingle pairs (new×new and corpus×corpus — two thirds of
+    the candidates, including the corpus² term that dominates at
+    scale) and filtering afterwards. Equivalence: the old mixed-pair
+    set in either (id_a < id_b) orientation is exactly the
+    (new, corpus) equi-join's row set; Jaccard is symmetric; the
+    stop-shingle df cap is still computed over the WHOLE corpus
+    before the sides split, and per-doc set sizes are side-
+    independent. The old (id, shingle)-level .distinct() is dropped:
+    array_distinct already de-duplicates within a document and
+    doc_ids are unique, so the rows were globally unique by
+    construction (same argument as minhash_estimate_audit, r15).
     """
     docs = _t(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.2, max_shingle_df=50
-    )
     is_new = lambda c: c % 5 == 0  # noqa: E731
-    drop = (
-        pairs.filter(is_new(F.col("id_a")) & ~is_new(F.col("id_b")))
-        .select(F.col("id_a").alias("doc_id"))
-        .union(
-            pairs.filter(is_new(F.col("id_b")) & ~is_new(F.col("id_a")))
-            .select(F.col("id_b").alias("doc_id"))
+    sh = cached(
+        dedup.spread(dedup._nonempty(docs, "text")).select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.array_distinct(
+                    TX.word_shingles(F.col("text"), 3)
+                )
+            ).alias("shingle"),
         )
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("shingle")
+    )
+    shf = cached(sh.join(rare, "shingle"))
+    sizes = shf.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shf.filter(is_new(F.col("id"))).alias("a")
+    b = shf.filter(~is_new(F.col("id"))).alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.id").alias("id_new"), F.col("b.id").alias("id_old")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_new"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_old"), F.col("n").alias("n_b"))
+    drop = (
+        inter.join(sa, "id_new")
+        .join(sb, "id_old")
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select(F.col("id_new").alias("doc_id"))
         .distinct()
     )
     return (
