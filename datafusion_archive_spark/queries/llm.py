@@ -58,7 +58,9 @@ def _t(spark, sf_dir, name):
 
 
 def q_text_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    # spread (round 15): seven regex/token kernels per row on a
+    # single-task small-file scan; no-op at scale
+    d = spread(_t(spark, sf, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -73,7 +75,8 @@ def q_text_stats(spark, sf):
 
 
 def q_text_lang_id(spark, sf):
-    d = _t(spark, sf, "documents")
+    # spread (round 15): same single-task-scan argument as text_stats
+    d = spread(_t(spark, sf, "documents"))
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -94,7 +97,7 @@ def q_text_clean(spark, sf):
     deterministic HTML wrapper, an email, and a URL built from its own
     id — giving the strip/mask chain real matches that the oracle
     reproduces exactly."""
-    d = _t(spark, sf, "documents")
+    d = spread(_t(spark, sf, "documents"))
     sid = F.col("doc_id").cast("string")
     decorated = F.concat(
         F.lit("<b>u"), sid, F.lit("@example.com</b> "),
