@@ -95,6 +95,13 @@ def ngram_jaccard_pairs(
     :func:`_nonempty`): they have no shingles, and without the guard
     every empty document would pair with every other at jaccard 1.0
     through the single empty shingle.
+
+    Precondition (round 15): ``id_col`` must be unique per row — true
+    for every caller (document ids). Under it the exploded rows are
+    globally unique by construction (array_distinct de-duplicates
+    within a document), so the old corpus-wide ``.distinct()`` — a
+    full Exchange of every (id, shingle) — was doing nothing and is
+    dropped (same argument as minhash_estimate_audit, r15).
     """
     shingles = (
         spread(_nonempty(df, text_col)).select(
@@ -103,7 +110,6 @@ def ngram_jaccard_pairs(
                 F.array_distinct(TX.word_shingles(F.col(text_col), k))
             ).alias("shingle"),
         )
-        .distinct()
     )
     # reused by three plan branches (sizes, join-left, join-right);
     # persisting avoids recomputing the explode+distinct each time
@@ -172,7 +178,8 @@ def containment_pairs(
     behavior are identical to :func:`ngram_jaccard_pairs` — the
     intersection self-join is per-shingle linear under the
     ``max_shingle_df`` stop-shingle cap; only the final ratio differs
-    (per-side size instead of union).
+    (per-side size instead of union). Same unique-id precondition and
+    dropped redundant distinct as :func:`ngram_jaccard_pairs` (r15).
     """
     shingles = (
         spread(_nonempty(df, text_col)).select(
@@ -181,7 +188,6 @@ def containment_pairs(
                 F.array_distinct(TX.word_shingles(F.col(text_col), k))
             ).alias("shingle"),
         )
-        .distinct()
     )
     shingles = cached(shingles)
     if max_shingle_df is not None:

@@ -92,6 +92,12 @@ def _neighbor_pairs(pts, r):
     )
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
+    # no .distinct() (round 15): a given ordered pair meets in EXACTLY
+    # one bucket — the offset must equal cell(a) − cell(b), a fixed
+    # integer vector — so the join output is duplicate-free by
+    # construction and the old distinct was a full Exchange of the
+    # pair list doing nothing. The oracle's pairs CTE has no DISTINCT
+    # either (same construction), so semantics were already pinned.
     return (
         a.join(b, ["cx", "cy"])
         .filter(
@@ -99,7 +105,6 @@ def _neighbor_pairs(pts, r):
             & (dx * dx + dy * dy < F.lit(r * r))
         )
         .select("ida", "idb")
-        .distinct()
     )
 
 
