@@ -303,21 +303,37 @@ _FIRST_50 = [
 # rotation continues (VERDICT r7 #5 ... r14 #1). Priority unchanged:
 # (1) never-certified-exact — EMPTY since r12 (342/342 ever-driver-
 # green), (2) rewritten-since-row, (3) oldest rows by latest green
-# round, ties by registry order. Round 15's machinery changes
-# (loop_session child pooling, salt_count signal cap, the dedup
-# caller-side unpersist) all land on queries INSIDE the round-15
-# window, so they are certified on the new machinery already; the
-# ONE class-(2) entry is text_clean, whose repetition_ratio kernel
-# (sorted run-length max replacing the O(distinct x n) filter form)
-# and fused clean_text regex chain were rewritten this round
-# (PERF.md "Round-15: text_clean") — locally re-proven exact
-# (tools/oracle_sweep_r15*.log, tools/probe_text_clean_r15.log) but
-# its driver row predates the rewrite (r10), so it goes FIRST. The
-# remaining 49 are class (3), draining the round-9 wave then the
-# oldest round-10 rows. Computed from the CORRECTNESS_r{1..14} union
-# with the round-15 window assumed green — recompute against the
-# r{1..15} union before swapping in. The exact 50:
-#   text_clean, null_predicates, cast_semantics, arithmetic_ops,
+# round, ties by registry order. The round-15 OPTIMIZATION sessions
+# rewrote execution machinery under many queries; those inside the
+# round-15 window (graph_pagerank, dbscan_clusters,
+# markov_attribution_removal, winnowing_fingerprints,
+# moss_shared_fingerprints, dedup_clusters, ...) are certified on
+# the new code by CORRECTNESS_r15 already. Class (2) is every
+# OTHER query whose plan/kernel was rewritten in round 15 (r15
+# commits; OPTIMIZATION_r15.md has the change-by-change evidence;
+# all locally re-proven exact in tools/oracle_sweep_r15*.log):
+# text_clean + text_repetition_gopher + text_token_entropy (sorted
+# run-length fold, fused clean_text regexes, spread),
+# minhash_estimate_audit (semi-join below the explode),
+# graph_triangle_count (adjacency-intersection census),
+# dedup_incremental (new×corpus-restricted join),
+# retrieval_metrics_truncation (shared scoring pass, hoisted norms),
+# dedup_editdistance / decontaminate_ngram_overlap /
+# ngram_novelty_rate / text_fingerprint / curation_funnel /
+# text_stats / text_lang_id / bpe_encode_tokens (spread kernels,
+# dropped redundant distincts), dedup_ngram_jaccard /
+# dedup_containment (operator distinct dropped). The remaining 32
+# are class (3), draining the round-9 wave. Computed from the
+# CORRECTNESS_r{1..14} union with the round-15 window assumed green
+# — recompute against the r{1..15} union before swapping in. The
+# exact 50:
+#   text_clean, text_repetition_gopher, text_token_entropy,
+#   minhash_estimate_audit, graph_triangle_count, dedup_incremental,
+#   retrieval_metrics_truncation, dedup_editdistance,
+#   decontaminate_ngram_overlap, ngram_novelty_rate,
+#   text_fingerprint, curation_funnel, text_stats, text_lang_id,
+#   bpe_encode_tokens, dedup_ngram_jaccard, dedup_containment,
+#   null_predicates, cast_semantics, arithmetic_ops,
 #   literals_no_from, sqrt_fn, geo_udt, agg_having,
 #   agg_count_distinct_group, agg_rollup, pivot_linestatus,
 #   sort_limit_topk, distinct_pairs, join_inner_3way,
@@ -326,12 +342,7 @@ _FIRST_50 = [
 #   setop_except, window_running, json_extract, try_cast_nulls,
 #   string_funcs, date_funcs, case_when, try_divide_nulls,
 #   setop_union_all, agg_cube, agg_grouping_sets, in_subquery,
-#   percentiles, window_ntile_dist, quality_quantile_norm,
-#   class_rebalance, weighted_median, ks_test_two_sample,
-#   gini_customer_spend, mann_whitney_u, auc_roc,
-#   weighted_quartiles, sprt_ab_sequential, exponential_fit_gaps,
-#   heaps_law_fit, spearman_rank_corr, jarque_bera_normality,
-#   join_anti, events_time_bucket, events_asof_join
+#   percentiles, window_ntile_dist
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
