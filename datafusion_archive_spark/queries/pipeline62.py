@@ -23,7 +23,6 @@ The reference has no arrays or joins (``/root/reference/ROADMAP.md``).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
@@ -42,68 +41,186 @@ _DIM = 64
 _SRM_SEED = 23  # same split the conformal wave certifies
 
 
-def _cells(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).select(
-        "vec_id", "i", F.col("x").cast("double").alias("x")
-    )
+def _km_vmat(batch, name):
+    """(n, dim) float64 matrix from an Arrow list column."""
+    import numpy as np
+
+    col = batch.column(batch.schema.get_field_index(name))
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, flat.size // n)
+
+
+def _km_assign(V, kid, C):
+    """Vectorized Lloyd assignment: nearest centroid per row of V,
+    ties to the lower cluster id (np.argmin returns the FIRST minimum
+    and centroid rows are ordered by ascending id — the same tie rule
+    as the old row_number over (ss, ck))."""
+    import numpy as np
+
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return kid[d.argmin(axis=1)]
+
+
+def _km_partial_fn(ks, cs):
+    """mapInArrow kernel: assign each vector to its nearest (ks, cs)
+    centroid and emit PER-BATCH partial sums (k, i, psum, pcnt) for
+    the next centroid update — k*dim rows per batch regardless of
+    batch size, so the downstream (k, i) aggregate shuffles bounded
+    bytes (guide §2.3 'aggregate before you shuffle')."""
+    import numpy as np
+
+    kid = np.asarray(ks, dtype=np.int64)
+    C = np.asarray(cs, dtype=np.float64)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            V = _km_vmat(b, "v")
+            a = _km_assign(V, kid, C)
+            dim = V.shape[1]
+            out_k, out_i, out_s, out_c = [], [], [], []
+            for j, k in enumerate(kid):
+                m = a == k
+                cnt = int(m.sum())
+                if not cnt:
+                    continue
+                out_k.append(np.full(dim, k, dtype=np.int64))
+                out_i.append(np.arange(dim, dtype=np.int32))
+                out_s.append(V[m].sum(axis=0))
+                out_c.append(np.full(dim, cnt, dtype=np.int64))
+            if not out_k:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_k)),
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_s)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names=["k", "i", "psum", "pcnt"],
+            )
+
+    return fn
+
+
+def _km_within_fn(ks_a, cs_a, ks_f, cs_f):
+    """mapInArrow kernel for the readout pass: assign via the
+    iteration-final centroids (ks_a, cs_a), then emit each vector's
+    squared distance to its cluster's POST-assignment centroid
+    (ks_f, cs_f) — one (vec_id, k, d2) row per vector."""
+    import numpy as np
+
+    ka = np.asarray(ks_a, dtype=np.int64)
+    Ca = np.asarray(cs_a, dtype=np.float64)
+    kf = np.asarray(ks_f, dtype=np.int64)
+    Cf = np.asarray(cs_f, dtype=np.float64)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            vid = b.column(
+                b.schema.get_field_index("vec_id")
+            ).to_numpy(zero_copy_only=False)
+            V = _km_vmat(b, "v")
+            k = _km_assign(V, ka, Ca)
+            # every assigned id is present in kf by construction (kf
+            # is the id set of this very assignment rule on this data)
+            diff = V - Cf[np.searchsorted(kf, k)]
+            d2 = (diff * diff).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vid), pa.array(k), pa.array(d2)],
+                names=["vec_id", "k", "d2"],
+            )
+
+    return fn
 
 
 def q_kmeans_lloyd(spark, sf):
-    """K-means: 2 exact Lloyd iterations, deterministic init."""
-    cells = cached(_cells(spark, sf))
-    assign = cells.select(
-        "vec_id", (F.col("vec_id") % _KM_K).alias("k")
-    ).distinct()
-    for _ in range(_KM_ITERS):
-        cents = (
-            cells.join(assign, "vec_id")
-            .groupBy("k", "i")
-            .agg(F.avg("x").alias("c"))
+    """K-means: 2 exact Lloyd iterations, deterministic init.
+
+    Round 16 (guide §1.2 step 1, §2.3, §4.2): the k x dim centroid
+    matrix is bounded driver state (8 x 64 doubles), so each iteration
+    collects it and re-injects it into a vectorized assignment kernel
+    instead of threading the previous iteration's assignment lineage
+    through joins. The old unrolled form re-derived the base scan per
+    nesting level (13 scans / 56 Exchange nodes in
+    plans/r16/kmeans_lloyd_before.txt — at 100 TB each level re-reads
+    the corpus and reshuffles corpus-cardinality d2/assignment rows);
+    now every iteration is exactly ONE pass over the vectors emitting
+    k*dim partial-sum rows per batch, and the only shuffle is the
+    bounded (k, i) partial aggregate. The per-row engine is
+    mapInArrow + NumPy (guide §4.2): two JVM alternatives were
+    measured and rejected — literal-unrolled distance expressions
+    (~5.5 s of Catalyst/codegen PER JOB for 512-literal folds) and
+    generic HOF folds over a broadcast centroid row (interpreted,
+    ~100 µs/row, and the optimizer hoists the argmin above the
+    posexplode Generate so it re-evaluates per exploded element).
+    Assignment semantics are unchanged: argmin over per-cluster
+    squared distance, ties to the lower cluster id (np.argmin returns
+    the first minimum over ids sorted ascending); an emptied cluster
+    drops out of the collected centroid rows exactly as it dropped
+    out of the old inner joins. The same bounded-collect pattern as
+    kmeans_train and the BPE argmax; the DuckDB oracle
+    (materialized-CTE unroll) pins the fixed point.
+    """
+    emb = cached(
+        spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        d2 = (
-            cells.join(
-                F.broadcast(
-                    cents.select(
-                        F.col("k").alias("ck"), "i", "c"
-                    )
-                ),
-                "i",
-            )
-            .groupBy("vec_id", "ck")
-            .agg(
-                F.sum(
-                    F.pow(F.col("x") - F.col("c"), F.lit(2.0))
-                ).alias("ss")
-            )
+    )
+
+    def _shape(rows):
+        by_k: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_k.setdefault(r.k, {})[r.i] = r.c
+        ks = sorted(by_k)
+        return ks, [[by_k[k][i] for i in sorted(by_k[k])] for k in ks]
+
+    # c1: the mod-k seed assignment is a pure column expression — no
+    # kernel needed, one exploded two-phase (k, i) average
+    ks, cs = _shape(
+        emb.select(
+            (F.col("vec_id") % _KM_K).cast("long").alias("k"),
+            F.posexplode("v").alias("i", "x"),
         )
-        w = Window.partitionBy("vec_id").orderBy("ss", "ck")
-        assign = (
-            d2.select(
-                "vec_id",
-                "ck",
-                F.row_number().over(w).alias("rn"),
-            )
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("ck").alias("k"))
-        )
-    cents = (
-        cells.join(assign, "vec_id")
         .groupBy("k", "i")
         .agg(F.avg("x").alias("c"))
+        .collect()
     )
-    within = (
-        cells.join(assign, "vec_id")
-        .join(F.broadcast(cents), ["k", "i"])
-        .groupBy("k")
-        .agg(
-            F.count_distinct("vec_id").alias("size"),
-            F.round(
-                F.sum(F.pow(F.col("x") - F.col("c"), F.lit(2.0))), 4
-            ).alias("within_ss"),
+    # c2..c_ITERS, then cf (the centroids of the FINAL assignment):
+    # each pass is one vectorized scan emitting per-batch partials;
+    # avg(x) = sum(psum)/sum(pcnt) combines them exactly as the old
+    # Average aggregate did (double sum / long count)
+    for _ in range(_KM_ITERS):
+        ksf, csf = _shape(
+            emb.select("v")
+            .mapInArrow(
+                _km_partial_fn(ks, cs),
+                "k LONG, i INT, psum DOUBLE, pcnt LONG",
+            )
+            .groupBy("k", "i")
+            .agg((F.sum("psum") / F.sum("pcnt")).alias("c"))
+            .collect()
         )
+        ks, cs, prev_ks, prev_cs = ksf, csf, ks, cs
+    # loop exit state: (prev_ks, prev_cs) = c_ITERS drives the final
+    # assignment, (ks, cs) = cf scores it
+    per_vec = emb.select("vec_id", "v").mapInArrow(
+        _km_within_fn(prev_ks, prev_cs, ks, cs),
+        "vec_id LONG, k LONG, d2 DOUBLE",
+    )
+    within = per_vec.groupBy("k").agg(
+        F.count_distinct("vec_id").alias("size"),
+        F.round(F.sum("d2"), 4).alias("within_ss"),
     )
     return within.orderBy("k")
 
