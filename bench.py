@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datafusion_archive_spark.queries import QUERIES
 from datafusion_archive_spark.session import get_spark
 
-HEADLINE = [
+# The original 22-query suite, unchanged since r01 — its subtotal is
+# emitted separately (subtotal_headline22) so round-over-round
+# comparisons against the r01-r15 bench history stay apples-to-apples.
+HEADLINE22 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -51,6 +54,22 @@ HEADLINE = [
     "ann_lsh",
     "multimodal_decode",
 ]
+
+# Round 16 (VERDICT r15 #2): the heavy query paths the r15/r16
+# optimization rounds rewrote, added so the driver's own bench
+# measures them (additions-only — the 22 rows above are untouched and
+# keep their history).
+HEADLINE_EXT = [
+    "graph_triangle_count",
+    "graph_pagerank",
+    "markov_attribution_removal",
+    "dbscan_clusters",
+    "dedup_incremental",
+    "winnowing_fingerprints",
+    "kmeans_lloyd",
+]
+
+HEADLINE = HEADLINE22 + HEADLINE_EXT
 
 
 def main() -> None:
@@ -163,6 +182,7 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    subtotal_22 = round(sum(timings[n] for n in HEADLINE22), 3)
     spread_pct = round(
         100.0 * (max(run_totals) - min(run_totals)) / min(run_totals), 1
     )
@@ -174,6 +194,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the pre-r16 22-query subtotal, comparable with the
+                # r01-r15 "value" field (which covered only those 22)
+                "subtotal_headline22": subtotal_22,
+                # registered cores of this run's master — makes the
+                # $SPARK_GRAFT_CPUS contract visible in the artifact
+                # (VERDICT r15: the driver's suspect_cpus_ignored
+                # heuristic could not see that the env var is honored)
+                "cpus": spark.sparkContext.defaultParallelism,
                 "runs": n_runs,
                 "spread_pct": spread_pct,
                 "calibration_sec": calibration_sec,

@@ -225,6 +225,19 @@ def test_bench_json_contract():
     assert d["calibration_pre_sec"] > 0
     assert d["calibration_drift_pct"] >= 0
     assert len(d["queries"]) >= 20
+    # round 16 (VERDICT r15 #2): the artifact carries the registered
+    # core count (so the $SPARK_GRAFT_CPUS contract is visible) and
+    # the pre-r16 22-query subtotal (so history comparisons against
+    # r01-r15 "value" stay apples-to-apples after the additions-only
+    # HEADLINE extension)
+    assert d["cpus"] == 8
+    assert 0 < d["subtotal_headline22"] <= d["value"]
+    from bench import HEADLINE22, HEADLINE_EXT
+
+    assert set(d["queries"]) == set(HEADLINE22) | set(HEADLINE_EXT)
+    assert d["subtotal_headline22"] == round(
+        sum(d["queries"][n] for n in HEADLINE22), 3
+    )
 
 
 def test_approx_aggs_plan_has_no_expand(spark, sf_dir):
