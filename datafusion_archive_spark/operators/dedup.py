@@ -27,7 +27,7 @@ The reference engine has no dedup surface; this is north-star work
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.functions import text as TX
@@ -725,7 +725,20 @@ def connected_components(
             # cost (and plan-string size) grows without bound on
             # high-diameter graphs. Checkpointing truncates lineage so
             # every iteration plans against a materialized leaf.
-            ck = compressed.localCheckpoint(eager=True)
+            #
+            # The convergence count rides the checkpoint's OWN job
+            # (round 16, VERDICT r15 #3): a CollectMetrics node on the
+            # frame being checkpointed is populated during the eager
+            # materialization, so the separate per-round
+            # filter(component != _old) count job disappears — one
+            # fewer fixed-cost job per propagation round.
+            obs = Observation()
+            ck = compressed.observe(
+                obs,
+                F.count(
+                    F.when(F.col("component") != F.col("_old"), 1)
+                ).alias("n_changed"),
+            ).localCheckpoint(eager=True)
             # ...but the checkpoint relation CARRIES the pre-checkpoint
             # plan's statistics, and Catalyst's size-only stats visitor
             # MULTIPLIES children's sizeInBytes across joins — with the
@@ -739,14 +752,21 @@ def connected_components(
             # no Python data movement; the public createDataFrame(rdd)
             # fallback covers connect-style sessions without _jdf.
             rewrapped = _rewrap_checkpoint(ck)
-            # convergence check straight off the materialized
-            # checkpoint (the _old column carried through the round) —
-            # no join against the previous frame needed (round 15)
-            changed = (
-                rewrapped.filter(F.col("component") != F.col("_old"))
-                .limit(1)
-                .count()
-            )
+            # convergence straight off the checkpoint job's metrics
+            # (the _old column carried through the round). The
+            # fallback recomputes from the materialized checkpoint on
+            # sessions where CollectMetrics on a checkpoint action is
+            # unavailable (connect-style sessions).
+            try:
+                changed = obs.get["n_changed"]
+            except Exception:  # pragma: no cover - connect-only path
+                changed = (
+                    rewrapped.filter(
+                        F.col("component") != F.col("_old")
+                    )
+                    .limit(1)
+                    .count()
+                )
             new_labels = rewrapped.select("node", "component")
             if labels_l is not labels_first:
                 labels_l.unpersist()
