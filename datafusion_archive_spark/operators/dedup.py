@@ -79,10 +79,24 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    side_pred=None,
 ) -> DataFrame:
     """Exact pairwise Jaccard similarity over k-word shingle sets,
     returning pairs ``(id_a < id_b, jaccard)`` with
     ``jaccard >= threshold``.
+
+    ``side_pred`` (round 16, ADVICE r15): an optional id-column
+    predicate restricting WHICH pairs are enumerated — side a holds
+    rows where ``side_pred(id)`` is true, side b its complement, and
+    the self-join pairs a×b only (no ``id_a < id_b`` constraint; the
+    sides are disjoint so orientation is fixed by the predicate).
+    This is the incremental-dedup restriction (guide §3.2 — restrict
+    BEFORE the quadratic step): a NEW×CORPUS join never materializes
+    the corpus² candidate term. Shingle building, the stop-shingle
+    cap (still computed over the WHOLE corpus before the split), the
+    per-doc sizes (side-independent), and the Jaccard formula are
+    the one shared kernel; q_dedup_incremental previously inlined
+    all of it.
 
     Plan shape: explode distinct shingles → self-join on shingle →
     count co-occurrences → join per-doc set sizes → Jaccard. The only
@@ -121,18 +135,27 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("shingle")
         )
-        shingles = shingles.join(rare, "shingle")
+        # cached (round 16): the capped frame also feeds all three
+        # branches; uncached, the cap join re-ran for each
+        shingles = cached(shingles.join(rare, "shingle"))
 
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+    if side_pred is None:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col("a.id") < F.col("b.id")
         )
+    else:
+        # disjoint sides: orientation is fixed by the predicate, so
+        # the id ordering constraint is unnecessary (and wrong — a
+        # corpus id below a new id must still pair)
+        a = shingles.filter(side_pred(F.col("id"))).alias("a")
+        b = shingles.filter(~side_pred(F.col("id"))).alias("b")
+        cond = F.col("a.shingle") == F.col("b.shingle")
+    inter = (
+        a.join(b, cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )

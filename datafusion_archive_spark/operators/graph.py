@@ -23,16 +23,20 @@ from pyspark.sql import functions as F
 from datafusion_archive_spark.operators.util import (
     BROADCAST_NODE_CAP,
     cached,
-    loop_conf,
+    loop_parts,
     loop_session,
 )
 
-#: broadcast the oriented edge list into the triangle-closure join
-#: when it is provably at most this many rows (one real count): 2M
-#: rows x 16 B ≈ 32 MB framed — inside the executor broadcast budget,
-#: and far cheaper than shuffling the wedge fan-out (sum out-deg²
-#: rows) by (v, w). A web-scale graph exceeds the cap and keeps the
-#: shuffled closure join.
+#: broadcast the ADJACENCY table (node-keyed, edge-sized payload: one
+#: long per oriented edge inside sort_array'd lists) into the two
+#: attach joins when the edge count is provably at most this many
+#: rows. Honest sizing (ADVICE r15): 2M edges ≈ 16 MB of raw longs,
+#: but the broadcast HashedRelation also pays per-row array/struct
+#: headers and the node keys (~3-4x raw ⇒ ~50-70 MB built), and the
+#: relation is broadcast TWICE (once per attach side) — still inside
+#: the executor broadcast budget with the 8g session, which is what
+#: the cap is calibrated against. A web-scale graph exceeds the cap
+#: and both attach joins shuffle on the node id instead.
 _BROADCAST_EDGE_CAP = 2_000_000
 
 def _materialize(fn):
@@ -113,17 +117,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     for every branch (measured 36 re-scans of the fact table).
 
     Round 15 (guide §3.1, measured on the sf0.1 co-purchase graph):
-    the two rank-attach joins and the closure join all planned as
-    SortMergeJoin, shuffling the full edge list three times to attach
-    node-sized (degree rank) or edge-sized (closure) information. Both
-    sides now broadcast under honest-count caps — deg is node-sized
-    (same BROADCAST_NODE_CAP discipline as pagerank), the closure side
-    is the oriented edge list itself (2 longs/row, capped separately);
-    a web-scale graph exceeds the caps and falls back to the shuffled
-    plan unchanged. The wedge self-join keeps its one shuffle on the
-    low endpoint but skips the SMJ sorts via the SHUFFLE_HASH hint
-    (the build side is the per-partition oriented slice, not the
-    wedge fan-out, so the hash table is edge-partition-sized)."""
+    the two rank-attach joins planned as SortMergeJoin, shuffling the
+    full edge list to attach node-sized degree ranks; they broadcast
+    under the honest BROADCAST_NODE_CAP count (same discipline as
+    pagerank), falling back to the shuffled plan past the cap.
+    Triangles are counted by ADJACENCY INTERSECTION, not wedge
+    enumeration: per oriented edge (u, v),
+    ``size(array_intersect(N⁺(u), N⁺(v)))`` summed — no wedge row
+    ever exists (see the inline comment at the adjacency build). The
+    two adjacency-attach joins broadcast under the separate
+    edge-count cap (_BROADCAST_EDGE_CAP — the adjacency table is
+    node-keyed but edge-sized) and shuffle on the node id past it."""
     edges = cached(edges)
     deg = cached(degrees(edges))
     n_nodes = _materialize(deg.count)
@@ -282,7 +286,7 @@ def pagerank(
     # laid out (below), so count the directed list — cheap, it is
     # already cache-materialized by deg.count() above
     n_directed = _materialize(directed.count)
-    parts = loop_conf(edges.sparkSession, n_directed + n)._parts
+    parts = loop_parts(edges.sparkSession, n_directed + n)
     # pre-partition the contribution table BY dst AT THE LOOP WIDTH
     # (round 15, guide §2.4 — operations keyed the same way share one
     # exchange): every iteration's rank aggregate groups by dst, and

@@ -167,6 +167,27 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
 LOOP_ROWS_PER_PARTITION = 1_000_000
 LOOP_MIN_ROWS_PER_TASK = 50_000
 
+
+def loop_parts(spark, n_rows: int) -> int:
+    """The shuffle width an iterative loop scope uses for ``n_rows``
+    per-iteration rows — THE public coupling point (ADVICE r15):
+    ``graph.pagerank`` pre-partitions its cached contribution table by
+    dst at exactly this width so the per-iteration aggregate's
+    required distribution is already satisfied and its Exchange is
+    elided; ``loop_conf`` / ``loop_session`` derive their
+    ``spark.sql.shuffle.partitions`` from the same function. If the
+    two ever computed different counts, the layout would silently stop
+    matching and the per-iteration shuffle would return — deriving
+    both from one helper makes the agreement structural
+    (tests/test_round16.py pins it)."""
+    lo = max(1, -(-n_rows // LOOP_ROWS_PER_PARTITION))
+    hi = max(1, -(-n_rows // LOOP_MIN_ROWS_PER_TASK))
+    try:
+        dp = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - connect-style session
+        dp = lo
+    return min(max(dp, lo), hi)
+
 #: broadcast a label/rank-sized frame into per-iteration joins when
 #: the node set is provably at most this many rows (one real count,
 #: not Catalyst's carried checkpoint estimates). 2M rows x ~32 B
@@ -359,13 +380,7 @@ class loop_conf:
 
     def __init__(self, spark, n_rows: int):
         self._spark = spark
-        lo = max(1, -(-n_rows // LOOP_ROWS_PER_PARTITION))
-        hi = max(1, -(-n_rows // LOOP_MIN_ROWS_PER_TASK))
-        try:
-            dp = spark.sparkContext.defaultParallelism
-        except Exception:  # pragma: no cover - connect-style session
-            dp = lo
-        self._parts = min(max(dp, lo), hi)
+        self._parts = loop_parts(spark, n_rows)
 
     @staticmethod
     def _get(conf, key):
@@ -635,11 +650,11 @@ class loop_session:
                             RuntimeWarning,
                             stacklevel=2,
                         )
-            # derive the loop width exactly as loop_conf does (one
-            # real count of the round-invariant per-iteration rows,
-            # clamped to the per-task row band) — AFTER the sync, so
-            # the narrowing wins over any cloned width
-            parts = loop_conf(self._spark, self._n_rows)._parts
+            # derive the loop width from the shared public helper
+            # (one real count of the round-invariant per-iteration
+            # rows, clamped to the per-task row band) — AFTER the
+            # sync, so the narrowing wins over any cloned width
+            parts = loop_parts(self._spark, self._n_rows)
             child.conf.set("spark.sql.adaptive.enabled", "false")
             child.conf.set("spark.sql.shuffle.partitions", str(parts))
             try:

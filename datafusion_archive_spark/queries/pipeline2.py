@@ -259,53 +259,20 @@ def q_dedup_incremental(spark, sf):
     array_distinct already de-duplicates within a document and
     doc_ids are unique, so the rows were globally unique by
     construction (same argument as minhash_estimate_audit, r15).
+
+    Round 16 (ADVICE r15): the restricted self-join is the operator's
+    kernel, not an inline copy — ``dedup.ngram_jaccard_pairs`` grew a
+    ``side_pred`` parameter (side a = rows matching the predicate,
+    side b = the complement, no id-order constraint), so shingle
+    normalization, the df cap, and the rounding semantics propagate
+    from the one shared implementation.
     """
     docs = _t(spark, sf, "documents")
     is_new = lambda c: c % 5 == 0  # noqa: E731
-    sh = cached(
-        dedup.spread(dedup._nonempty(docs, "text")).select(
-            F.col("doc_id").alias("id"),
-            F.explode(
-                F.array_distinct(
-                    TX.word_shingles(F.col("text"), 3)
-                )
-            ).alias("shingle"),
-        )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.2, max_shingle_df=50, side_pred=is_new
     )
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 50)
-        .select("shingle")
-    )
-    shf = cached(sh.join(rare, "shingle"))
-    sizes = shf.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = shf.filter(is_new(F.col("id"))).alias("a")
-    b = shf.filter(~is_new(F.col("id"))).alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .groupBy(
-            F.col("a.id").alias("id_new"), F.col("b.id").alias("id_old")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_new"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_old"), F.col("n").alias("n_b"))
-    drop = (
-        inter.join(sa, "id_new")
-        .join(sb, "id_old")
-        .withColumn(
-            "jaccard",
-            round_half_up(
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.2)
-        .select(F.col("id_new").alias("doc_id"))
-        .distinct()
-    )
+    drop = pairs.select(F.col("id_a").alias("doc_id")).distinct()
     return (
         docs.filter(is_new(F.col("doc_id")))
         .select("doc_id")

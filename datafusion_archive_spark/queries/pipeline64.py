@@ -90,6 +90,19 @@ def _selected_sets(d):
     slice/array_min lost to the codegen'd window by ~1.5×;
     OPTIMIZATION_r15.md has the numbers.)
 
+    Memory bound of the set form (ADVICE r15): ``collect_set``
+    materializes one document's whole key set in a single aggregation
+    buffer — per-row state is O(document length): each selected key
+    is a 26-char string (19-digit hash + 7-digit position), ≤ n_pos
+    keys per document, so a 10 MB document bounds at ~10^7 positions
+    × ~26 B ≈ 260 MB worst case, though winnowing selects ≪ 1 key
+    per position (~2/(_WIN+1) of positions in expectation, ~50 MB
+    for that document). The row-form ``_selected_from`` (used by the
+    pairwise/probe paths) has no per-doc single-row state and remains
+    the at-scale shape for corpora with unbounded document sizes; the
+    set form serves the per-source STATS queries, whose inputs are
+    length-capped upstream by the normalization filter.
+
     ``spread`` before the explode (round 15): the documents scan is
     one task on a small file, which serialized every position's md5
     on one core — the hashing stage, not the window, was the measured
