@@ -692,19 +692,59 @@ def q_percentiles(spark, sf):
     aggregate buffers a third of the fact column in one task). The
     search is bit-identical to Spark ``percentile`` == DuckDB
     ``quantile_cont`` (both linear interpolation); approx_percentile
-    remains the documented sketch path."""
+    remains the documented sketch path.
+
+    Round 16 (VERDICT r15 #6, guide §1.2 step 1 — don't scan what
+    you can share): the three per-column searches each ran their own
+    stats + histogram + selection passes over lineitem (9 fact
+    passes). The three columns now STACK into one frame keyed by the
+    composite (column-tag | return-flag) group, so the one certified
+    grouped search runs all of them in 3 shared passes. Per composite
+    group the value multiset is identical to the old per-column call,
+    and each probability's order statistics are resolved
+    independently of the others in the prob list, so every reported
+    value is bit-identical; the operator kernel itself is untouched.
+    """
     from datafusion_archive_spark.operators.quantiles import (
         exact_grouped_quantiles,
     )
 
     li = _t(spark, sf, "lineitem")
-    qty = exact_grouped_quantiles(li, "l_returnflag", "l_quantity", [0.5])
-    price = exact_grouped_quantiles(
-        li, "l_returnflag", "l_extendedprice", [0.95]
+    cols = [
+        ("qty", "l_quantity", 0.5),
+        ("price", "l_extendedprice", 0.95),
+        ("disc", "l_discount", 0.25),
+    ]
+    probs = sorted({p for _, _, p in cols})
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("t"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for tag, c, _ in cols
+                ]
+            )
+        ).alias("s"),
+        "l_returnflag",
+    ).select(
+        F.concat_ws("|", F.col("s.t"), F.col("l_returnflag")).alias("ck"),
+        F.col("s.v").alias("v"),
     )
-    disc = exact_grouped_quantiles(li, "l_returnflag", "l_discount", [0.25])
+    qs = exact_grouped_quantiles(stacked, "ck", "v", probs)
+    flags = sorted({k.split("|", 1)[1] for k in qs})
+    by = {
+        (tag, flag): qs[f"{tag}|{flag}"][probs.index(p)]
+        for tag, _, p in cols
+        for flag in flags
+    }
     cuts = spark.createDataFrame(
-        [(k, qty[k][0], price[k][0], disc[k][0]) for k in sorted(qty)],
+        [
+            (k, by[("qty", k)], by[("price", k)], by[("disc", k)])
+            for k in flags
+        ],
         "l_returnflag string, q50_qty double, q95_price double, "
         "q25_disc double",
     )
