@@ -43,45 +43,114 @@ def _exploded(spark, sf):
              F.col("x").cast("double").alias("x"))
 
 
+def _pca_matvec_fn(m, v):
+    """mapInArrow kernel for one power iteration: per batch, emit the
+    64 partial sums of c_i * ((x-m)·v) — the covariance action on v
+    without ever shuffling per-vector rows (round 16; the old shape
+    ran a corpus-cardinality groupBy(vec_id) AND a vec_id join per
+    iteration)."""
+    import numpy as np
+
+    M = np.asarray(m, dtype=np.float64)
+    V0 = np.asarray(v, dtype=np.float64)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from datafusion_archive_spark.queries.pipeline62 import _km_vmat
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            C = _km_vmat(b, "v") - M
+            s = C.T @ (C @ V0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(1, s.size + 1, dtype=np.int32)),
+                    pa.array(s),
+                ],
+                names=["i", "psum"],
+            )
+
+    return fn
+
+
+def _pca_final_fn(m, v):
+    """mapInArrow kernel for the readout: per batch, partial Σ((x-m)·v)²
+    (the Rayleigh numerator) and partial Σ(x-m)² (total variance) —
+    one fused pass instead of two corpus branches."""
+    import numpy as np
+
+    M = np.asarray(m, dtype=np.float64)
+    V0 = np.asarray(v, dtype=np.float64)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from datafusion_archive_spark.queries.pipeline62 import _km_vmat
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            C = _km_vmat(b, "v") - M
+            dot = C @ V0
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([float(dot @ dot)]), pa.array([float((C * C).sum())])],
+                names=["pdot2", "pc2"],
+            )
+
+    return fn
+
+
 def q_pca_power_iteration(spark, sf):
-    """Top PC by 8 distributed power iterations; exact oracle."""
-    cells = _exploded(spark, sf)
-    means = cells.groupBy("i").agg(F.avg("x").alias("m"))
-    centered = (
-        cells.join(F.broadcast(means), "i")
-        .select("vec_id", "i", (F.col("x") - F.col("m")).alias("c"))
+    """Top PC by 8 distributed power iterations; exact oracle.
+
+    Round 16 (guide §1.2 step 1, §2.3, §4.2): the iteration vector v
+    is bounded driver state and was already re-injected as literals,
+    but each iteration still shuffled corpus-cardinality rows TWICE —
+    a groupBy(vec_id) for the dot products plus a vec_id join to
+    re-attach them. The covariance action Cv = (1/n)Σ(x−m)((x−m)·v)
+    needs neither: per vector it is two dot products against driver
+    constants, so each iteration is now ONE vectorized Arrow pass
+    (NumPy matvec per batch, the same engine as kmeans_lloyd) emitting
+    64 partial sums per batch into one bounded (i) aggregate — no
+    per-vector key ever shuffles. The readout fuses the Rayleigh
+    numerator and total variance into one pass (they were two corpus
+    branches). Same arithmetic, same start vector, same
+    normalization; the unrolled-CTE DuckDB oracle pins the result."""
+    emb = cached(
+        spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
-    centered = cached(centered)
-    n = centered.select("vec_id").distinct().count()
+    means = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    m = [r.m for r in sorted(means, key=lambda r: r.i)]
+    n = emb.select("vec_id").distinct().count()
     v = [1.0 / math.sqrt(_DIM)] * _DIM
     for _ in range(_PCA_ITERS):
-        vlit = F.array(*[F.lit(x) for x in v])
-        dots = (
-            centered.withColumn(
-                "vd", F.element_at(vlit, F.col("i"))
-            )
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("c") * F.col("vd")).alias("dot"))
-        )
         raw = (
-            centered.join(dots, "vec_id")
+            emb.select("v")
+            .mapInArrow(_pca_matvec_fn(m, v), "i INT, psum DOUBLE")
             .groupBy("i")
-            .agg((F.sum(F.col("c") * F.col("dot")) / n).alias("val"))
-            .orderBy("i")
+            .agg(F.sum("psum").alias("s"))
             .collect()
         )
-        vals = [r.val for r in raw]
+        vals = [r.s / n for r in sorted(raw, key=lambda r: r.i)]
         nrm = math.sqrt(sum(x * x for x in vals))
         v = [x / nrm for x in vals]
-    vlit = F.array(*[F.lit(x) for x in v])
     final = (
-        centered.withColumn("vd", F.element_at(vlit, F.col("i")))
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("c") * F.col("vd")).alias("dot"))
-        .agg((F.sum(F.col("dot") * F.col("dot")) / n).alias("eig"))
-    )
-    total_var = centered.agg(
-        (F.sum(F.col("c") * F.col("c")) / n).alias("tv")
+        emb.select("v")
+        .mapInArrow(_pca_final_fn(m, v), "pdot2 DOUBLE, pc2 DOUBLE")
+        .agg(
+            (F.sum("pdot2") / n).alias("eig"),
+            (F.sum("pc2") / n).alias("tv"),
+        )
     )
     loadings = sorted(
         ((abs(x), i + 1, x) for i, x in enumerate(v)), reverse=True
@@ -95,8 +164,7 @@ def q_pca_power_iteration(spark, sf):
         ]
     )
     return (
-        final.crossJoin(total_var)
-        .select(
+        final.select(
             F.explode(load_df).alias("l"),
             F.round("eig", 4).alias("eigenvalue"),
             F.round(F.col("eig") / F.col("tv"), 6).alias(
