@@ -62,8 +62,19 @@ def q_spearman_rank_corr(spark, sf):
     round 8) — the previous unpartitioned rank windows sorted the
     whole per-customer frame, which grows with the corpus, in one
     task each. Tie counts come from a groupBy joined back on the
-    value (see _avg_ranked)."""
-    per_cust = (
+    value (see _avg_ranked).
+
+    Round 16: the two ranks run as INDEPENDENT branches off the
+    cached rollup, rejoined on the customer key, instead of nesting
+    the second rank over the first rank's full output lineage — the
+    nested form stacked rank machinery 2 deep in one plan (263 KB
+    formatted, the registry's largest) and re-ran the first rank's
+    join/window tree inside every pass of the second. Measured
+    same-session A/B at sf0.1: 3.91 -> 2.93 s median, identical
+    output rows."""
+    from datafusion_archive_spark.operators.util import cached
+
+    per_cust = cached(
         spark.read.parquet(f"{sf}/orders.parquet")
         .groupBy("o_custkey")
         .agg(
@@ -73,9 +84,9 @@ def q_spearman_rank_corr(spark, sf):
             .alias("spend"),
         )
     )
-    ranked = _avg_ranked(
-        _avg_ranked(per_cust, "n_orders", "rx"), "spend", "ry"
-    ).select("rx", "ry")
+    r1 = _avg_ranked(per_cust, "n_orders", "rx").select("o_custkey", "rx")
+    r2 = _avg_ranked(per_cust, "spend", "ry").select("o_custkey", "ry")
+    ranked = r1.join(r2, "o_custkey").select("rx", "ry")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
