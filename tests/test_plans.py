@@ -2,6 +2,7 @@
 mechanically via plans.inspect — pushdown reaches the scan, dims
 broadcast, narrow operators don't shuffle."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from datafusion_archive_spark.plans import summarize
@@ -372,6 +373,7 @@ _SCAN_CEILINGS = {
 }
 
 
+@pytest.mark.slow
 def test_recompute_sweep_scan_ceilings(spark, sf_dir):
     import pytest as _pytest
 

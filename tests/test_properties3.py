@@ -90,6 +90,7 @@ def test_asof_forward_matches_bruteforce(spark, left, right):
         assert got[i] == want, (i, k, t, got[i], want)
 
 
+@pytest.mark.slow
 @given(rows=_ROWS)
 @_SLOW
 def test_merge_upsert_idempotent_and_total(spark, rows):
@@ -230,6 +231,7 @@ def _wq_reference(rows, pool):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_weighted_grouped_quantiles_key_dtype_matrix(spark, dtype, rows):
     from datafusion_archive_spark.operators import quantiles as Q
 
@@ -244,6 +246,7 @@ def test_weighted_grouped_quantiles_key_dtype_matrix(spark, dtype, rows):
     assert got == _wq_reference(rows, pool)
 
 
+@pytest.mark.slow
 @given(rows=_ROWS)
 @_SLOW
 def test_bucketed_group_lag_matches_bruteforce(spark, rows):
@@ -274,6 +277,7 @@ def test_bucketed_group_lag_matches_bruteforce(spark, rows):
         assert got[i] == want, (i, k, v, got[i], want)
 
 
+@pytest.mark.slow
 @given(rows=_ROWS)
 @_SLOW
 def test_bucketed_group_rank_matches_bruteforce(spark, rows):

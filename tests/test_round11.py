@@ -332,6 +332,7 @@ def test_diagnose_heap_oom_classifies():
     assert diagnose_heap_oom(Exception("ANALYSIS_ERROR: nope")) is None
 
 
+@pytest.mark.slow
 def test_sf01_graph_on_1g_heap_passes_or_diagnoses():
     """VERDICT r10 #6: the vanilla-session heap boundary, pinned. A
     fresh 1g-heap JVM (the bare-session default the driver uses) runs

@@ -516,6 +516,7 @@ class TestProductQuantization:
             assert len(r.codes) == self.M
             assert all(0 <= c < self.KSUB for c in r.codes)
 
+    @pytest.mark.slow
     def test_adc_recall_vs_exact_euclidean(self, spark, planted_pq):
         # ground truth: exact squared-euclidean top-k (PQ's metric).
         # finer codebooks (m=8 x ksub=32 over dim 16) resolve

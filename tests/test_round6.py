@@ -350,6 +350,7 @@ def test_compact_rolls_back_when_second_rename_dies(
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_exact_order_statistics_differential(spark):
     """Histogram-pruned selection == sorted-list indexing on random
     data with duplicates, constants, and mixed magnitudes."""
@@ -418,6 +419,7 @@ def test_exact_quantiles_cont_bit_parity_with_percentile(spark):
         assert got == want
 
 
+@pytest.mark.slow
 def test_quantile_search_multi_round_and_big_bucket_paths(
     spark, monkeypatch
 ):

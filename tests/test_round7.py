@@ -254,6 +254,7 @@ def _same(a: float, b: float) -> bool:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_exact_quantiles_match_percentile_aggregate(spark, xs, probs):
     """exact_quantiles_cont must be BIT-IDENTICAL to Spark's
     percentile aggregate on arbitrary doubles, including NaN/±inf/

@@ -251,6 +251,7 @@ _W_VALS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_weighted_quantiles_fuzz_vs_sweep(spark, pairs):
     """Hypothesis differential (the round-7 fuzz pattern that caught
     the subnormal/huge-double bugs in the unweighted search): the
