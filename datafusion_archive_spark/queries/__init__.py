@@ -233,116 +233,109 @@ ROWS_ONLY: set[str] = set()
 #: driver hash semantics, so out-of-window names are additionally
 #: re-proven locally every round (sweep log committed per-round).
 _FIRST_50 = [
-    # ROUND-15 WINDOW — registry still frozen (VERDICT r5 #1).
-    # Recomputed this round against the full r1..r14 union
-    # (CORRECTNESS_r14 is 50/50 green; 342/342 ever-driver-green
-    # holds), and the result is byte-identical to the pre-written
-    # ROUND-15 NOTE: class (1) never-certified-exact is EMPTY,
-    # class (2) rewritten-since-row is the EIGHT queries whose
-    # execution machinery round 14 changed (loop_session child for
-    # the six iterative-loop queries, salt_count fan-out for the two
-    # salted windows) — locally value-identical
-    # (tools/scale_probe_r14.log) but with driver rows predating the
-    # rewrite, so they go first in registry order; the remaining 42
-    # are class (3) — oldest rows by latest green round (the
-    # round-8/9 waves), ties by registry order.
-    "window_topk_per_group",
+    # ROUND-16 WINDOW — registry still frozen (VERDICT r5 #1).
+    # Recomputed against the full r1..r15 union (CORRECTNESS_r15 is
+    # 50/50 green; 342/342 ever-driver-green holds). Class (1)
+    # never-certified-exact is EMPTY. Class (2) rewritten-since-row
+    # is TWENTY-SEVEN names — the union of (a) the seventeen queries
+    # round 15 rewrote that the pre-written ROUND-16 NOTE listed
+    # (text kernels, triangle census, dedup_incremental join
+    # restriction, minhash semi-join, retrieval shared pass, spread
+    # kernels, operator distinct drops) and (b) the fourteen whose
+    # machinery THIS round's optimization commits changed after
+    # their latest driver row: kmeans_lloyd (mapInArrow rewrite),
+    # pca_power_iteration, spearman_rank_corr, percentiles +
+    # rfm_segments (stacked quantile searches), bpe_merges +
+    # bpe_encode_tokens (trainer job fusion), dedup_incremental +
+    # dedup_ngram_jaccard + dedup_containment (side_pred operator
+    # kernel + cached shingle frame), dedup_clusters +
+    # semantic_dedup_clusters + dbscan_clusters (connected-components
+    # observe-fused convergence), graph_pagerank (loop_parts width
+    # authority) — in registry order, overlap deduplicated. The
+    # remaining 23 are class (3) — oldest rows by latest green round
+    # (the round-9 wave), ties by registry order, exactly the
+    # pre-written ROUND-16 NOTE's class-(3) prefix.
+    "percentiles",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_clean",
+    "dedup_ngram_jaccard",
     "dedup_clusters",
-    "weighted_sample_per_lang_salted",
+    "decontaminate_ngram_overlap",
+    "dedup_editdistance",
+    "text_repetition_gopher",
+    "dedup_incremental",
+    "text_token_entropy",
+    "dedup_containment",
+    "bpe_merges",
+    "bpe_encode_tokens",
+    "curation_funnel",
     "semantic_dedup_clusters",
+    "graph_triangle_count",
     "graph_pagerank",
-    "dbscan_clusters",
-    "markov_transition_matrix",
-    "markov_attribution_removal",
-    "cuped_adjustment",
-    "quantile_treatment_effects",
-    "grouped_ols_elasticity",
-    "fixed_effects_within",
-    "shuffle_skew_audit",
+    "rfm_segments",
+    "minhash_estimate_audit",
+    "ngram_novelty_rate",
+    "spearman_rank_corr",
+    "pca_power_iteration",
     "retrieval_metrics_truncation",
-    "conformal_interval_coverage",
-    "wasserstein_drift",
-    "newsvendor_stocking",
-    "logistic_newton",
-    "covariate_balance_smd",
-    "cem_stratified_ate",
-    "raking_ipf",
-    "ips_policy_eval",
-    "gpd_pot_fit",
-    "k_anonymity_audit",
-    "point_in_polygon_tag",
-    "ar1_durbin_watson",
-    "ccf_leadlag",
-    "classical_decomposition",
-    "atkinson_index",
-    "silhouette_simplified",
-    "huber_irls_regression",
-    "langid_confusion_audit",
+    "dbscan_clusters",
     "kmeans_lloyd",
-    "ab_srm_check",
-    "matrix_profile_motifs",
-    "matrix_profile_discords",
-    "winnowing_fingerprints",
-    "moss_shared_fingerprints",
-    "kde_gaussian_grid",
-    "anderson_darling_2sample",
-    "cox_ph_newton",
-    "logrank_test",
-    "spatial_clark_evans",
-    "em_exponential_mixture",
-    "var_expected_shortfall",
-    "sortino_downside_risk",
-    "decision_stump_gini",
-    "page_hinkley_drift",
-    "predicate_between_in",
-    "filter_like",
+    "null_predicates",
+    "cast_semantics",
+    "arithmetic_ops",
+    "literals_no_from",
+    "sqrt_fn",
+    "geo_udt",
+    "agg_having",
+    "agg_count_distinct_group",
+    "agg_rollup",
+    "pivot_linestatus",
+    "sort_limit_topk",
+    "distinct_pairs",
+    "join_inner_3way",
+    "join_left_outer",
+    "join_semi",
+    "join_full_outer",
+    "cte_scalar_subquery",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "window_running",
+    "json_extract",
+    "try_cast_nulls",
 ]
 
 
-# ROUND-16 NOTE (next certification window): the steady-state
-# rotation continues (VERDICT r7 #5 ... r14 #1). Priority unchanged:
-# (1) never-certified-exact — EMPTY since r12 (342/342 ever-driver-
-# green), (2) rewritten-since-row, (3) oldest rows by latest green
-# round, ties by registry order. The round-15 OPTIMIZATION sessions
-# rewrote execution machinery under many queries; those inside the
-# round-15 window (graph_pagerank, dbscan_clusters,
-# markov_attribution_removal, winnowing_fingerprints,
-# moss_shared_fingerprints, dedup_clusters, ...) are certified on
-# the new code by CORRECTNESS_r15 already. Class (2) is every
-# OTHER query whose plan/kernel was rewritten in round 15 (r15
-# commits; OPTIMIZATION_r15.md has the change-by-change evidence;
-# all locally re-proven exact in tools/oracle_sweep_r15*.log):
-# text_clean + text_repetition_gopher + text_token_entropy (sorted
-# run-length fold, fused clean_text regexes, spread),
-# minhash_estimate_audit (semi-join below the explode),
-# graph_triangle_count (adjacency-intersection census),
-# dedup_incremental (new×corpus-restricted join),
-# retrieval_metrics_truncation (shared scoring pass, hoisted norms),
-# dedup_editdistance / decontaminate_ngram_overlap /
-# ngram_novelty_rate / text_fingerprint / curation_funnel /
-# text_stats / text_lang_id / bpe_encode_tokens (spread kernels,
-# dropped redundant distincts), dedup_ngram_jaccard /
-# dedup_containment (operator distinct dropped). The remaining 32
-# are class (3), draining the round-9 wave. Computed from the
-# CORRECTNESS_r{1..14} union with the round-15 window assumed green
-# — recompute against the r{1..15} union before swapping in. The
-# exact 50:
-#   text_clean, text_repetition_gopher, text_token_entropy,
-#   minhash_estimate_audit, graph_triangle_count, dedup_incremental,
-#   retrieval_metrics_truncation, dedup_editdistance,
-#   decontaminate_ngram_overlap, ngram_novelty_rate,
-#   text_fingerprint, curation_funnel, text_stats, text_lang_id,
-#   bpe_encode_tokens, dedup_ngram_jaccard, dedup_containment,
-#   null_predicates, cast_semantics, arithmetic_ops,
-#   literals_no_from, sqrt_fn, geo_udt, agg_having,
-#   agg_count_distinct_group, agg_rollup, pivot_linestatus,
-#   sort_limit_topk, distinct_pairs, join_inner_3way,
-#   join_left_outer, join_semi, join_full_outer,
-#   cte_scalar_subquery, setop_union, setop_intersect,
-#   setop_except, window_running, json_extract, try_cast_nulls,
+# ROUND-17 NOTE (next certification window): the steady-state
+# rotation continues (VERDICT r7 #5 ... r15 #10). Priority
+# unchanged: (1) never-certified-exact — EMPTY since r12 (342/342
+# ever-driver-green), (2) rewritten-since-row, (3) oldest rows by
+# latest green round, ties by registry order. With the round-16
+# window certifying every query rewritten in the two optimization
+# rounds, class (2) is EMPTY going into round 17 (if round 17
+# changes execution machinery, its queries jump ahead — recompute
+# against the r{1..16} union before swapping in). Class (3) drains
+# the remaining round-9 wave (21 names) then the oldest round-10
+# rows (29 names). The exact 50, computed from the
+# CORRECTNESS_r{1..15} union with the round-16 window assumed green:
 #   string_funcs, date_funcs, case_when, try_divide_nulls,
 #   setop_union_all, agg_cube, agg_grouping_sets, in_subquery,
-#   percentiles, window_ntile_dist
+#   window_ntile_dist, quality_quantile_norm, class_rebalance,
+#   weighted_median, ks_test_two_sample, gini_customer_spend,
+#   mann_whitney_u, auc_roc, weighted_quartiles,
+#   sprt_ab_sequential, exponential_fit_gaps, heaps_law_fit,
+#   jarque_bera_normality, join_anti, events_time_bucket,
+#   events_asof_join, events_range_join, events_multi_rollup,
+#   events_distinct_kmv, dedup_exact, dedup_minhash_signatures,
+#   dedup_minhash_lsh, dedup_simhash_signatures,
+#   dedup_simhash_pairs, ann_bruteforce, embedding_near_dup,
+#   ann_lsh, ann_ivf, multimodal_decode, multimodal_frame_sample,
+#   array_ops, posexplode_ordinality, struct_access,
+#   q4_order_priority, q6_forecast_revenue, q10_returned_items,
+#   q12_priority_shipping, q14_promo_effect, q18_large_volume,
+#   q19_disjunctive_predicates, window_frames, nulls_ordering
 # Subsequent rounds continue the same rotation. The full local sweep
 # log (tools/check_oracle.py over every registered query, plus the
 # ORACLE_CHECK_VANILLA=1 variant) stays committed per-round as
